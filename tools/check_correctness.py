@@ -1,0 +1,100 @@
+"""Local replica of the driver's t2 differential check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares row count, column names, and
+an order-insensitive value hash. Use while iterating:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from wistia_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:40s} rows-only: {len(srows)} rows, cols={scols}")
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        ok_rows = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_hash = _hash(srows, scols) == _hash(orows, ocols)
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name:40s} {status}  rows {len(srows)}/{len(orows)}"
+            f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'}"
+            f" hash={'ok' if ok_hash else 'MISMATCH'}"
+        )
+        if not ok_hash and ok_cols and ok_rows:
+            sset = {tuple(map(_norm, r)) for r in srows}
+            oset = {tuple(map(_norm, r)) for r in orows}
+            onlyspark = list(sset - oset)[:3]
+            onlyduck = list(oset - sset)[:3]
+            srt = sorted(range(len(scols)), key=lambda i: scols[i])
+            print(f"   cols(sorted): {[scols[i] for i in srt]}")
+            for r in onlyspark:
+                print(f"   spark-only: {r}")
+            for r in onlyduck:
+                print(f"   duck-only:  {r}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

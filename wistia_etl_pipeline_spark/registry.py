@@ -1,0 +1,147 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Each entry pairs a PySpark query (built from the engine's operators, run
+on the driver's testdata tables, FIXTURES.md §3 mapping) with an ANSI-SQL
+oracle DuckDB runs on the same parquet files. The driver hash-compares
+results order-insensitively at sf=0.01 (CORRECTNESS_r{N}.json).
+
+Conventions:
+- Every computed column is aliased identically in Spark and SQL.
+- Double SUM/AVG aggregates route through DECIMAL(25,6) on BOTH sides
+  (exact, order-independent addition), are cast back to double, then
+  ``round(x, 6)``. Plain double sums differ in last-bit between engines
+  because summation order differs; decimal makes the comparison exact.
+  Per-row double arithmetic (products, divisions) needs no such care —
+  IEEE 754 ops are bit-deterministic.
+- Each query callable applies the engine's runtime confs (UTC session
+  timezone etc.) so date semantics don't depend on the caller's session.
+
+Domain mapping (FIXTURES.md §3): ``events`` stands in for the Wistia
+event stream (event_type ↔ media discriminator, user_id ↔ visitor_key,
+value ↔ percent_viewed), ``part``/``nation`` for small dims, documents/
+embeddings for the training-data extensions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import apply_runtime_confs, load_table
+from .operators.rollup import daily_rollup
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable + optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Flagship: gold daily engagement rollup (A1-A6, SURVEY.md §2.4 / EP3)
+# --------------------------------------------------------------------------
+
+@query(
+    "gold_daily_rollup",
+    oracle="""
+    SELECT
+        event_type                                   AS media_id,
+        CAST(ts AS DATE)                             AS dt,
+        COUNT(*)                                     AS load_count,
+        COUNT(CASE WHEN value > 100.0 THEN 1 END)    AS play_count,
+        ROUND(COUNT(CASE WHEN value > 100.0 THEN 1 END) / COUNT(*), 6)
+                                                     AS play_rate,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+                                                     AS engagement,
+        COUNT(DISTINCT user_id)                      AS visitors
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def gold_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3/A5/A6 over the events stream at (key, day) grain.
+
+    Reference semantics: media_daily_agg (wistia_redshift_schemas.py:43-52)
+    with event_type↔media_id, value↔percent_viewed (played ⇔ value > 100),
+    user_id↔visitor_key. A4 (join-weighted sum-product) is exercised by
+    ``gold_hours_watched``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return daily_rollup(
+        events,
+        key="event_type",
+        event_time="ts",
+        engagement_value="value",
+        visitor="user_id",
+        played=F.col("value") > F.lit(100.0),
+        ndigits=6,
+        exact=True,
+    )
+
+
+@query(
+    "gold_hours_watched",
+    oracle="""
+    SELECT
+        p.p_brand                                    AS media_id,
+        CAST(l.l_shipdate AS DATE)                   AS dt,
+        COUNT(*)                                     AS load_count,
+        ROUND(CAST(SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(25,6))) AS DOUBLE) / 3600.0, 6)
+                                                     AS hours_watched
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def gold_hours_watched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sum-product via the J3 broadcast star join.
+
+    Reference semantics: hours_watched = SUM(percent_viewed ×
+    dim_media.duration_seconds)/3600 (wistia_redshift_schemas.py:49) —
+    here l_quantity×p_retailprice over lineitem ⋈ broadcast(part).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    return (
+        joined.groupBy(
+            F.col("p_brand").alias("media_id"),
+            F.to_date("l_shipdate").alias("dt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("load_count"),
+            F.round(
+                F.sum((F.col("l_quantity") * F.col("p_retailprice")).cast("decimal(25,6)"))
+                .cast("double")
+                / F.lit(3600.0),
+                6,
+            ).alias("hours_watched"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""SparkSession factory tuned for large-scale batch analytics.
+
+The reference runs on AWS Glue and never tunes Spark (SURVEY.md §4). We
+instead make the scale-relevant settings explicit so the same code runs on
+``local[N]`` for tests and on a 1000-executor cluster unchanged:
+
+- **AQE on** (adaptive shuffle-partition coalescing, runtime
+  broadcast-join conversion, skew-join splitting) — the single most
+  important knob for 100 TB plans whose stage sizes can't be predicted.
+- **UTC session timezone** — the reference mixes lexicographic ISO-string
+  comparison with parsed datetimes, which only agree because everything is
+  UTC-normalized; we make that a hard invariant (SURVEY.md §7.4).
+- **Arrow enabled** — all Python-side exchange (pandas UDFs, toPandas) is
+  columnar/batched, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL confs applied to *any* session handed to the engine
+#: (driver-owned sessions included). Static confs (memory, master) are
+#: deliberately excluded — those belong to the cluster manager.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's testdata parquet stores TIMESTAMP(NANOS) which Spark's
+    # vectorized reader rejects; read as long and convert (see load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Advisory only (AQE coalesces down); sized so a 100 TB shuffle stage
+    # still produces ~128 MB post-coalesce partitions.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime invariants to an existing session.
+
+    Every public query entrypoint calls this, so correctness (UTC dates,
+    AQE) does not depend on who built the SparkSession.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-settable on this build/runtime — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "wistia-etl-pipeline-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session for local runs and tests.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 — matches
+    the driver's bench harness). ``shuffle_partitions`` defaults to the
+    core count: with AQE coalescing enabled, a slightly-high static value
+    is strictly better than a low one.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return apply_runtime_confs(builder.getOrCreate())
+
+
+#: Testdata columns stored as parquet TIMESTAMP(NANOS). With
+#: ``nanosAsLong`` they surface as epoch-nanos longs; ``load_table``
+#: restores TimestampType via exact integer division (truncation to
+#: micros — matching DuckDB's micros-precision TIMESTAMP).
+_NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    A thin projection restores nanos-timestamp columns; everything else
+    stays a plain columnar scan, so Catalyst still pushes filters and
+    prunes columns at the parquet reader.
+    """
+    from pyspark.sql import functions as F
+
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TIMESTAMP_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
