@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import apply_runtime_confs, load_table
+from .operators.dedup import dedup_exact, dedup_latest_wins
 from .operators.rollup import daily_rollup
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -144,4 +145,135 @@ def gold_hours_watched(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("hours_watched"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Silver operators: flatten/project P1-P2, dedup D1, scalars F1-F7, P4/P5
+# (timestamps are compared as epoch-micros bigints — exact on both engines)
+# --------------------------------------------------------------------------
+
+@query(
+    "silver_flatten_project",
+    oracle="""
+    SELECT
+        event_id                                          AS event_key,
+        epoch_us(ts)                                      AS received_us,
+        CAST(value AS DOUBLE)                             AS percent_viewed,
+        user_id                                           AS visitor_key,
+        event_type                                        AS media_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        strftime(ts, '%Y-%m-%d')                          AS dt_str
+    FROM events
+    """,
+)
+def silver_flatten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 + F2/F5/F6 — project/rename/cast + JSON field extraction.
+
+    Reference: the silver flatten (silver.py:32-52) with props↔the
+    nested payload (F.get_json_object standing in for struct access,
+    since testdata carries JSON strings rather than structs — the
+    struct form is unit-tested in tests/test_flatten.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").alias("event_key"),
+        F.unix_micros(F.col("ts")).alias("received_us"),
+        F.col("value").cast("double").alias("percent_viewed"),
+        F.col("user_id").alias("visitor_key"),
+        F.col("event_type").alias("media_id"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt_str"),
+    )
+
+
+@query(
+    "silver_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def silver_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact dedup, projected to its key set (the deterministic
+    observable of dropDuplicates — silver.py:54)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_exact(events.select("user_id", "event_type"), ["user_id", "event_type"])
+
+
+@query(
+    "silver_dedup_latest_wins",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           epoch_us(ts) AS received_us
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def silver_dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 deterministic variant — latest row per key via row_number
+    (SURVEY.md §2.5's 'deterministic variant')."""
+    events = load_table(spark, sf_dir, "events")
+    out = dedup_latest_wins(
+        events,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("latest_event_id"),
+        F.unix_micros("ts").alias("received_us"),
+    )
+
+
+@query(
+    "watermark_incremental_filter",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS received_us
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def watermark_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F3 — the incremental watermark predicate (bronze.py:173-178)
+    as a pushed-down scan filter. .explain shows the predicate in
+    PushedFilters — partition/row-group elision is free at scale."""
+    events = load_table(spark, sf_dir, "events")
+    from .functions.scalars import watermark_gt
+
+    return events.filter(
+        watermark_gt("ts", F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+    ).select("event_id", F.unix_micros("ts").alias("received_us"))
+
+
+@query(
+    "scalar_surface",
+    oracle="""
+    SELECT
+        event_id,
+        trim(event_type)                                   AS etype_trim,
+        upper(event_type)                                  AS etype_upper,
+        coalesce(nullif(event_type, 'error'), 'unknown')   AS etype_fallback,
+        concat_ws('-', event_type, user_id)                AS etype_tag,
+        CAST(json_extract_string(props, '$.k') AS DOUBLE)  AS prop_k_dbl
+    FROM events
+    """,
+)
+def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (trim/JSON extract), F6 (cast), P4 (coalesce fallback) over
+    the whole scalar surface — all built-ins, zero Python UDFs, so the
+    projection stays inside WholeStageCodegen."""
+    from .functions.scalars import coalesce_updated, extract_json_field, strip, to_double
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        strip("event_type").alias("etype_trim"),
+        F.upper("event_type").alias("etype_upper"),
+        coalesce_updated(
+            F.nullif(F.col("event_type"), F.lit("error")), sentinel="unknown"
+        ).alias("etype_fallback"),
+        F.concat_ws("-", "event_type", "user_id").alias("etype_tag"),
+        to_double(extract_json_field("props", "$.k")).alias("prop_k_dbl"),
     )
