@@ -1,0 +1,91 @@
+"""ST1-ST3 watermark state machine: three decision branches, legacy
+normalization, checkpoint fold, store roundtrip."""
+
+from __future__ import annotations
+
+from wistia_etl_pipeline_spark.incremental.watermark import (
+    EPOCH,
+    FULL_PULL,
+    RESUME,
+    SKIP,
+    JsonStateStore,
+    MediaState,
+    decide,
+    df_to_state,
+    fold_checkpoint,
+    normalize_media_state,
+    state_to_df,
+)
+
+
+def test_decide_three_branches():
+    # full pull: remote newer, no checkpoint (bronze.py:173)
+    st = MediaState(updated="2025-04-01T00:00:00Z")
+    assert decide(st, "2025-04-02T00:00:00Z") == FULL_PULL
+    # skip: remote not newer (bronze.py:176-178)
+    assert decide(st, "2025-04-01T00:00:00Z") == SKIP
+    assert decide(st, "2025-03-31T00:00:00Z") == SKIP
+    assert decide(st, None) == SKIP
+    # resume: pending checkpoint wins regardless of remote
+    st2 = MediaState(updated="2025-04-01T00:00:00Z", next_page=7)
+    assert decide(st2, "2025-03-01T00:00:00Z") == RESUME
+
+
+def test_decide_handles_mixed_iso_suffixes():
+    st = MediaState(updated="2025-04-01T00:00:00+00:00")
+    assert decide(st, "2025-04-01T00:00:00Z") == SKIP  # same instant
+    assert decide(st, "2025-04-01T00:00:01Z") == FULL_PULL
+
+
+def test_normalize_legacy_string_state():
+    # configs/watermarks.json carries bare ISO strings (ST3)
+    st = normalize_media_state("2025-04-29T18:11:20Z")
+    assert st == MediaState(updated="2025-04-29T18:11:20Z")
+    st2 = normalize_media_state(
+        {"updated": "2025-04-30T00:00:00Z",
+         "events_checkpoint": {"next_page": 3, "last_received_at": "2025-04-29T00:00:00Z"}}
+    )
+    assert st2.next_page == 3
+    assert normalize_media_state(None) == MediaState(updated=EPOCH)
+
+
+def test_fold_checkpoint_completed_vs_interrupted():
+    st = MediaState(updated="2025-04-01T00:00:00Z")
+    done = fold_checkpoint(
+        st, remote_updated="2025-04-02T00:00:00Z", pages_done=True,
+        next_page=9, max_received_at="2025-04-01T23:00:00Z",
+    )
+    assert done.updated == "2025-04-02T00:00:00Z" and done.next_page is None
+    part = fold_checkpoint(
+        st, remote_updated="2025-04-02T00:00:00Z", pages_done=False,
+        next_page=9, max_received_at="2025-04-01T23:00:00Z",
+    )
+    # interrupted: watermark NOT advanced, resume point recorded
+    assert part.updated == "2025-04-01T00:00:00Z" and part.next_page == 9
+    assert part.last_received_at == "2025-04-01T23:00:00Z"
+
+
+def test_store_roundtrip_and_legacy_read(tmp_path):
+    path = str(tmp_path / "watermarks.json")
+    # legacy file: one bare-string entry, one structured
+    with open(path, "w") as f:
+        f.write(
+            '{"a": "2025-04-29T18:11:20Z",'
+            ' "b": {"updated": "2025-04-30T00:00:00Z",'
+            '       "events_checkpoint": {"next_page": 2, "last_received_at": null}}}'
+        )
+    store = JsonStateStore(path)
+    states = store.read()
+    assert states["a"].updated == "2025-04-29T18:11:20Z"
+    assert states["b"].next_page == 2
+    store.write(states)
+    assert store.read() == states  # write→read is lossless (normalized form)
+
+
+def test_state_df_roundtrip(spark):
+    states = {
+        "a": MediaState(updated="2025-04-29T18:11:20Z"),
+        "b": MediaState(updated="2025-04-30T00:00:00Z", next_page=2,
+                        last_received_at="2025-04-29T00:00:00Z"),
+    }
+    assert df_to_state(state_to_df(spark, states)) == states

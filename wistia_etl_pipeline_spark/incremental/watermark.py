@@ -1,0 +1,182 @@
+"""Watermark / checkpoint state machine — ST1-ST3 (SURVEY.md §2.7).
+
+The reference tracks, per media id, a high-water mark (``updated`` ISO
+timestamp) and an events checkpoint (``next_page``,
+``last_received_at``) in a single JSON control document on S3
+(bronze.py:48-77, configs/watermarks.json). Each run makes one of three
+decisions per media (bronze.py:173-178):
+
+- **skip**       remote ``updated`` <= stored watermark → nothing changed
+- **resume**     a checkpoint exists → continue paging from ``next_page``
+- **full_pull**  changed and no checkpoint → start from page 1
+
+We keep that state machine as *pure functions* (unit-testable, no I/O)
+plus two storage adapters:
+
+- :class:`JsonStateStore` — a single small JSON control document, like
+  the reference's (fine: the state is O(#media), kilobytes).
+- :func:`state_to_df` / :func:`df_to_state` — the same state as a Spark
+  DataFrame (WATERMARK_SCHEMA) so a cluster job can join/filter against
+  it (e.g. broadcast the watermark table against a huge candidate list
+  — the skip-filter P5 then runs distributed instead of on the driver).
+
+Streaming equivalence: under Structured Streaming this whole module is
+replaced by ``checkpointLocation`` (offsets) + ``withWatermark`` (event
+time) — see ``streaming/pipeline.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import WATERMARK_SCHEMA
+
+# Decision outcomes (bronze.py:173-178)
+SKIP = "skip"
+RESUME = "resume"
+FULL_PULL = "full_pull"
+
+#: Sentinel for "never seen" (the reference uses a far-past ISO string
+#: fallback at bronze.py:169).
+EPOCH = "1970-01-01T00:00:00Z"
+
+
+@dataclass(frozen=True)
+class MediaState:
+    """Normalized per-media watermark state (ST3 normalizes legacy
+    plain-string entries into this shape, bronze.py:48-55)."""
+
+    updated: str = EPOCH
+    next_page: int | None = None
+    last_received_at: str | None = None
+
+
+def normalize_media_state(raw: Any) -> MediaState:
+    """ST3 — accept both state shapes the reference tolerates:
+    a legacy bare ISO string, or ``{updated, events_checkpoint:
+    {next_page, last_received_at}}`` (bronze.py:48-55)."""
+    if raw is None:
+        return MediaState()
+    if isinstance(raw, str):
+        return MediaState(updated=raw)
+    if isinstance(raw, MediaState):
+        return raw
+    cp = raw.get("events_checkpoint") or {}
+    return MediaState(
+        updated=raw.get("updated") or EPOCH,
+        next_page=cp.get("next_page"),
+        last_received_at=cp.get("last_received_at"),
+    )
+
+
+def _iso_key(ts: str) -> str:
+    """UTC-normalized ISO strings order lexicographically ≡
+    chronologically (the invariant the reference's string-max at
+    bronze.py:220 relies on). Normalize the two accepted suffix forms
+    so the comparison is safe."""
+    return ts.replace("+00:00", "Z")
+
+
+def decide(state: MediaState, remote_updated: str | None) -> str:
+    """The three-way decision (bronze.py:173-178).
+
+    A pending checkpoint means the previous run stopped mid-pull
+    (budget/page cap) — resume regardless of the remote watermark,
+    otherwise the tail of that pull would be lost.
+    """
+    if state.next_page is not None:
+        return RESUME
+    if remote_updated is None or _iso_key(remote_updated) <= _iso_key(state.updated):
+        return SKIP
+    return FULL_PULL
+
+
+def fold_checkpoint(
+    state: MediaState,
+    *,
+    remote_updated: str,
+    pages_done: bool,
+    next_page: int,
+    max_received_at: str | None,
+) -> MediaState:
+    """Fold one run's outcome into the next state (bronze.py:237-247).
+
+    Completing the pull advances the watermark to the remote ``updated``
+    and clears the checkpoint; an interrupted pull (page cap / time
+    budget) keeps the old watermark and records where to resume.
+    """
+    last = max(
+        filter(None, [state.last_received_at, max_received_at]),
+        key=_iso_key,
+        default=None,
+    )
+    if pages_done:
+        return MediaState(updated=remote_updated, next_page=None, last_received_at=last)
+    return MediaState(updated=state.updated, next_page=next_page, last_received_at=last)
+
+
+# --------------------------------------------------------------------------
+# Storage adapters
+# --------------------------------------------------------------------------
+
+
+class JsonStateStore:
+    """S7 — the control document, one JSON file (bronze.py:57-77).
+
+    The reference stores ``{media_id: state}`` pretty-printed on S3;
+    any fsspec-style path works here. State is O(#media ids) — this is
+    deliberately NOT a big-data path.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def read(self) -> dict[str, MediaState]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path, encoding="utf-8") as f:
+            raw = json.load(f)
+        return {k: normalize_media_state(v) for k, v in raw.items()}
+
+    def write(self, states: dict[str, MediaState]) -> None:
+        doc = {
+            k: {
+                "updated": s.updated,
+                "events_checkpoint": (
+                    None
+                    if s.next_page is None
+                    else {"next_page": s.next_page, "last_received_at": s.last_received_at}
+                ),
+            }
+            for k, s in states.items()
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(doc, f, indent=2, sort_keys=True)  # pretty, like bronze.py:73
+        os.replace(tmp, self.path)  # atomic on posix
+
+
+def state_to_df(spark: SparkSession, states: dict[str, MediaState]) -> DataFrame:
+    """State as a (tiny, broadcastable) DataFrame in WATERMARK_SCHEMA —
+    lets the P5 skip-filter run as a distributed join instead of a
+    driver loop."""
+    rows = [
+        (k, s.updated, s.next_page, s.last_received_at) for k, s in sorted(states.items())
+    ]
+    return spark.createDataFrame(rows, schema=WATERMARK_SCHEMA)
+
+
+def df_to_state(df: DataFrame) -> dict[str, MediaState]:
+    return {
+        r["media_id"]: MediaState(
+            updated=r["updated"] or EPOCH,
+            next_page=r["next_page"],
+            last_received_at=r["last_received_at"],
+        )
+        for r in df.collect()
+    }

