@@ -1,0 +1,88 @@
+"""ST1-ST6: incremental file discovery via checkpoint, streaming dedup,
+idempotent foreachBatch merge, windowed rollup."""
+
+from __future__ import annotations
+
+import json
+
+from wistia_etl_pipeline_spark.streaming.pipeline import (
+    deduped_silver_stream,
+    read_bronze_stream,
+    run_silver_stream,
+    streaming_daily_rollup,
+)
+
+
+def _event(key, ts, pv=0.5, visitor="v1"):
+    return {
+        "event_key": key, "received_at": ts, "percent_viewed": pv,
+        "embed_url": "e", "email": None, "ip": "1",
+        "user_agent_details": {"browser": "FF", "browser_version": "1",
+                               "platform": "l", "mobile": False},
+        "visitor_key": visitor, "country": "US", "region": "CA", "city": "SF",
+        "lat": 1.0, "lon": 2.0, "org": None, "media_id": "m1", "media_name": "D",
+    }
+
+
+def _write_jsonl(path, events):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(json.dumps(e) for e in events))
+
+
+def test_stream_merge_resume_and_dedup(spark, tmp_path):
+    bronze = tmp_path / "bronze"
+    target = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(bronze / "f1.json", [
+        _event("e1", "2024-01-01T10:00:00Z"),
+        _event("e2", "2024-01-01T11:00:00Z"),
+        _event("e2", "2024-01-01T11:00:00Z"),  # in-file replay
+    ])
+    q = run_silver_stream(spark, str(bronze), target, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(target)
+    assert {r.event_key for r in got.collect()} == {"e1", "e2"}
+    assert got.count() == 2
+
+    # second run: one new file with an overlap; checkpoint skips f1,
+    # MERGE keeps the table converged (no dup for e2)
+    _write_jsonl(bronze / "f2.json", [
+        _event("e2", "2024-01-01T11:00:00Z"),  # cross-run replay
+        _event("e3", "2024-01-01T12:00:00Z"),
+    ])
+    q = run_silver_stream(spark, str(bronze), target, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(target)
+    assert {r.event_key for r in got.collect()} == {"e1", "e2", "e3"}
+    assert got.count() == 3
+
+    # third run with nothing new: a no-op, table unchanged (idempotent)
+    q = run_silver_stream(spark, str(bronze), target, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_streaming_daily_rollup(spark, tmp_path):
+    bronze = tmp_path / "bronze"
+    _write_jsonl(bronze / "f1.json", [
+        _event("e1", "2024-01-01T10:00:00Z", pv=0.0, visitor="a"),
+        _event("e2", "2024-01-01T11:00:00Z", pv=1.0, visitor="b"),
+        _event("e3", "2024-01-02T09:00:00Z", pv=0.5, visitor="a"),
+    ])
+    stream = deduped_silver_stream(read_bronze_stream(spark, str(bronze)))
+    rollup = streaming_daily_rollup(stream, watermark_delay=None)  # already watermarked
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("gold_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.dt): r for r in spark.sql("select * from gold_stream").collect()}
+    assert rows["2024-01-01"].load_count == 2
+    assert rows["2024-01-01"].play_count == 1
+    assert rows["2024-01-01"].visitors == 2
+    assert rows["2024-01-02"].load_count == 1
+    assert abs(rows["2024-01-01"].play_rate - 0.5) < 1e-12
