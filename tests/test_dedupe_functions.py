@@ -1,0 +1,90 @@
+"""Corpus dedup: minhash determinism + Jaccard agreement, LSH recall on
+exact dups, SimHash locality, exact dup groups."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+from wistia_etl_pipeline_spark.functions.dedupe import (
+    exact_dup_groups,
+    hamming64,
+    jaccard,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    got = df.select(shingles(F.col("t"), k=3).alias("s")).collect()[0].s
+    assert got == ["a b c", "b c d"]
+    # shorter than k → empty, NOT a descending-sequence artifact
+    short = spark.createDataFrame([Row(t="a b")])
+    assert short.select(shingles(F.col("t"), k=3).alias("s")).collect()[0].s == []
+
+
+def test_minhash_matches_python_reference(spark):
+    text = "the quick brown fox jumps"
+    df = spark.createDataFrame([Row(t=text)])
+    sig = df.select(minhash_signature(F.col("t"), num_hashes=4).alias("s")).collect()[0].s
+    toks = set(text.split())
+    expected = [
+        min(hashlib.md5(f"{t}:{i}".encode()).hexdigest() for t in toks)
+        for i in range(4)
+    ]
+    assert sig == expected
+
+
+def test_minhash_identical_texts_identical_sigs(spark):
+    df = spark.createDataFrame([Row(i=1, t="x y z w"), Row(i=2, t="x y z w")])
+    sigs = [r.s for r in df.select(minhash_signature(F.col("t")).alias("s")).collect()]
+    assert sigs[0] == sigs[1]
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    rows = [Row(doc_id=i, text=f"unique words only here {i} alpha beta gamma delta")
+            for i in range(20)]
+    rows += [Row(doc_id=i + 100, text=rows[i].text) for i in range(5)]  # 5 dups
+    df = spark.createDataFrame(rows)
+    pairs = minhash_near_dup_pairs(df, "doc_id", "text",
+                                   num_hashes=16, bands=4, jaccard_threshold=0.9)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert {(i, i + 100) for i in range(5)} <= got
+    for r in pairs.collect():
+        if (r.a_id, r.b_id) in {(i, i + 100) for i in range(5)}:
+            assert r.jaccard_sim == 1.0
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([Row(a=["x", "y"], b=["y", "z"])])
+    assert abs(df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+               - 1 / 3) < 1e-12
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    far = "completely different vocabulary regarding spacecraft propulsion dynamics"
+    df = spark.createDataFrame([Row(i="base", t=base), Row(i="near", t=near), Row(i="far", t=far)])
+    sigs = {r.i: r.s for r in df.select(F.col("i"), simhash64(F.col("t")).alias("s")).collect()}
+    pair = spark.createDataFrame([Row(a=sigs["base"], b=sigs["near"], c=sigs["far"])])
+    row = pair.select(
+        hamming64(F.col("a"), F.col("b")).alias("near_d"),
+        hamming64(F.col("a"), F.col("c")).alias("far_d"),
+    ).collect()[0]
+    assert row.near_d < row.far_d  # similar texts → closer signatures
+    assert sigs["base"] != 0
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Same  Text"), Row(doc_id=2, text="same text"),
+         Row(doc_id=3, text="other")]
+    )
+    groups = exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 2 and groups[0].ids == [1, 2]

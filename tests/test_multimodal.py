@@ -1,0 +1,53 @@
+"""Multimodal plumbing: Arrow-batched decode, error isolation, frame
+sampling, resize passthrough."""
+
+from __future__ import annotations
+
+import pytest
+
+from wistia_etl_pipeline_spark.functions.multimodal import (
+    _decode_one,
+    decode_media_meta,
+    encode_fake_payload,
+    frame_sample_plan,
+    resize_stub,
+)
+
+
+def _media(spark):
+    rows = [
+        ("a", "image", encode_fake_payload(640, 480, 1)),
+        ("b", "video", encode_fake_payload(1920, 1080, 95)),
+        ("c", "image", b"\x89PNG not really"),  # corrupt → isolated error
+    ]
+    return spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+
+
+def test_decode_meta_and_error_isolation(spark):
+    out = {r.media_id: r for r in decode_media_meta(_media(spark)).collect()}
+    assert (out["a"].width, out["a"].height, out["a"].n_frames) == (640, 480, 1)
+    assert out["b"].width == 1920 and out["b"].n_frames == 95
+    assert out["c"].decode_error is not None and "NotImplementedError" in out["c"].decode_error
+    assert out["c"].width is None  # bad blob didn't fail the scan
+
+
+def test_real_codec_slot_raises():
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_frame_sample_plan(spark):
+    frames = frame_sample_plan(_media(spark), every_n=30).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_media["a"] == [0]
+    assert by_media["b"] == [0, 30, 60, 90]
+    assert "c" not in by_media  # corrupt rows dropped before fan-out
+
+
+def test_resize_passthrough_shape(spark):
+    out = resize_stub(_media(spark), width=224, height=224).collect()
+    assert len(out) == 3
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(isinstance(bytes(r.payload), bytes) for r in out)

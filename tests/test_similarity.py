@@ -1,0 +1,93 @@
+"""Similarity search: expression vs pandas-UDF agreement, brute-force
+top-k correctness, LSH bucket recall, near-dup blocking."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from wistia_etl_pipeline_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine,
+    cosine_scores_pandas,
+    cosine_topk,
+    deterministic_planes,
+    embedding_near_dup_pairs,
+    hyperplane_buckets,
+)
+
+
+def _vecs(spark, n=40, dim=8):
+    # deterministic "random" vectors from md5-ish arithmetic
+    rows = []
+    for i in range(n):
+        v = [math.sin(i * 31 + j * 7) for j in range(dim)]
+        rows.append(Row(vec_id=i, embedding=v, label=i % 4))
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_expression_hand_computed(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 1.0])])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert abs(got - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_pandas_path_matches_expression_path(spark):
+    df = _vecs(spark)
+    q = [1.0] + [0.5] * 7
+    expr = {
+        r.vec_id: r.cos_sim
+        for r in df.select(
+            "vec_id",
+            cosine(F.col("embedding"), F.array(*[F.lit(x) for x in q])).alias("cos_sim"),
+        ).collect()
+    }
+    pnd = {r.vec_id: r.cos_sim for r in cosine_scores_pandas(df, q).collect()}
+    assert set(expr) == set(pnd)
+    for k in expr:
+        assert abs(expr[k] - pnd[k]) < 1e-9
+
+
+def test_brute_force_topk_matches_python(spark):
+    df = _vecs(spark)
+    q = [1.0] + [0.5] * 7
+
+    def cos(v):
+        d = sum(a * b for a, b in zip(v, q))
+        return d / (math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in q)))
+
+    expected = sorted(
+        ((round(cos([math.sin(i * 31 + j * 7) for j in range(8)]), 6), i) for i in range(40)),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = cosine_topk(df, F.array(*[F.lit(x) for x in q]), k=5).collect()
+    assert [(r.cos_sim, r.vec_id) for r in got] == expected
+
+
+def test_lsh_bucket_determinism_and_ann_recall(spark):
+    df = _vecs(spark)
+    b1 = {r.vec_id: r.bucket for r in hyperplane_buckets(df, n_planes=6, dim=8).collect()}
+    b2 = {r.vec_id: r.bucket for r in hyperplane_buckets(df, n_planes=6, dim=8).collect()}
+    assert b1 == b2 and all(len(b) == 6 for b in b1.values())
+    # a query equal to a corpus vector must find it (same bucket, cos=1)
+    target = [math.sin(7 * 31 + j * 7) for j in range(8)]
+    got = ann_topk_lsh(df, target, k=3, n_planes=6)
+    top = got.collect()[0]
+    assert top.vec_id == 7 and abs(top.cos_sim - 1.0) < 1e-9
+
+
+def test_planes_are_reproducible():
+    assert deterministic_planes(2, 4) == deterministic_planes(2, 4)
+    p = deterministic_planes(1, 1000)[0]
+    assert all(-1.0 <= c < 1.0 for c in p)
+    assert abs(sum(p) / len(p)) < 0.05  # roughly centered
+
+
+def test_embedding_near_dup_blocking(spark):
+    df = _vecs(spark, n=20)
+    dup = df.select((F.col("vec_id") + 100).alias("vec_id"), "embedding", "label")
+    corpus = df.unionByName(dup)
+    pairs = embedding_near_dup_pairs(corpus, block_col="label", threshold=0.99, dim=8)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert {(i, i + 100) for i in range(20)} <= got

@@ -1,0 +1,60 @@
+"""Text-analysis functions: tokenization edges, ratios, lang-ID,
+fingerprints."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+from wistia_etl_pipeline_spark.functions import text as Tx
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([Row(t=text)]).select(col.alias("v")).collect()[0].v
+
+
+def test_token_counts(spark):
+    assert _one(spark, "the quick  brown fox", Tx.token_count(F.col("t"))) == 4
+    assert _one(spark, "   ", Tx.token_count(F.col("t"))) == 0
+    assert _one(spark, "", Tx.token_count(F.col("t"))) == 0
+    # regex tokens: letter runs, digit runs, single punct
+    assert _one(spark, "ab12,cd!", Tx.regex_token_count(F.col("t"))) == 5
+
+
+def test_punct_and_stopword_ratio(spark):
+    assert abs(_one(spark, "ab, c! 9", Tx.punct_ratio(F.col("t"))) - 2 / 8) < 1e-12
+    assert _one(spark, "", Tx.punct_ratio(F.col("t"))) == 0.0
+    r = _one(spark, "the cat the dog", Tx.stopword_ratio(F.col("t"), "en"))
+    assert abs(r - 0.5) < 1e-12  # 'the' twice of 4 tokens
+    assert _one(spark, "", Tx.stopword_ratio(F.col("t"), "en")) == 0.0
+
+
+def test_quality_score_bounded(spark):
+    for text in ["", "the and of to in is it for on a " * 30, "!!!???###"]:
+        v = _one(spark, text, Tx.quality_score(F.col("t")))
+        assert 0.0 <= v <= 1.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat is on a mat", Tx.lang_id(F.col("t"))) == "en"
+    assert _one(spark, "der hund ist nicht da und", Tx.lang_id(F.col("t"))) == "de"
+    assert _one(spark, "el perro es un animal y la casa", Tx.lang_id(F.col("t"))) == "es"
+    assert _one(spark, "xyzzy plugh", Tx.lang_id(F.col("t"))) == "und"
+    # tie ('la' is es+fr): priority order says es
+    assert _one(spark, "la", Tx.lang_id(F.col("t"))) == "es"
+
+
+def test_fingerprints(spark):
+    # normalization: case/whitespace insensitive
+    a = _one(spark, "Hello   World", Tx.fingerprint_md5(F.col("t")))
+    b = _one(spark, "hello world", Tx.fingerprint_md5(F.col("t")))
+    assert a == b == hashlib.md5(b"hello world").hexdigest()
+    # content fingerprint survives appending at the end (k=3 shingles)
+    base = "one two three four five six seven"
+    f1 = _one(spark, base, Tx.content_fingerprint(F.col("t")))
+    f2 = _one(spark, base + " eight", Tx.content_fingerprint(F.col("t")))
+    assert f1 == f2  # min-shingle unchanged by the appended tail here
+    # short docs fall back to whole-text md5
+    s = _one(spark, "one two", Tx.content_fingerprint(F.col("t")))
+    assert s == hashlib.md5(b"one two").hexdigest()

@@ -1,0 +1,184 @@
+"""Corpus deduplication at scale — exact, MinHash+LSH, SimHash,
+n-gram Jaccard (BASELINE.json north-star extensions).
+
+Design for 100 TB:
+
+- **Exact** (:func:`exact_dup_groups`): md5(normalized text) →
+  groupBy. One shuffle keyed by a 128-bit hash — perfectly uniform,
+  no skew, map-side partial counts.
+- **MinHash + LSH** (:func:`minhash_near_dup_pairs`): the only way
+  near-dup discovery scales is to never compare all pairs. Shingle →
+  per-seed min-hash → band keys → self-join *on band key*. The join
+  fans out only within buckets; candidate pairs are then verified with
+  true Jaccard so LSH false positives never reach the output. Banding
+  math: P(pair in ≥1 common band) = 1-(1-j^r)^b for Jaccard j,
+  r rows/band, b bands.
+- **SimHash** (:func:`simhash64`): 64-bit bit-vote signature;
+  near-dups differ in ≤k bits. Bucket on bit-ranges for the scale
+  path (same band-join trick on hamming pieces).
+- All hashing is md5-derived: deterministic, identical across engines
+  (differential-testable), and — unlike hash()/xxhash64 — identical
+  across Spark versions too, so persisted signatures stay valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import normalize_text, tokens
+
+
+def shingles(col: Column | str, *, k: int = 3) -> Column:
+    """Word k-shingles (array<string>). Texts shorter than k tokens
+    yield [] — guarded because sequence(1, n) with n<1 would generate
+    a *descending* sequence rather than an empty one."""
+    toks = tokens(col)
+    n = F.size(toks) - F.lit(k - 1)
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signature(col: Column | str, *, num_hashes: int = 16, k: int = 1) -> Column:
+    """MinHash signature (array<string> of length ``num_hashes``).
+
+    Hash family: md5(shingle ‖ ':' ‖ seed) — seed-salted md5, min
+    taken lexicographically over the hex digest (a uniform total
+    order, so each seed is an independent min-hash). Empty docs get an
+    empty signature.
+    """
+    sh = F.array_distinct(shingles(col, k=k))
+
+    def _salted(i: int):
+        # NB: a closure factory, NOT `lambda s, i=i:` — PySpark calls
+        # two-parameter lambdas as (element, index) and would silently
+        # rebind the seed to the index Column.
+        salt = F.lit(f":{i}")
+        return lambda s: F.md5(F.concat(s, salt))
+
+    per_seed = [F.array_min(F.transform(sh, _salted(i))) for i in range(num_hashes)]
+    return F.when(F.size(sh) == 0, F.array().cast("array<string>")).otherwise(
+        F.array(*per_seed)
+    )
+
+
+def band_keys(signature: Column, *, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 of each contiguous ``rows_per_band`` slice of
+    the signature → array<string> of length ``bands``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(signature, b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (n-gram Jaccard
+    when fed shingle arrays)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 1,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id) via MinHash banding.
+
+    Plan shape: per-doc signature (narrow, no shuffle) → explode band
+    keys (×bands) → self-join on (band, key) → distinct pairs →
+    optional exact-Jaccard verification. The self-join never sees two
+    docs that share no band — that's the whole scale trick.
+    """
+    rows_per_band = num_hashes // bands
+    norm = normalize_text(F.col(text_col))
+    sig = minhash_signature(norm, num_hashes=num_hashes, k=shingle_k)
+    banded = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(shingles(norm, k=shingle_k)).alias("sh"),
+            F.posexplode(band_keys(sig, bands=bands, rows_per_band=rows_per_band)).alias(
+                "band", "key"
+            ),
+        )
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a_id"),
+            F.col("r.doc").alias("b_id"),
+            F.col("l.sh").alias("a_sh"),
+            F.col("r.sh").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    out = pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6))
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard_sim") >= jaccard_threshold)
+    return out.select("a_id", "b_id", "jaccard_sim")
+
+
+def simhash64(col: Column | str, *, k: int = 1) -> Column:
+    """64-bit SimHash: each distinct shingle votes its hash bits ±1;
+    the signature takes the sign of each bit-column's sum.
+
+    Shingle hash = first 60 bits of md5 (hex→int via conv) — keeps the
+    signature engine- and version-stable. Returned as bigint (bits
+    0-59 populated).
+    """
+    sh = F.array_distinct(shingles(col, k=k))
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
+
+    def _vote(bit: int):
+        mask = F.lit(1 << bit)
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    bit_exprs = []
+    for bit in range(60):
+        votes = F.aggregate(h, F.lit(0), _vote(bit))
+        bit_exprs.append(F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+    total = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        total = total + e
+    return F.when(F.size(sh) == 0, F.lit(0).cast("bigint")).otherwise(
+        total.cast("bigint")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of
+    XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: (fingerprint, ids, dup_count) for every
+    normalized text occurring more than once."""
+    from .text import fingerprint_md5
+
+    return (
+        df.select(F.col(id_col).alias("doc"), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("doc")).alias("ids"))
+        .filter(F.col("dup_count") > 1)
+    )

@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) column plumbing — north-star extension.
+
+Media payloads are opaque ``binary`` columns + a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The *Spark-side* plumbing — schema, batch
+shapes, partition sizing, UDF signatures — is real and tested; the
+codec calls themselves are stubbed (this environment ships no
+image/audio libraries): ``decode_media_batch`` parses a deterministic
+fake header, and the place a real codec (Pillow/ffmpeg/torchaudio)
+would slot in is a single clearly-marked function.
+
+Scale notes:
+- Binary payloads make rows wide: size scan partitions by BYTES, not
+  row counts (``spark.sql.files.maxPartitionBytes`` stays the lever
+  because parquet binary columns count toward split size).
+- Never ``collect()`` media; every transform is partition-local.
+- Feature outputs (small fixed-width vectors) should be written to a
+  SEPARATE table keyed by media_id: downstream training scans features
+  without dragging payload bytes through the shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: Media table schema: payload + typed metadata (the multimodal
+#: analogue of schemas.RAW_EVENT_SCHEMA).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("source_url", T.StringType()),
+                    T.StructField("bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+#: Deterministic fake payload header: magic 'WMM1' + u32 width + u32
+#: height + u32 n_frames (little-endian). Stands in for a real
+#: container header until a codec library is available.
+_MAGIC = b"WMM1"
+_HEADER = struct.Struct("<4sIII")
+
+DECODED_SCHEMA = (
+    "media_id string, kind string, width int, height int, n_frames int, "
+    "payload_bytes long, decode_error string"
+)
+
+
+def encode_fake_payload(width: int, height: int, n_frames: int = 1, body: bytes = b"") -> bytes:
+    """Build a payload the stub decoder understands (test fixtures)."""
+    return _HEADER.pack(_MAGIC, width, height, n_frames) + body
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """THE CODEC SLOT. Replace with a real decoder (PIL.Image.open /
+    av.open / soundfile.read) when the libraries exist; everything
+    around it — batching, schema, error isolation — is unchanged.
+
+    Raises ``NotImplementedError`` for real media formats, parses the
+    deterministic fake header otherwise.
+    """
+    if payload is None or len(payload) < _HEADER.size or payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library not present "
+            "in this environment; payload is not a WMM1 fake-header blob"
+        )
+    _magic, width, height, n_frames = _HEADER.unpack_from(payload)
+    return width, height, n_frames
+
+
+def decode_media_meta(df: DataFrame) -> DataFrame:
+    """Decode payload headers to typed columns, Arrow-batched, with
+    per-row error isolation (a corrupt blob yields a ``decode_error``
+    row instead of failing the 100 TB scan)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    w, h, nf = _decode_one(payload)
+                    out.append((media_id, kind, w, h, nf, len(payload), None))
+                except Exception as exc:
+                    out.append(
+                        (media_id, kind, None, None, None,
+                         len(payload) if payload is not None else 0, repr(exc))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height", "n_frames",
+                    "payload_bytes", "decode_error",
+                ],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, *, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index,
+    computed from the decoded header — the downstream decode-this-frame
+    stage would join back to the payload by media_id. Pure expressions
+    (the fan-out is a lateral explode, no Python)."""
+    decoded = decode_media_meta(df)
+    return decoded.filter(F.col("decode_error").isNull()).select(
+        "media_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def resize_stub(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes payloads through the same mapInPandas
+    shape a real resampler would use, emitting the TARGET dimensions +
+    an untouched payload (the codec slot is _decode_one's sibling)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"],  # real impl: re-encoded bytes
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id string, width int, height int, payload binary"
+    )

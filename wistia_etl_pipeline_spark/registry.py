@@ -533,3 +533,354 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     errored = pairs.filter(F.col("event_type") == "error").drop("event_type")
     # subtract == set EXCEPT (distinct); exceptAll would keep multiplicity
     return purchased.subtract(errored)
+
+
+# --------------------------------------------------------------------------
+# Training-data extensions (BASELINE.json north star): text analysis,
+# corpus dedup (exact / MinHash+LSH), similarity search, multimodal
+# --------------------------------------------------------------------------
+
+def _sql_stoplist(lang: str) -> str:
+    from .functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "text_stats",
+    oracle=rf"""
+    SELECT
+        doc_id,
+        len({_TOKS})                                             AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens,
+        length(text)                                             AS n_chars_calc,
+        ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text), 6)
+                                                                 AS punct_ratio,
+        ROUND(len([t for t in {_TOKS} if list_contains({{stop_en}}, t)]) / len({_TOKS}), 6)
+                                                                 AS stopword_ratio
+    FROM documents
+    """.replace("{stop_en}", _sql_stoplist("en")),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), length, punctuation
+    and stopword ratios — the quality-scoring signal set, all codegen
+    expressions (functions/text.py)."""
+    from .functions import text as Tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.token_count("text").alias("n_tokens"),
+        Tx.regex_token_count("text").alias("n_regex_tokens"),
+        Tx.char_count("text").alias("n_chars_calc"),
+        F.round(Tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(Tx.stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    from .functions.text import LANG_PRIORITY
+
+    score_cols = ",\n        ".join(
+        f"len(list_intersect(list_distinct({_TOKS}), {_sql_stoplist(lang)})) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    # priority-ordered argmax: a language wins if positive and >= all later prios
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        others = [f"s_{lang} >= s_{o}" for o in LANG_PRIORITY if o != lang][i:]
+        cond = " AND ".join([f"s_{lang} > 0"] + [f"s_{lang} >= s_{o}" for o in LANG_PRIORITY[i + 1:]] + [f"s_{lang} >= s_{o}" for o in LANG_PRIORITY[:i]])
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+        {score_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE {' '.join(cases)} ELSE 'und' END AS lang_guess
+    FROM scored
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (n-gram heuristic) with
+    deterministic priority tiebreak, next to the declared lang."""
+    from .functions import text as Tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        Tx.lang_id("text").alias("lang_guess"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=rf"""
+    WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    t AS (SELECT doc_id, nt, regexp_split_to_array(nt, '\s+') AS toks FROM n)
+    SELECT doc_id,
+           md5(nt) AS fp_md5,
+           CASE WHEN len(toks) < 3 THEN md5(nt)
+                ELSE list_min([md5(array_to_string(toks[i:i+2], ' '))
+                               for i in range(1, len(toks) - 1)])
+           END AS fp_content
+    FROM t
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 (exact-dedup key) and
+    min-shingle-hash content fingerprint (shift-robust)."""
+    from .functions import text as Tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        Tx.fingerprint_md5("text").alias("fp_md5"),
+        Tx.content_fingerprint("text", k=3).alias("fp_content"),
+    )
+
+
+_DUP_SHIFT = 1_000_000
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ an id-shifted copy — a corpus where every text has
+    exactly one duplicate (FIXTURES.md §3's dedup exercise)."""
+    copy = docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    return docs.select("doc_id", "text").unionByName(copy)
+
+
+_DUP_CORPUS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    oracle=rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM corpus)
+    SELECT fp, COUNT(*) AS dup_count, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash over a corpus with injected
+    duplicates — one shuffle on a uniform 128-bit key (no skew)."""
+    from .functions.text import fingerprint_md5
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    base AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS sh
+        FROM corpus
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+               ROUND(len(list_intersect(l.sh, r.sh))
+                     / len(list_distinct(l.sh || r.sh)), 6) AS jaccard_sim
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT a_id, b_id, jaccard_sim FROM pairs WHERE jaccard_sim >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4 rows,
+    unigram shingles, Jaccard-verified ≥ 0.8) on the dup-injected
+    corpus. The self-join runs on band keys only — never all pairs
+    (functions/dedupe.py scale notes)."""
+    from .functions.dedupe import minhash_near_dup_pairs
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    return minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=1, jaccard_threshold=0.8,
+    )
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, q.qv),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / ( sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in e.embedding]))
+               * sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in q.qv])) ), 6
+           ) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 embedding — the
+    exact ANN baseline. Scan + projection + TakeOrderedAndProject; the
+    corpus is never shuffled."""
+    from .functions.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _lsh_buckets_oracle() -> str:
+    from .functions.similarity import deterministic_planes
+
+    planes = deterministic_planes(8, 64)
+    bits = []
+    for plane in planes:
+        lits = ", ".join(repr(c) for c in plane)
+        bits.append(
+            "CASE WHEN list_sum(list_transform(list_zip(embedding, ["
+            + lits
+            + "]), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bits)
+    return f"SELECT vec_id, {concat} AS bucket FROM embeddings"
+
+
+@query("similarity_ann_buckets", oracle=_lsh_buckets_oracle())
+def similarity_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index build: random-hyperplane LSH bucket per vector
+    (8 deterministic md5-seeded planes → 256 buckets). At scale the
+    corpus is written partitioned by this column and a query prunes to
+    1 + multiprobe buckets (functions/similarity.py)."""
+    from .functions.similarity import hyperplane_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_buckets(emb, n_planes=8, dim=64)
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding, label FROM embeddings
+    ),
+    pairs AS (
+        SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+               ROUND(
+                 list_sum(list_transform(list_zip(l.embedding, r.embedding),
+                                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / ( sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in l.embedding]))
+                   * sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE) for v in r.embedding])) ), 6
+               ) AS cos_sim
+        FROM corpus l
+        JOIN corpus r ON l.label = r.label AND l.vec_id < r.vec_id
+    )
+    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (τ=0.99) on a dup-injected
+    corpus. Spark blocks by LSH bucket + label so the self-join never
+    sees unrelated vectors; at τ=0.99 bucket equality is lossless
+    (near-identical vectors share every sign bit)."""
+    from .functions.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copy = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copy)
+    return embedding_near_dup_pairs(
+        corpus, block_col="label", threshold=0.99, n_planes=8, dim=64
+    )
+
+
+@query("multimodal_decode_stats")
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (no SQL oracle: binary payload
+    construction + mapInPandas decode aren't SQL-expressible — driver
+    records the rows-only check): synthesize fake media payloads from
+    the documents table, decode headers Arrow-batched, aggregate by
+    kind. The schema/batching/error-isolation shape is the real 100 TB
+    path; only the codec call is stubbed (functions/multimodal.py)."""
+    import pandas as pd
+
+    from .functions.multimodal import decode_media_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        from wistia_etl_pipeline_spark.functions.multimodal import encode_fake_payload
+
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].map(lambda d: f"d{d}"),
+                    "kind": pdf["doc_id"].map(lambda d: kinds[int(d) % 3]),
+                    "payload": [
+                        encode_fake_payload(
+                            int(n % 1920) + 1, int(n % 1080) + 1, int(n % 120) + 1
+                        )
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+            yield out
+
+    media = docs.select("doc_id", "n_chars").mapInPandas(
+        synth, "media_id string, kind string, payload binary"
+    )
+    decoded = decode_media_meta(media)
+    return (
+        decoded.filter(F.col("decode_error").isNull())
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("n_frames"), 6).alias("avg_frames"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+    )
