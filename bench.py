@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side row transfer) after a warm-up of the session/JIT on a
+small query. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family (SURVEY.md §2 + extensions).
+HEADLINE = [
+    "gold_daily_rollup",          # A1-A6 groupBy/agg
+    "gold_hours_watched",         # A4 broadcast join + sum-product
+    "star_join_revenue",          # J3 multi-join
+    "silver_flatten_project",     # P1 projection + JSON extraction
+    "silver_dedup_latest_wins",   # D1 window dedup
+    "merge_upsert_composite_key", # A7 MERGE
+    "watermark_incremental_filter",  # P5 pushed-down scan filter
+    "global_topk_events",         # TakeOrderedAndProject
+    "text_stats",                 # text analysis expressions
+    "doc_fingerprints",           # fingerprinting (md5/minshingle)
+    "dedup_exact_documents",      # exact corpus dedup
+    "similarity_cosine_topk",     # brute-force cosine top-k
+    "similarity_ann_buckets",     # LSH index build
+    "embedding_near_dup",         # blocked near-dup self-join
+    "multimodal_decode_stats",    # Arrow-batched binary decode
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entrymod
+    from wistia_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("wistia-etl-pipeline-spark-bench")
+    qs = entrymod.queries()
+
+    # warm-up: JVM/JIT/codegen + parquet footer caches
+    qs["gold_daily_rollup"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Physical-plan audits: the properties that keep these queries viable
+at 100 TB must hold structurally, not by luck — pushdown reaches the
+scan, dims broadcast, top-k never sorts globally, projections prune."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_watermark_filter_pushes_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "watermark_incremental_filter")
+    # the range predicate must reach the parquet reader, not sit above
+    # a conversion expression
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join_revenue")
+    # every dim side is a broadcast join — the fact is never shuffled
+    # for a dim lookup
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "global_topk_events")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # per-partition heaps, no shuffle
+
+
+def test_cosine_topk_never_shuffles_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange is broadcasting the 1-row query vector
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_join_prunes_columns_at_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gold_hours_watched")
+    # lineitem scan must read only the 3 referenced columns
+    import re
+
+    m = re.search(r"lineitem\.parquet\].*?ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_partkey", "l_quantity", "l_shipdate"}
+
+
+def test_rollup_uses_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gold_daily_rollup")
+    # map-side combine before the exchange: the shuffle carries
+    # (key, partial-agg) rows, not events
+    assert "partial_" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"

@@ -102,16 +102,32 @@ def minhash_near_dup_pairs(
     docs that share no band — that's the whole scale trick.
     """
     rows_per_band = num_hashes // bands
-    norm = normalize_text(F.col(text_col))
-    sig = minhash_signature(norm, num_hashes=num_hashes, k=shingle_k)
-    banded = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.array_distinct(shingles(norm, k=shingle_k)).alias("sh"),
-            F.posexplode(band_keys(sig, bands=bands, rows_per_band=rows_per_band)).alias(
-                "band", "key"
-            ),
+
+    def _salted(i: int):
+        salt = F.lit(f":{i}")
+        return lambda s: F.md5(F.concat(s, salt))
+
+    # Staged projections: norm → sh → sig are each computed ONCE per row.
+    # Building sig directly from the text Column would inline the whole
+    # tokenize subtree into all num_hashes transform bodies (CollapseProject
+    # only keeps stages for multi-use attributes) — measured ~30× slower.
+    staged = (
+        df.select(F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__norm"))
+        .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
+        .select(
+            "doc",
+            "sh",
+            F.array(
+                *[F.array_min(F.transform(F.col("sh"), _salted(i))) for i in range(num_hashes)]
+            ).alias("sig"),
         )
+    )
+    banded = staged.filter(F.size("sh") > 0).select(
+        "doc",
+        "sh",
+        F.posexplode(
+            band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)
+        ).alias("band", "key"),
     )
     left = banded.alias("l")
     right = banded.alias("r")

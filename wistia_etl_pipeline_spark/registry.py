@@ -237,14 +237,22 @@ def silver_dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def watermark_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/F3 — the incremental watermark predicate (bronze.py:173-178)
-    as a pushed-down scan filter. .explain shows the predicate in
-    PushedFilters — partition/row-group elision is free at scale."""
-    events = load_table(spark, sf_dir, "events")
-    from .functions.scalars import watermark_gt
+    as a pushed-down scan filter.
 
-    return events.filter(
-        watermark_gt("ts", F.to_timestamp(F.lit("2024-01-15 00:00:00")))
-    ).select("event_id", F.unix_micros("ts").alias("received_us"))
+    The predicate is applied to the RAW epoch-nanos column so it
+    reaches the parquet reader (PushedFilters → row-group stats
+    elision); filtering the converted TimestampType column would hide
+    it behind the conversion expression and scan everything. At 100 TB
+    this is the difference between reading one day and reading years.
+    """
+    import datetime as _dt
+
+    raw = load_table(spark, sf_dir, "events", raw=True)
+    cutoff = _dt.datetime(2024, 1, 15, tzinfo=_dt.timezone.utc)
+    cutoff_nanos = int(cutoff.timestamp()) * 1_000_000_000
+    return raw.filter(F.col("ts") > F.lit(cutoff_nanos)).select(
+        "event_id", F.expr("ts div 1000").alias("received_us")
+    )
 
 
 @query(
@@ -637,14 +645,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 (exact-dedup key) and
-    min-shingle-hash content fingerprint (shift-robust)."""
-    from .functions import text as Tx
+    min-shingle-hash content fingerprint (shift-robust), via the staged
+    scale path (text.with_fingerprints — single tokenize per row)."""
+    from .functions.text import with_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        Tx.fingerprint_md5("text").alias("fp_md5"),
-        Tx.content_fingerprint("text", k=3).alias("fp_content"),
+    return with_fingerprints(docs.select("doc_id", "text"), "text", k=3).select(
+        "doc_id", "fp_md5", "fp_content"
     )
 
 

@@ -122,17 +122,27 @@ _NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False):
     """Read one driver-generated parquet table (TESTDATA.md).
 
     A thin projection restores nanos-timestamp columns; everything else
     stays a plain columnar scan, so Catalyst still pushes filters and
     prunes columns at the parquet reader.
+
+    ``raw=True`` skips the timestamp conversion: predicates against a
+    CONVERTED column cannot reach the parquet scan (the conversion
+    expression hides the column from pushdown — only IsNotNull
+    survives). Scan-selective queries should filter the raw epoch-nanos
+    long first, then convert; see ``watermark_incremental_filter`` for
+    the pattern. The general scale lesson: keep pushable predicates in
+    the storage column's domain.
     """
     from pyspark.sql import functions as F
 
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if raw:
+        return df
     for col in _NANOS_TIMESTAMP_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
