@@ -1,0 +1,193 @@
+"""Batch pipeline orchestrator — the reference's three jobs (EP1 bronze
+ingest, EP2 silver transform, EP3 gold rollup; SURVEY.md §3) as one
+composable engine run.
+
+Differences from the reference, by design:
+
+- Bronze is written as *partitioned JSON-lines* (``media_id=…/dt=…``)
+  by Spark, not one opaque page-payload object per S3 key from a
+  driver loop: splittable files, parallel writes, and the identical
+  Hive layout (S4). ``sources.json_source.normalize_pages`` still
+  reads reference-style page files for migration.
+- Silver/gold are parquet paths maintained by in-engine MERGE (A7) —
+  no JDBC hop, no stored procedures, no stage tables.
+- Each silver/gold pass prunes to the partitions touched this run
+  (P3): the filter on ``media_id`` reaches the scan as a
+  PartitionFilter, so an incremental run reads only what it ingested —
+  at 100 TB the difference between a bounded delta job and a full
+  table rewrite.
+- The watermark state machine (ST1-ST3) decides skip/resume/full-pull
+  per media and is folded + persisted at the end; every stage is
+  idempotent by key, so a crashed/replayed run converges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .incremental.watermark import (
+    FULL_PULL,
+    RESUME,
+    SKIP,
+    JsonStateStore,
+    MediaState,
+    decide,
+    fold_checkpoint,
+)
+from .operators.dedup import dedup_exact
+from .operators.flatten import conform_dim_media, flatten_events
+from .operators.merge import merge_into_path
+from .operators.rollup import media_daily_agg
+from .schemas import RAW_EVENT_SCHEMA, RAW_METADATA_SCHEMA
+from .sources.rest_source import PullConfig, Transport, fetch_pages
+
+
+@dataclass
+class WistiaApi:
+    """The API surface the pipeline pulls from: a transport plus URL /
+    metadata accessors (pluggable — tests inject deterministic fakes;
+    production wires an authenticated HTTP client from config)."""
+
+    transport: Transport
+    events_url: Callable[[str, int], str]
+    metadata: Callable[[str], dict]
+
+
+@dataclass
+class BatchPipeline:
+    spark: SparkSession
+    api: WistiaApi
+    bronze_path: str
+    silver_path: str
+    dim_path: str
+    gold_path: str
+    state_store: JsonStateStore
+    config: PullConfig = field(default_factory=PullConfig)
+
+    def run_once(self, media_ids: list[str]) -> dict[str, dict]:
+        """One bounded incremental run over ``media_ids`` (the
+        reference's ``main()``, bronze.py:255-267). Returns a per-media
+        summary of what happened."""
+        states = self.state_store.read()
+        summary: dict[str, dict] = {}
+        pulled: list[tuple[str, dict]] = []  # (media_id, metadata)
+
+        for media_id in media_ids:
+            state = states.get(media_id, MediaState())
+            try:
+                meta = self.api.metadata(media_id)
+                action = decide(state, meta.get("updated"))
+                summary[media_id] = {"action": action, "events": 0}
+                if action == SKIP:
+                    continue
+                start_page = state.next_page if action == RESUME else 1
+                result = fetch_pages(
+                    self.api.transport,
+                    lambda p, m=media_id: self.api.events_url(m, p),
+                    start_page=start_page,
+                    config=self.config,
+                )
+                rows = [r for _page, page_rows in result.pages for r in page_rows]
+                max_received = max(
+                    (r.get("received_at") for r in rows if r.get("received_at")),
+                    default=None,
+                )
+                if rows:
+                    self._write_bronze(media_id, rows)
+                states[media_id] = fold_checkpoint(
+                    state,
+                    remote_updated=meta.get("updated"),
+                    pages_done=result.completed,
+                    next_page=result.next_page or 1,
+                    max_received_at=max_received,
+                )
+                summary[media_id].update(
+                    events=len(rows), completed=result.completed
+                )
+                pulled.append((media_id, meta))
+            except Exception as exc:  # ST6 — isolate per media, keep going
+                summary[media_id] = {"action": "error", "error": repr(exc)}
+
+        if pulled:
+            self._silver_and_gold([m for m, _ in pulled], [meta for _, meta in pulled])
+        self.state_store.write(states)
+        return summary
+
+    # -- stages ----------------------------------------------------------
+
+    def _write_bronze(self, media_id: str, rows: list[dict]) -> None:
+        """S4 — partitioned JSON-lines bronze, event-time dt grain."""
+        fields = [f.name for f in RAW_EVENT_SCHEMA.fields]
+        df = self.spark.createDataFrame(
+            [tuple(r.get(f) for f in fields) for r in rows], schema=RAW_EVENT_SCHEMA
+        )
+        (
+            df.withColumn("dt", F.to_date(F.to_timestamp("received_at")))
+            .repartition("media_id", "dt")
+            .write.mode("append")
+            .partitionBy("media_id", "dt")
+            .json(self.bronze_path)
+        )
+
+    def _silver_and_gold(self, media_ids: list[str], metas: list[dict]) -> None:
+        spark = self.spark
+        # S1 scan of bronze, pruned to the media pulled this run (P3:
+        # the isin filter lands in PartitionFilters — see test_pipeline
+        # plan assertion)
+        bronze = (
+            spark.read.schema(_bronze_read_schema())
+            .json(self.bronze_path)
+            .filter(F.col("media_id").isin(media_ids))
+        )
+        silver_delta = dedup_exact(flatten_events(bronze), ["event_key"])
+        merge_into_path(spark, silver_delta, self.silver_path, ["event_key"])
+
+        # dim_media from the metadata fetched this run (P2 + A7 on media_id)
+        meta_df = spark.createDataFrame(
+            [_meta_tuple(m) for m in metas], schema=RAW_METADATA_SCHEMA
+        )
+        dim_delta = conform_dim_media(meta_df)
+        merge_into_path(spark, dim_delta, self.dim_path, ["media_id"])
+
+        # gold rollup over the touched media only (EP3, A1-A6), merged
+        # on the composite key (media_id, dt)
+        silver = spark.read.parquet(self.silver_path).filter(
+            F.col("media_id").isin(media_ids)
+        )
+        dim = spark.read.parquet(self.dim_path)
+        gold_delta = media_daily_agg(silver, dim)
+        merge_into_path(spark, gold_delta, self.gold_path, ["media_id", "dt"])
+
+
+def _bronze_read_schema():
+    """RAW_EVENT_SCHEMA minus the partition columns Spark re-derives
+    from the directory layout (media_id comes back as a partition
+    column; keeping it in the file schema would shadow it)."""
+    from pyspark.sql import types as T
+
+    keep = [
+        f for f in RAW_EVENT_SCHEMA.fields
+        if f.name not in ("media_id", "_corrupt_record")
+    ]
+    return T.StructType(keep)
+
+
+def _meta_tuple(meta: dict) -> tuple:
+    def sub(d: dict | None, key: str):
+        return (d or {}).get(key)
+
+    return (
+        meta.get("hashed_id"),
+        meta.get("name"),
+        str(meta.get("duration")) if meta.get("duration") is not None else None,
+        meta.get("created"),
+        meta.get("updated"),
+        meta.get("section"),
+        {"name": sub(meta.get("subfolder"), "name")} if meta.get("subfolder") else None,
+        {"url": sub(meta.get("thumbnail"), "url")} if meta.get("thumbnail") else None,
+        {"name": sub(meta.get("project"), "name")} if meta.get("project") else None,
+        None,
+    )

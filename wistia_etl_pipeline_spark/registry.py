@@ -891,3 +891,65 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("payload_bytes").alias("total_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A8 high-water mark, SQL front-end surface
+# --------------------------------------------------------------------------
+
+@query(
+    "watermark_high_water_mark",
+    oracle="""
+    SELECT event_type AS media_id,
+           epoch_us(MAX(ts)) AS last_received_us,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def watermark_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F4 — the per-key running high-water mark the reference folds
+    across pages as ISO strings (bronze.py:217-224); on TimestampType
+    the same fold is timezone-safe and partially aggregates map-side."""
+    from .functions.scalars import max_timestamp
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").alias("media_id")).agg(
+        F.unix_micros(max_timestamp("ts")).alias("last_received_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "sql_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: the engine registers the star schema
+    as temp views and runs plain Spark SQL (same Catalyst plan as the
+    DataFrame API — this entry proves the SQL path end-to-end).
+    TPC-H-Q1-shaped pricing summary with DECIMAL-routed sums."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_base_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
