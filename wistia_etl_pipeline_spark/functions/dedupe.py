@@ -181,6 +181,41 @@ def simhash64(col: Column | str, *, k: int = 1) -> Column:
     )
 
 
+def with_simhash(df: DataFrame, text_col: str, *, k: int = 1) -> DataFrame:
+    """Staged SimHash (the corpus-scale path): shingle hashes are
+    materialized once per row as a projection column, then 60 bit-vote
+    aggregates reference that column (multi-use → CollapseProject keeps
+    the stage; the Column form would inline the md5 pipeline into every
+    vote). Adds a ``simhash`` bigint column."""
+    out_cols = [*df.columns, "simhash"]
+
+    def _vote(bit: int):
+        mask = F.lit(1 << bit)
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    staged = (
+        df.withColumn("__sh", F.array_distinct(shingles(F.col(text_col), k=k)))
+        .withColumn(
+            "__h",
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            ),
+        )
+    )
+    total = None
+    for bit in range(60):
+        votes = F.aggregate(F.col("__h"), F.lit(0), _vote(bit))
+        e = F.when(votes > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        total = e if total is None else total + e
+    return staged.withColumn(
+        "simhash",
+        F.when(F.size("__sh") == 0, F.lit(0)).otherwise(total).cast("bigint"),
+    ).select(*out_cols)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of
     XOR)."""

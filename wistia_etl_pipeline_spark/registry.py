@@ -953,3 +953,159 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gaps-and-islands + session_window), SimHash, salted agg
+# --------------------------------------------------------------------------
+
+@query(
+    "sessionize_events",
+    oracle="""
+    SELECT user_id AS visitor_key, event_id, session_seq FROM (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 3600
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+    )
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain sessionization (gaps-and-islands): new session after a
+    >60 min silence. lag + running sum over one (user, time) window —
+    a single shuffle on the user key (operators/sessionize.py)."""
+    from .operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    out = sessionize(
+        events, user="user_id", event_time="ts", gap_minutes=60, tiebreak="event_id"
+    )
+    return out.select(
+        F.col("user_id").alias("visitor_key"), "event_id", "session_seq"
+    )
+
+
+@query(
+    "session_rollup_events",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= 3600000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    )
+    SELECT user_id AS visitor_key,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def session_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain rollup via the built-in ``session_window`` (the
+    same call works on a stream). Oracle replicates the half-open
+    session semantics (break at gap ≥ 60 min) with gaps-and-islands."""
+    from .operators.sessionize import session_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    out = session_rollup(events, user="user_id", event_time="ts", gap_minutes=60)
+    return out.select(
+        F.col("user_id").alias("visitor_key"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_terms = []
+    for b in range(60):
+        bit_terms.append(
+            f"CASE WHEN list_sum([CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END for x in hs]) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    votes = " + ".join(bit_terms)
+    return rf"""
+    WITH base AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS sh
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               [('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh] AS hs,
+               len(sh) AS n
+        FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0 ELSE ({votes}) END AS simhash
+    FROM h
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures (bit-vote over md5-derived shingle
+    hashes) via the staged scale path — near-dups then reduce to
+    hamming-distance band joins (functions/dedupe.py)."""
+    from .functions.dedupe import with_simhash
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("nt"))
+    return with_simhash(normed, "nt").select("doc_id", "simhash")
+
+
+@query(
+    "gold_rollup_salted",
+    oracle="""
+    SELECT event_type AS media_id,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def gold_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation — identical results
+    to the single-phase groupBy (this oracle IS the single-phase
+    query), but a hot key's work spreads over 32 reducers in phase 1
+    (operators/skew.py)."""
+    from .operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(25,6)")
+    )
+    out = salted_agg(
+        events,
+        ["event_type"],
+        salt_from="event_id",
+        n_salts=32,
+        counts=True,
+        sum_cols=["value_dec"],
+        min_cols=["value"],
+        max_cols=["value"],
+    )
+    return out.select(
+        F.col("event_type").alias("media_id"),
+        "n",
+        F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+    )
