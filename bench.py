@@ -36,6 +36,11 @@ HEADLINE = [
     "similarity_ann_buckets",     # LSH index build
     "embedding_near_dup",         # blocked near-dup self-join
     "multimodal_decode_stats",    # Arrow-batched binary decode
+    "sessionize_events",          # gaps-and-islands window
+    "session_rollup_events",      # built-in session_window
+    "dedup_simhash",              # 60-bit bit-vote signatures
+    "gold_rollup_salted",         # two-phase skew-resistant agg
+    "sql_pricing_summary",        # SQL front-end path
 ]
 
 

@@ -89,3 +89,48 @@ def test_state_df_roundtrip(spark):
                         last_received_at="2025-04-29T00:00:00Z"),
     }
     assert df_to_state(state_to_df(spark, states)) == states
+
+
+def test_filter_changed_distributed(spark):
+    from pyspark.sql import Row
+
+    from wistia_etl_pipeline_spark.incremental.watermark import filter_changed
+
+    states = {
+        "m1": MediaState(updated="2025-04-01T00:00:00Z"),
+        "m2": MediaState(updated="2025-04-05T00:00:00Z"),
+    }
+    candidates = spark.createDataFrame(
+        [
+            Row(media_id="m1", updated="2025-04-02T00:00:00Z"),  # newer → keep
+            Row(media_id="m2", updated="2025-04-05T00:00:00Z"),  # equal → skip
+            Row(media_id="m3", updated="2025-01-01T00:00:00Z"),  # unseen → keep
+        ]
+    )
+    kept = filter_changed(candidates, state_to_df(spark, states))
+    assert {r.media_id for r in kept.collect()} == {"m1", "m3"}
+
+
+def test_approx_visitors_close_to_exact(spark):
+    """A6's documented exact/approx switch: HLL estimate within its
+    error bound on a realistic cardinality."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.operators.rollup import daily_rollup
+
+    import datetime as dt
+
+    rows = [
+        ("m", dt.datetime(2024, 1, 1, h % 24, i % 60), float(i), f"v{i % 500}")
+        for h in range(3) for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, received_at timestamp, percent_viewed double, visitor_key string"
+    )
+    kw = dict(key="media_id", event_time="received_at",
+              engagement_value="percent_viewed", visitor="visitor_key",
+              played=F.col("percent_viewed") > 0.0)
+    exact = daily_rollup(df, **kw).collect()[0].visitors
+    approx = daily_rollup(df, approx_visitors=True, **kw).collect()[0].visitors
+    assert exact == 500
+    assert abs(approx - exact) / exact < 0.05  # default rsd 5%

@@ -171,6 +171,31 @@ def state_to_df(spark: SparkSession, states: dict[str, MediaState]) -> DataFrame
     return spark.createDataFrame(rows, schema=WATERMARK_SCHEMA)
 
 
+def filter_changed(
+    candidates: DataFrame,
+    state_df: DataFrame,
+    *,
+    key: str = "media_id",
+    updated_col: str = "updated",
+) -> DataFrame:
+    """Distributed skip-filter (P5 at cluster scale): keep candidate
+    rows whose ``updated`` exceeds the stored watermark (or that have
+    no state row). The tiny state table broadcasts; a million-media
+    candidate list never leaves the executors — the driver-loop
+    version of this decision (bronze.py:173-178) caps out at driver
+    memory."""
+    from pyspark.sql import functions as F
+
+    st = state_df.select(
+        F.col("media_id").alias("__k"), F.col("updated").alias("__wm")
+    )
+    joined = candidates.join(
+        F.broadcast(st), candidates[key] == F.col("__k"), "left"
+    )
+    keep = F.col("__wm").isNull() | (F.col(updated_col) > F.col("__wm"))
+    return joined.filter(keep).drop("__k", "__wm")
+
+
 def df_to_state(df: DataFrame) -> dict[str, MediaState]:
     return {
         r["media_id"]: MediaState(

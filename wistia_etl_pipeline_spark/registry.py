@@ -1109,3 +1109,50 @@ def gold_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").alias("min_value"),
         F.col("max_value").alias("max_value"),
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        for i in range(1, len(toks) - 1)])
+               END AS g
+        FROM t
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0
+                      ELSE len(list_intersect(a.g, b.g))
+                           / len(list_distinct(a.g || b.g)) END, 6) AS jaccard_sim
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word-trigram) Jaccard similarity between adjacent
+    doc ids — the verification kernel every LSH candidate pair runs
+    through, exercised standalone on k=3 shingles."""
+    from .functions.dedupe import jaccard, shingles
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles(normalize_text(F.col("text")), k=3)
+        ).alias("g"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(jaccard(F.col("a.g"), F.col("b.g")), 6).alias("jaccard_sim"),
+        )
+    )
