@@ -21,7 +21,6 @@ offers three genuinely different engines for:
 
 from __future__ import annotations
 
-import datetime as dt
 from collections.abc import Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame, Window, functions as F

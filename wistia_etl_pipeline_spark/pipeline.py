@@ -29,7 +29,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .incremental.watermark import (
-    FULL_PULL,
     RESUME,
     SKIP,
     JsonStateStore,
