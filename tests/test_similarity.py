@@ -91,3 +91,25 @@ def test_embedding_near_dup_blocking(spark):
     pairs = embedding_near_dup_pairs(corpus, block_col="label", threshold=0.99, dim=8)
     got = {(r.a_id, r.b_id) for r in pairs.collect()}
     assert {(i, i + 100) for i in range(20)} <= got
+
+
+def test_ivf_recall_and_exact_hit(spark):
+    from wistia_etl_pipeline_spark.functions.similarity import ivf_build, ivf_topk
+
+    df = _vecs(spark, n=120, dim=8)
+    assigned, centroids = ivf_build(df, n_lists=8)
+    assert assigned.select("list_id").distinct().count() <= 8
+
+    # query equal to a corpus vector: must be found with cos=1
+    target = [math.sin(42 * 31 + j * 7) for j in range(8)]
+    top = ivf_topk(assigned, centroids, target, k=5, nprobe=3).collect()
+    assert top[0].vec_id == 42 and abs(top[0].cos_sim - 1.0) < 1e-9
+
+    # recall@5 vs brute force with nprobe=4/8 should be decent
+    from pyspark.sql import functions as F
+    brute = {
+        r.vec_id
+        for r in cosine_topk(df, F.array(*[F.lit(x) for x in target]), k=5).collect()
+    }
+    approx = {r.vec_id for r in ivf_topk(assigned, centroids, target, k=5, nprobe=4).collect()}
+    assert len(brute & approx) >= 3

@@ -228,3 +228,74 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the trained-quantizer alternative to LSH
+# --------------------------------------------------------------------------
+
+def ivf_build(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Build an IVF index: k-means coarse quantizer + per-vector list
+    assignment.
+
+    Returns ``(assigned_df, centroids)`` where ``assigned_df`` carries a
+    ``list_id`` column and ``centroids`` is a plain Python list (tiny —
+    it rides the closure to the query side). At 100 TB the assigned
+    table is written partitioned by ``list_id``: a query probes
+    ``nprobe`` partitions and the scan prunes the rest — same pruning
+    story as the LSH buckets, but with data-adaptive cells (better
+    recall on clustered corpora; costs a training pass, which LSH
+    doesn't).
+
+    KMeans training is an iterative Spark ML job (seeded →
+    deterministic for a given Spark version) — the one genuinely
+    non-SQL-expressible algorithm in this module.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="__feat", predictionCol="list_id"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "list_id")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query (driver-side
+    — there are only n_lists of them), scan the ``nprobe`` nearest
+    lists, brute-force cosine within them."""
+    import math
+
+    def dist2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query))
+
+    probe_ids = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:nprobe]
+    candidates = assigned.filter(F.col("list_id").isin(probe_ids))
+    return cosine_topk(
+        candidates,
+        F.array(*[F.lit(float(x)) for x in query]),
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+    )

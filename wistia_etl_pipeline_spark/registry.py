@@ -12,7 +12,10 @@ Conventions:
   ``round(x, 6)``. Plain double sums differ in last-bit between engines
   because summation order differs; decimal makes the comparison exact.
   Per-row double arithmetic (products, divisions) needs no such care —
-  IEEE 754 ops are bit-deterministic.
+  IEEE 754 ops are bit-deterministic. Corollary: do NOT round per-row
+  doubles — the engines' ROUND implementations disagree at
+  half-boundaries (DuckDB goes through x*1e6 in float, Spark through
+  exact decimal), while the unrounded doubles match bit-for-bit.
 - Each query callable applies the engine's runtime confs (UTC session
   timezone etc.) so date semantics don't depend on the caller's session.
 
@@ -1155,4 +1158,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             F.round(jaccard(F.col("a.g"), F.col("b.g")), 6).alias("jaccard_sim"),
         )
+    )
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (no SQL oracle: k-means coarse-quantizer training
+    is an iterative algorithm — driver records the rows-only check;
+    recall vs the brute-force baseline is unit-tested): build the
+    inverted-file index, probe the 3 nearest lists for the vec_id=0
+    embedding (functions/similarity.py ivf_build/ivf_topk)."""
+    from .functions.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_lists=16)
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return ivf_topk(assigned, centroids, query_vec, k=10, nprobe=3)
+
+
+@query(
+    "text_quality_filter",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id,
+               0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - least(
+                   (length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                    / length(text)) * 4.0, 1.0))
+             + 0.3 * least(
+                   (len([t for t in {_TOKS} if list_contains({{stop_en}}, t)])
+                    / len({_TOKS})) * 5.0, 1.0) AS quality
+        FROM documents
+    )
+    SELECT doc_id, quality
+    FROM q WHERE quality >= 0.5
+    """.replace("{stop_en}", _sql_stoplist("en")),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score corpus filtering — the composite heuristic
+    (length sweet-spot + punctuation noise + stopword fluency,
+    functions/text.py quality_score) as a WHERE clause, the way a
+    training-data pipeline gates documents."""
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text", lang="en").alias("q"))
+    # NO rounding: per-row IEEE arithmetic is bit-identical across
+    # engines, while ROUND implementations differ at half-boundaries
+    # (DuckDB rounds via x*1e6 in float; Spark via exact decimal)
+    return scored.filter(F.col("q") >= 0.5).select(
+        "doc_id", F.col("q").alias("quality")
     )
