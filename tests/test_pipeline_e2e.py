@@ -79,3 +79,25 @@ def test_partitioned_write_layout(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 3
     assert {r.media_id for r in back.collect()} == {"m1", "m2"}
+
+
+def test_corrupt_records_are_isolated(spark, tmp_path):
+    """A malformed JSON line lands in _corrupt_record instead of
+    failing the scan (PERMISSIVE, SURVEY.md S1 prod notes)."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.sources.json_source import read_events_json
+
+    p = tmp_path / "events.json"
+    good = _event("ok1", "2024-01-01T10:00:00Z", 0.5, "v1")
+    p.write_text(json.dumps(good) + "\n{this is not json\n")
+    df = read_events_json(spark, str(p)).cache()
+    try:
+        rows = df.collect()
+        assert len(rows) == 2
+        good_rows = [r for r in rows if r.event_key == "ok1"]
+        bad_rows = [r for r in rows if r._corrupt_record is not None]
+        assert len(good_rows) == 1 and good_rows[0]._corrupt_record is None
+        assert len(bad_rows) == 1 and bad_rows[0].event_key is None
+    finally:
+        df.unpersist()

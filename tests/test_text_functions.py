@@ -58,3 +58,39 @@ def test_fingerprints(spark):
     # short docs fall back to whole-text md5
     s = _one(spark, "one two", Tx.content_fingerprint(F.col("t")))
     assert s == hashlib.md5(b"one two").hexdigest()
+
+
+def test_chunk_documents(spark):
+    from pyspark.sql import Row
+
+    from wistia_etl_pipeline_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="short doc")])
+    out = chunk_documents(df, "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_n_tokens))
+    # doc 1: stride 3 → starts 0,3,6,9 → ceil((10-1)/3)=3 chunks
+    chunks = sorted(by_doc[1])
+    assert [c[0] for c in chunks] == [0, 1, 2]
+    assert chunks[0][1] == "w0 w1 w2 w3"
+    assert chunks[1][1] == "w3 w4 w5 w6"          # overlap of 1 token
+    assert chunks[2][1] == "w6 w7 w8 w9"
+    # every token appears in some chunk; adjacent chunks share `overlap`
+    assert by_doc[2] == [(0, "short doc", 2)]     # short doc → one chunk
+
+
+def test_dataset_split_stable_and_proportional(spark):
+    from wistia_etl_pipeline_spark.functions.text import dataset_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out1 = {r.doc_id: r.split for r in dataset_split(df, "doc_id").collect()}
+    out2 = {r.doc_id: r.split for r in dataset_split(df.repartition(7), "doc_id").collect()}
+    assert out1 == out2  # partitioning-independent
+    frac = sum(1 for v in out1.values() if v == "test") / len(out1)
+    assert 0.08 < frac < 0.12  # ~10%
+    # appending rows never flips existing assignments
+    bigger = spark.range(0, 6000).withColumnRenamed("id", "doc_id")
+    out3 = {r.doc_id: r.split for r in dataset_split(bigger, "doc_id").collect()}
+    assert all(out3[k] == v for k, v in out1.items())

@@ -176,3 +176,86 @@ def content_fingerprint(col: Column | str, *, k: int = 3) -> Column:
     return F.when(F.size(sh) == 0, fingerprint_md5(col)).otherwise(
         F.array_min(F.transform(sh, F.md5))
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization step for long-context training corpora.
+
+    One output row per chunk: ``chunk_idx`` (0-based), ``chunk_text``,
+    ``chunk_n_tokens``. Stride = chunk_tokens - overlap. Short docs
+    yield exactly one chunk. Pure expressions (tokens staged once, the
+    fan-out is posexplode over computed offsets) — no Python workers,
+    and the explode multiplies rows ~len/stride, which is why chunking
+    belongs BEFORE any shuffle-heavy stage in a 100 TB pipeline, not
+    after.
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    out_cols = [*df.columns, "chunk_idx", "chunk_text", "chunk_n_tokens"]
+    staged = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn(
+            "__n_chunks",
+            F.greatest(
+                F.ceil((F.size("__toks") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "__starts",
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n_chunks") - 1),
+                lambda i: i * stride + 1,  # 1-based for slice()
+            ),
+        )
+        .select(
+            *df.columns,
+            "__toks",
+            F.posexplode("__starts").alias("chunk_idx", "__start"),
+        )
+        .withColumn("__chunk_toks", F.slice(F.col("__toks"), F.col("__start"), chunk_tokens))
+    )
+    return staged.withColumn(
+        "chunk_text", F.concat_ws(" ", F.col("__chunk_toks"))
+    ).withColumn("chunk_n_tokens", F.size("__chunk_toks")).select(*out_cols)
+
+
+def dataset_split(
+    df,
+    id_col: str,
+    *,
+    test_permille: int = 100,
+    salt: str = "wistia-split",
+):
+    """Deterministic train/test assignment by hashed id — stable across
+    runs, engines, partitionings, and appends (new rows never flip old
+    rows' split). Adds ``split`` ∈ {'train','test'}.
+
+    Bucket = first 15 md5 hex digits of ``salt:id`` mod 1000 — the
+    same md5-family trick as the dedup signatures, so the assignment
+    is reproducible anywhere (including the DuckDB oracle).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
+    )

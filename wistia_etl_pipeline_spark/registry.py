@@ -1212,3 +1212,57 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("q") >= 0.5).select(
         "doc_id", F.col("q").alias("quality")
     )
+
+
+@query(
+    "text_chunking",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               greatest(CAST(ceil((len(toks) - 16) / 112.0) AS INT), 1) AS n_chunks
+        FROM t
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest([{'idx': i,
+                        'txt': array_to_string(toks[i*112+1:i*112+128], ' '),
+                        'n': len(toks[i*112+1:i*112+128])}
+                       for i in range(0, n_chunks)]) AS ch
+        FROM c
+    )
+    SELECT doc_id, ch.idx AS chunk_idx, ch.txt AS chunk_text, ch.n AS chunk_n_tokens
+    FROM u
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (128-token chunks, 16-token
+    overlap) — the long-document fan-out step of a training corpus
+    pipeline (functions/text.chunk_documents)."""
+    from .functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "text", chunk_tokens=128, overlap=16).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens"
+    )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('wistia-split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% train/test split by hashed doc id — stable
+    under appends/re-partitioning (functions/text.dataset_split)."""
+    from .functions.text import dataset_split as _split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _split(docs, "doc_id", test_permille=100)
