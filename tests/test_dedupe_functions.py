@@ -88,3 +88,17 @@ def test_exact_dup_groups(spark):
     groups = exact_dup_groups(df, "doc_id", "text").collect()
     assert len(groups) == 1
     assert groups[0].dup_count == 2 and groups[0].ids == [1, 2]
+
+
+def test_simhash_pandas_matches_expression(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import with_simhash, with_simhash_pandas
+    from wistia_etl_pipeline_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some Words {i} repeated words {'x ' * (i % 5)}") for i in range(30)]
+        + [Row(doc_id=99, text="   ")]
+    ).select("doc_id", normalize_text(F.col("text")).alias("nt"))
+    a = {r.doc_id: r.simhash for r in with_simhash(df, "nt").select("doc_id", "simhash").collect()}
+    b = {r.doc_id: r.simhash for r in with_simhash_pandas(df, "nt").collect()}
+    assert a == b
+    assert b[99] == 0  # blank text → zero signature on both paths

