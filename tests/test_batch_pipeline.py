@@ -153,3 +153,39 @@ def test_silver_scan_prunes_partitions(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "media_id" in partition_filters
+
+
+def test_stats_feed_ingestion(spark, tmp_path):
+    """The optional second paginated feed (stats pages) lands in the
+    bronze stats path, partitioned by media."""
+    import json as _json
+
+    fake = FakeWistia()
+    api = fake.api()
+    # stats served from the same fake: 2 numeric rows per media
+    stats_data = {"m1": [{"hour": 0, "plays": 3}, {"hour": 1, "plays": 5}]}
+
+    def stats_transport(url):
+        if "/stats" in url:
+            media = url.split("/media/")[1].split("/")[0]
+            page = int(url.split("page=")[1].split("&")[0])
+            rows = stats_data.get(media, [])[(page - 1) * 10:(page - 1) * 10 + 10]
+            return 200, _json.dumps(rows).encode()
+        return api.transport(url)
+
+    from wistia_etl_pipeline_spark.pipeline import WistiaApi
+
+    api2 = WistiaApi(
+        transport=stats_transport,
+        events_url=api.events_url,
+        metadata=api.metadata,
+        stats_url=lambda m, p: f"http://api/media/{m}/stats?page={p}&per_page=10",
+    )
+    pipe = _mk(spark, tmp_path, fake)
+    pipe.api = api2
+    s = pipe.run_once(["m1"])
+    assert s["m1"]["stats_pages"] == 1
+    stats = spark.read.json(str(tmp_path / "bronze_stats"))
+    payloads = [_json.loads(r.payload) for r in stats.collect()]
+    assert sorted(p["plays"] for p in payloads) == [3, 5]
+    assert {r.media_id for r in stats.collect()} == {"m1"}

@@ -53,6 +53,9 @@ class WistiaApi:
     transport: Transport
     events_url: Callable[[str, int], str]
     metadata: Callable[[str], dict]
+    #: optional second paginated feed (the reference pulls per-media
+    #: stats pages alongside events, bronze.py:181-196); None disables
+    stats_url: Callable[[str, int], str] | None = None
 
 
 @dataclass
@@ -89,6 +92,14 @@ class BatchPipeline:
                     start_page=start_page,
                     config=self.config,
                 )
+                if self.api.stats_url is not None:
+                    stats = fetch_pages(
+                        self.api.transport,
+                        lambda p, m=media_id: self.api.stats_url(m, p),
+                        config=self.config,
+                    )
+                    self._write_stats(media_id, stats)
+                    summary[media_id]["stats_pages"] = len(stats.pages)
                 rows = [r for _page, page_rows in result.pages for r in page_rows]
                 max_received = max(
                     (r.get("received_at") for r in rows if r.get("received_at")),
@@ -129,6 +140,30 @@ class BatchPipeline:
             .write.mode("append")
             .partitionBy("media_id", "dt")
             .json(self.bronze_path)
+        )
+
+    def _write_stats(self, media_id: str, result) -> None:
+        """Bronze stats feed (S4 second file kind, ``stats_page=N``
+        analog): raw page payloads as JSON-lines under the stats path,
+        partitioned by media. Stats never reach silver in the reference
+        either — this is at-rest parity for downstream consumers."""
+        import json as _json
+
+        rows = [
+            (media_id, page_no, _json.dumps(r))
+            for page_no, page_rows in result.pages
+            for r in page_rows
+        ]
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            rows, "media_id string, page int, payload string"
+        )
+        (
+            df.repartition("media_id")
+            .write.mode("append")
+            .partitionBy("media_id")
+            .json(self.bronze_path.rstrip("/") + "_stats")
         )
 
     def _silver_and_gold(self, media_ids: list[str], metas: list[dict]) -> None:
