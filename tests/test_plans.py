@@ -63,3 +63,21 @@ def test_rollup_uses_partial_aggregation(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_minhash_lsh_join_is_hash_join_on_band_keys(spark, sf_dir):
+    """The near-dup self-join must be an equi join on (band, key) —
+    a cartesian/BNL join here means comparing all pairs, which is
+    exactly what LSH exists to avoid."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_embedding_near_dup_join_is_equi_on_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
