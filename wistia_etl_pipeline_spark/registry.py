@@ -1267,3 +1267,81 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return _split(docs, "doc_id", test_permille=100)
+
+
+@query(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_orderpriority AS orderpriority,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → join → agg → global
+    top-k. The segment filter pushes into the customer scan; the
+    filtered customer side broadcasts; the final ORDER BY+LIMIT plans
+    TakeOrderedAndProject over the aggregate — no full sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("orderkey"),
+        # o_orderdate arrives TIMESTAMP_NTZ (micros parquet) — cast to
+        # TimestampType (UTC session) before unix_micros
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        F.col("o_orderpriority").alias("orderpriority"),
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), "orderkey").limit(10)
+
+
+@query(
+    "supplier_diversity_by_type",
+    oracle="""
+    SELECT p.p_type AS part_type,
+           p.p_brand AS brand,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+           COUNT(*) AS line_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def supplier_diversity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: grouped COUNT(DISTINCT) over a broadcast dim
+    join — Catalyst plans the distinct via expand + two-phase agg, so
+    the fact shuffles once keyed on (group, suppkey)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    return joined.groupBy(
+        F.col("p_type").alias("part_type"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt"),
+        F.count(F.lit(1)).alias("line_cnt"),
+    )
