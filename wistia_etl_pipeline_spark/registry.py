@@ -706,10 +706,14 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=rf"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
     base AS (
         SELECT doc_id,
-               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS sh
-        FROM corpus
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
     ),
     sigs AS (
         SELECT doc_id, sh,
@@ -733,7 +737,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 hashes, 4 bands × 4 rows,
-    unigram shingles, Jaccard-verified ≥ 0.8) on the dup-injected
+    bigram shingles, Jaccard-verified ≥ 0.8) on the dup-injected
     corpus. The self-join runs on band keys only — never all pairs
     (functions/dedupe.py scale notes)."""
     from .functions.dedupe import minhash_near_dup_pairs
@@ -741,7 +745,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
     return minhash_near_dup_pairs(
         corpus, "doc_id", "text",
-        num_hashes=16, bands=4, shingle_k=1, jaccard_threshold=0.8,
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
     )
 
 
