@@ -1349,3 +1349,93 @@ def supplier_diversity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_suppkey").alias("supplier_cnt"),
         F.count(F.lit(1)).alias("line_cnt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Aggregation breadth: pivot, grouping sets (ROLLUP), exact percentiles
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id AS visitor_key,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — wide per-key activity profile. An explicit pivot-value
+    list keeps it a single pass (no extra distinct-values job) and a
+    fixed output schema — mandatory at scale."""
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(F.col("user_id").alias("visitor_key"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "visitor_key",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "rollup_engagement",
+    oracle="""
+    SELECT event_type AS media_id,
+           CAST(ts AS DATE) AS dt,
+           COUNT(*) AS load_count,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS value_sum
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    """,
+)
+def rollup_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (ROLLUP) — per-(media, day), per-media, and grand
+    totals in ONE pass (Catalyst plans an Expand + single aggregate:
+    one scan, one shuffle — vs three separate jobs)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup(
+            F.col("event_type").alias("media_id"), F.to_date("ts").alias("dt")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("load_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "percentile_engagement",
+    oracle="""
+    SELECT event_type AS media_id,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (both engines implement
+    the same (n-1)p linear interpolation — values match bit-for-bit, no
+    rounding needed). At 100 TB switch to percentile_approx (t-digest,
+    mergeable, single-pass) — the same exact/approx trade documented
+    for COUNT(DISTINCT)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").alias("media_id")).agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
