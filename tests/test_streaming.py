@@ -86,3 +86,39 @@ def test_streaming_daily_rollup(spark, tmp_path):
     assert rows["2024-01-01"].visitors == 2
     assert rows["2024-01-02"].load_count == 1
     assert abs(rows["2024-01-01"].play_rate - 0.5) < 1e-12
+
+
+def test_streaming_gold_merge_converges(spark, tmp_path):
+    """Incremental gold maintenance: the windowed rollup merged into a
+    parquet gold table via foreachBatch, across two micro-batches —
+    converges to the batch-computed result (ST4/ST6 + A7)."""
+    from wistia_etl_pipeline_spark.streaming.pipeline import merge_batch_sink
+
+    bronze = tmp_path / "bronze"
+    _write_jsonl(bronze / "f1.json", [
+        _event("e1", "2024-01-01T10:00:00Z", pv=0.0, visitor="a"),
+        _event("e2", "2024-01-01T11:00:00Z", pv=1.0, visitor="b"),
+    ])
+    _write_jsonl(bronze / "f2.json", [
+        _event("e3", "2024-01-01T12:00:00Z", pv=0.5, visitor="c"),  # same day!
+        _event("e4", "2024-01-02T09:00:00Z", pv=0.5, visitor="a"),
+    ])
+    gold_path = str(tmp_path / "gold")
+    stream = deduped_silver_stream(
+        read_bronze_stream(spark, str(bronze), max_files_per_trigger=1)
+    )
+    rollup = streaming_daily_rollup(stream, watermark_delay=None)
+    q = (
+        rollup.writeStream.foreachBatch(merge_batch_sink(gold_path, ["media_id", "dt"]))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    gold = {str(r.dt): r for r in spark.read.parquet(gold_path).collect()}
+    # day 1 was updated across batches: batch2's refreshed aggregate
+    # replaced batch1's via the (media_id, dt) merge
+    assert gold["2024-01-01"].load_count == 3
+    assert gold["2024-01-01"].play_count == 2
+    assert gold["2024-01-02"].load_count == 1
