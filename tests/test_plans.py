@@ -81,3 +81,22 @@ def test_embedding_near_dup_join_is_equi_on_bucket(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Co-located join: same key, same bucket count → no Exchange on
+    either side (the bucketing scale story, sources/writers.py)."""
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.sources.writers import write_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    write_bucketed(events.select("event_id", "user_id", "value"),
+                   "ev_bucketed", buckets=4, key="user_id", sort_by="user_id")
+    write_bucketed(events.select("user_id", "event_type"),
+                   "et_bucketed", buckets=4, key="user_id", sort_by="user_id")
+    a = spark.table("ev_bucketed")
+    b = spark.table("et_bucketed")
+    joined = a.join(b, "user_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0

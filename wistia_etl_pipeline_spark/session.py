@@ -99,12 +99,23 @@ def get_spark(
     is strictly better than a low one.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    import tempfile
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed-join tests) land in a scratch dir,
+        # not the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), f"wistia_warehouse_{os.getpid()}"),
+            ),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

@@ -65,3 +65,30 @@ def overwrite_table(df: DataFrame, table: str) -> None:
     """D2 — TRUNCATE+reload as an atomic overwrite (the stage-table
     replacement pattern, silver.py:104)."""
     df.write.mode("overwrite").saveAsTable(table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    key: str | Sequence[str],
+    sort_by: str | Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table — the co-located-join layout.
+
+    Two tables bucketed by the same key into the same bucket count
+    join WITHOUT a shuffle: each task reads matching buckets from both
+    sides (asserted structurally in tests/test_plans.py). At 100 TB
+    this converts the recurring fact⋈fact or fact⋈big-dim shuffle —
+    usually the single largest cost in a pipeline run — into a one-time
+    layout decision at write time. ``sort_by`` additionally pre-sorts
+    within buckets so sort-merge joins skip their sort.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
