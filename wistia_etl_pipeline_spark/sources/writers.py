@@ -14,7 +14,9 @@ Scale: bronze partitioning is (media_id, dt) — matches the dominant
 read pattern (one media, one day: silver.py:24-26), so partition
 pruning elides everything else. High-cardinality keys would need a
 coarser layout (hash-bucketed media groups) to avoid small-file blowup;
-``coalesce_files`` caps files per partition for exactly that reason.
+``one_file_per_partition`` pre-repartitions on the partition keys so
+each Hive partition gets a single well-sized file instead of one
+fragment per task.
 """
 
 from __future__ import annotations
@@ -30,13 +32,11 @@ def write_partitioned_json(
     *,
     partition_by: Sequence[str] = ("media_id", "dt"),
     mode: str = "append",
-    files_per_partition: int | None = 1,
+    one_file_per_partition: bool = True,
 ) -> None:
     """S4 — the bronze layout (``media_id=…/dt=…/*.json``), written by
     executors instead of a driver loop."""
-    out = df
-    if files_per_partition:
-        out = df.repartition(*partition_by) if files_per_partition == 1 else df
+    out = df.repartition(*partition_by) if one_file_per_partition else df
     out.write.mode(mode).partitionBy(*partition_by).json(path)
 
 
