@@ -52,3 +52,22 @@ def test_merge_into_path_roundtrip(spark, tmp_path):
     # replaying the same delta must not change the table (idempotency)
     merge_into_path(spark, delta, path, ["media_id"])
     assert _rows(spark.read.parquet(path)) == [("m1", 1), ("m2", 20), ("m3", 3)]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from wistia_etl_pipeline_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # fragment the table: 10 tiny appends (like 10 MERGE cycles)
+    for i in range(10):
+        spark.createDataFrame([Row(media_id=f"m{i}", v=i)]).repartition(3).write.mode(
+            "append"
+        ).parquet(path)
+    import pathlib
+
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert after <= n < before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before

@@ -92,3 +92,38 @@ def write_bucketed(
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sorts)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-file compaction for incrementally-MERGEd parquet paths.
+
+    Every MERGE/append cycle fragments the table; scan cost then grows
+    with file COUNT, not data size (driver-side listing, per-file open
+    overhead, tiny row groups defeating column-stat pruning). Compact
+    rewrites the table into ~``target_file_mb`` files via the same
+    write-temp-then-swap used by the MERGE (operators/merge.py), so
+    readers never observe a partial table. Returns the output file
+    count. Run it on a cadence, not per-batch — it rewrites the table.
+    """
+    from ..operators.merge import _swap
+
+    df = spark.read.parquet(path)
+    jsc = spark._jsc
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
+    tmp = path.rstrip("/") + "__tmp_compact"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = df.repartition(n_files, *partition_by).write.mode("overwrite").partitionBy(*partition_by)
+    writer.parquet(tmp)
+    _swap(spark, tmp, path)
+    return n_files
