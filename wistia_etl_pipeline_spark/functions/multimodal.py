@@ -146,3 +146,40 @@ def resize_stub(df: DataFrame, *, width: int, height: int) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, "media_id string, width int, height int, payload binary"
     )
+
+
+def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
+    """Feature extraction plumbing: payload → fixed-width float vector,
+    Arrow-batched, written to a SEPARATE narrow table keyed by media_id
+    (downstream training then scans features without dragging payload
+    bytes through any shuffle — see module scale notes).
+
+    The featurizer itself is the codec slot's sibling — here a
+    deterministic md5-seeded fake with the right shape (unit-length
+    ``dim``-vector); a real one plugs in a vision/audio model over the
+    decoded payload without touching the Spark plumbing.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                # REAL IMPL SLOT: model(decode(payload)). Fake: bytes of
+                # md5(payload) → centered floats → unit norm.
+                h = hashlib.md5(bytes(payload)).digest()
+                raw = np.frombuffer((h * ((dim // 16) + 1))[:dim], dtype=np.uint8)
+                v = raw.astype(np.float64) - 127.5
+                v /= np.sqrt((v * v).sum()) or 1.0
+                feats.append([float(x) for x in v])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, "media_id string, feature array<float>"
+    )
