@@ -1439,3 +1439,119 @@ def percentile_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event analytics: window frames (rolling), funnel, retention
+# --------------------------------------------------------------------------
+
+@query(
+    "rolling_7d_activity",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS media_id, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT media_id, dt, n,
+           SUM(n) OVER (PARTITION BY media_id ORDER BY dt
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+           ROUND(AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY media_id ORDER BY dt
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+    FROM daily
+    """,
+)
+def rolling_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES — trailing-7-row rolling sum/avg over the daily
+    series. One shuffle on the partition key; the frame is computed in
+    a single sorted pass (no self-join, no range blow-up). avg over a
+    ≤7-element frame is sequential on both engines → deterministic."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type").alias("media_id"), F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("media_id").orderBy("dt").rowsBetween(-6, 0)
+    return daily.select(
+        "media_id",
+        "dt",
+        "n",
+        F.sum("n").over(w).alias("n_7d"),
+        F.round(F.avg(F.col("n").cast("double")).over(w), 6).alias("avg_7d"),
+    )
+
+
+@query(
+    "funnel_view_to_purchase",
+    oracle="""
+    WITH per_user_day AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY 1, 2
+    )
+    SELECT dt,
+           COUNT(CASE WHEN first_view IS NOT NULL THEN 1 END) AS viewers,
+           COUNT(CASE WHEN first_view IS NOT NULL AND first_purchase > first_view
+                      THEN 1 END) AS converted
+    FROM per_user_day GROUP BY dt
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel — view→purchase conversion per day, as conditional
+    aggregation (one shuffle; NO event-level self-join — the usual
+    funnel anti-pattern that explodes at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user_day = events.groupBy(
+        "user_id", F.to_date("ts").alias("dt")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per_user_day.groupBy("dt").agg(
+        F.count(F.when(F.col("first_view").isNotNull(), 1)).alias("viewers"),
+        F.count(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_purchase") > F.col("first_view")),
+                1,
+            )
+        ).alias("converted"),
+    )
+
+
+@query(
+    "retention_7d",
+    oracle="""
+    WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events)
+    SELECT a.dt,
+           COUNT(*) AS active_users,
+           COUNT(r.user_id) AS retained_7d
+    FROM active a
+    LEFT JOIN active r
+      ON r.user_id = a.user_id AND r.dt = a.dt + INTERVAL 7 DAY
+    GROUP BY a.dt
+    """,
+)
+def retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-day retention — the (user, day) activity set self-joined at a
+    +7-day offset. The join runs on the DEDUPED day grain (|users|×|days|
+    rows), never on raw events; both sides share the same shuffle key."""
+    events = load_table(spark, sf_dir, "events")
+    active = events.select("user_id", F.to_date("ts").alias("dt")).distinct()
+    a, r = active.alias("a"), active.alias("r")
+    return (
+        a.join(
+            r,
+            (F.col("r.user_id") == F.col("a.user_id"))
+            & (F.col("r.dt") == F.date_add(F.col("a.dt"), 7)),
+            "left",
+        )
+        .groupBy(F.col("a.dt").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.col("r.user_id")).alias("retained_7d"),
+        )
+    )
