@@ -1555,3 +1555,43 @@ def retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("r.user_id")).alias("retained_7d"),
         )
     )
+
+
+@query(
+    "asof_join_last_state",
+    oracle="""
+    WITH states AS (
+        SELECT user_id, ts, value AS state_value
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id AS visitor_key,
+           epoch_us(e.ts) AS ts_us, s.state_value
+    FROM events e
+    ASOF LEFT JOIN states s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def asof_join_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each event gets the user's latest signup state
+    at-or-before the event time. Our union+carry-forward composition
+    (operators/asof.py: ONE shuffle, linear in |L|+|R|) vs DuckDB's
+    native ASOF JOIN as the oracle."""
+    from .operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    states = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("state_value")
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        states,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["state_value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("user_id").alias("visitor_key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "state_value",
+    )
