@@ -1595,3 +1595,64 @@ def asof_join_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         "state_value",
     )
+
+
+@query(
+    "range_join_errors_in_sessions",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= 3600000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM lagged
+    ),
+    sessions AS (
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM islands GROUP BY user_id, sid
+    )
+    SELECT e.event_id, e.user_id AS visitor_key,
+           epoch_us(s.session_start) AS session_start_us,
+           COUNT(*) AS n_matches
+    FROM events e
+    JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_join_errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — error events located inside the user's session
+    intervals, via interval shredding (operators/range_join.py: equi
+    join on (user, day-bucket) + residual filter; the oracle is the
+    naive inequality join DuckDB can afford at this SF)."""
+    from .operators.range_join import range_join
+    from .operators.sessionize import session_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = session_rollup(
+        events.withColumn("event_id", F.col("event_id")),
+        user="user_id", event_time="ts", gap_minutes=60,
+    ).select("user_id", "session_start", "session_end")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join(
+        errors, sessions,
+        on="user_id", time_col="ts",
+        start_col="session_start", end_col="session_end",
+        grain="1 day",
+    )
+    return joined.groupBy(
+        "event_id",
+        F.col("user_id").alias("visitor_key"),
+        F.unix_micros("session_start").alias("session_start_us"),
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
