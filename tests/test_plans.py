@@ -100,3 +100,49 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() > 0
+
+
+def test_sorted_write_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """Sorted writes → disjoint tight row-group min/max on the sort key
+    (the data-skipping mechanism); unsorted writes → every row group
+    spans ~the whole domain."""
+    import pyarrow.parquet as pq
+
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.sources.writers import write_sorted_parquet
+
+    events = load_table(spark, sf_dir, "events", raw=True).select("ts", "value")
+    sorted_path = str(tmp_path / "sorted")
+    unsorted_path = str(tmp_path / "unsorted")
+    # tiny block size → several row groups even at test scale
+    write_sorted_parquet(events.repartition(1), sorted_path, sort_cols=["ts"],
+                         **{"parquet.block.size": str(32 * 1024)})
+    (events.repartition(1).sortWithinPartitions("value").write
+     .option("parquet.block.size", str(32 * 1024)).parquet(unsorted_path))
+
+    def rg_spans(path, col="ts"):
+        import pathlib
+
+        f = next(pathlib.Path(path).glob("*.parquet"))
+        meta = pq.ParquetFile(str(f)).metadata
+        spans = []
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == col and c.statistics is not None:
+                    spans.append((c.statistics.min, c.statistics.max))
+        return spans
+
+    s_spans = rg_spans(sorted_path)
+    u_spans = rg_spans(unsorted_path)
+    if len(s_spans) < 2:
+        import pytest
+
+        pytest.skip("single row group at this SF — nothing to skip")
+    domain = max(m for _, m in u_spans) - min(m for m, _ in u_spans)
+    avg_sorted = sum(b - a for a, b in s_spans) / len(s_spans)
+    avg_unsorted = sum(b - a for a, b in u_spans) / len(u_spans)
+    # sorted row groups cover disjoint slivers; unsorted ones cover ~all
+    assert avg_sorted < 0.5 * avg_unsorted
+    assert avg_unsorted > 0.9 * domain

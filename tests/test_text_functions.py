@@ -94,3 +94,15 @@ def test_dataset_split_stable_and_proportional(spark):
     bigger = spark.range(0, 6000).withColumnRenamed("id", "doc_id")
     out3 = {r.doc_id: r.split for r in dataset_split(bigger, "doc_id").collect()}
     assert all(out3[k] == v for k, v in out1.items())
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import Row
+
+    from wistia_etl_pipeline_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([Row(t="mail a.b+c@ex.co, ip 192.168.0.1, call +1555 123 4567 ok")])
+    got = df.select(redact_pii(F.col("t")).alias("v")).collect()[0].v
+    assert "[EMAIL]" in got and "[IP]" in got
+    assert "a.b+c@ex.co" not in got and "192.168.0.1" not in got
+    assert got.endswith("ok")

@@ -259,3 +259,22 @@ def dataset_split(
         "split",
         F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+#: Redaction patterns (RE2/Java-compatible subset — no lookarounds, so
+#: the same pattern string runs in Spark, DuckDB, and Python).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / IPv4s / phone-shaped strings to ``[TYPE]`` tokens
+    — the standard pre-training privacy pass. Pure regexp_replace
+    chain (codegen; one scan pass applies all patterns)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for token, pattern in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pattern, f"[{token}]")
+    return out

@@ -1656,3 +1656,37 @@ def range_join_errors_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("user_id").alias("visitor_key"),
         F.unix_micros("session_start").alias("session_start_us"),
     ).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def _pii_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    inner = ("text || ' contact user' || doc_id || '@example.com or '"
+             " || '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)")
+    expr = f"({inner})"
+    for token, pattern in PII_PATTERNS.items():
+        # DuckDB standard strings are escape-free: pass backslashes as-is
+        pat = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '[{token}]', 'g')"
+    return f"""
+    SELECT doc_id, {expr} AS clean_text FROM documents
+    """
+
+
+@query("text_redact_pii", oracle=_pii_oracle())
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — emails/IPs/phones scrubbed to typed tokens
+    (functions/text.redact_pii). Deterministic synthetic PII is
+    appended per doc so the redaction has a visible effect; the oracle
+    applies the byte-identical patterns in DuckDB."""
+    from .functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return docs.select("doc_id", redact_pii(dirty).alias("clean_text"))

@@ -127,3 +127,29 @@ def compact_parquet(
     writer.parquet(tmp)
     _swap(spark, tmp, path)
     return n_files
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_cols: Sequence[str],
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Cluster-by-write for data skipping.
+
+    Sorting within files before writing gives every parquet row group a
+    TIGHT min/max range on ``sort_cols``; a pushed-down range predicate
+    then skips whole row groups at scan time (the poor-man's Z-order:
+    for one dominant filter column, a plain sort IS the optimal
+    clustering). On an unsorted table every row group spans ~the whole
+    value domain and nothing can be skipped — at 100 TB that's the
+    difference between reading one day's row groups and reading all of
+    them. Mechanism is asserted directly on row-group stats in
+    tests/test_plans.py.
+    """
+    writer = df.sortWithinPartitions(*sort_cols).write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.parquet(path)
