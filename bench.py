@@ -41,6 +41,19 @@ HEADLINE = [
     "dedup_simhash",              # 60-bit bit-vote signatures
     "gold_rollup_salted",         # two-phase skew-resistant agg
     "sql_pricing_summary",        # SQL front-end path
+    "asof_join_last_state",       # as-of join (union+carry-forward)
+    "range_join_errors_in_sessions",  # interval shredding join
+    "rolling_7d_activity",        # window frames
+    "funnel_view_to_purchase",    # conditional-agg funnel
+    "retention_7d",               # offset self-join retention
+    "pivot_event_counts",         # pivot
+    "rollup_engagement",          # grouping sets
+    "percentile_engagement",      # exact percentiles
+    "top_orders_by_revenue",      # selective star join + top-k
+    "supplier_diversity_by_type", # grouped count-distinct
+    "text_chunking",              # token-window fan-out
+    "dataset_split",              # hash split
+    "text_redact_pii",            # regex scrubbing
 ]
 
 
