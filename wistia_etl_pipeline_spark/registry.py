@@ -1690,3 +1690,27 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 7) % 256).cast("string"),
     )
     return docs.select("doc_id", redact_pii(dirty).alias("clean_text"))
+
+
+@query(
+    "visitor_event_profile",
+    oracle="""
+    SELECT user_id AS visitor_key,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def visitor_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped collection aggregation — per-visitor sorted distinct
+    event-type profile (collect_set → sort → join; the collect family
+    is safe here because per-key set cardinality is bounded by the
+    event-type domain, never by event count — the rule for using
+    collect_* at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("user_id").alias("visitor_key")).agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+    )
