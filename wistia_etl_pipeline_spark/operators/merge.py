@@ -32,7 +32,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -103,7 +102,3 @@ def _swap(spark: SparkSession, tmp: str, path: str) -> None:
     fs.rename(htmp, hpath)
     if fs.exists(trash):
         fs.delete(trash, True)
-
-
-def _default_tmp(path: str) -> str:
-    return os.path.join(os.path.dirname(path.rstrip("/")), ".merge_tmp")

@@ -72,7 +72,14 @@ class BatchPipeline:
     def run_once(self, media_ids: list[str]) -> dict[str, dict]:
         """One bounded incremental run over ``media_ids`` (the
         reference's ``main()``, bronze.py:255-267). Returns a per-media
-        summary of what happened."""
+        summary of what happened.
+
+        Crash consistency = at-least-once + idempotent-by-key (the
+        reference's contract, SURVEY.md §7.4): watermark state persists
+        only after silver/gold succeed, so a crash mid-run re-pulls;
+        the resulting duplicate bronze rows collapse in the event_key
+        dedup, and the MERGEs converge on replay.
+        """
         states = self.state_store.read()
         summary: dict[str, dict] = {}
         pulled: list[tuple[str, dict]] = []  # (media_id, metadata)
