@@ -47,9 +47,12 @@ def sessionize(
     order = [F.col(event_time)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(user).orderBy(*order)
     prev = F.lag(event_time).over(w)
-    gap = F.col(event_time).cast("long") - prev.cast("long")
+    # Gap at MICROS grain (unix_micros), not second-floored cast("long"):
+    # integer micros are engine-canonical (NOTES determinism rule #3) and
+    # match the session_window / epoch_us convention used everywhere else.
+    gap = F.unix_micros(F.col(event_time)) - F.unix_micros(prev)
     new_session = F.when(
-        prev.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        prev.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_seq",

@@ -972,7 +972,7 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id AS visitor_key, event_id, session_seq FROM (
         SELECT user_id, event_id,
                SUM(CASE WHEN prev_ts IS NULL
-                         OR (epoch_us(ts) // 1000000) - (epoch_us(prev_ts) // 1000000) > 3600
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_seq
@@ -1455,16 +1455,18 @@ def percentile_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, dt, n,
            SUM(n) OVER (PARTITION BY media_id ORDER BY dt
                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
-           ROUND(AVG(CAST(n AS DOUBLE)) OVER (PARTITION BY media_id ORDER BY dt
-                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+           COUNT(n) OVER (PARTITION BY media_id ORDER BY dt
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt_7d
     FROM daily
     """,
 )
 def rolling_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window FRAMES — trailing-7-row rolling sum/avg over the daily
-    series. One shuffle on the partition key; the frame is computed in
-    a single sorted pass (no self-join, no range blow-up). avg over a
-    ≤7-element frame is sequential on both engines → deterministic."""
+    """Window FRAMES — trailing-7-row rolling sum + frame count over the
+    daily series. One shuffle on the partition key; the frame is computed
+    in a single sorted pass (no self-join, no range blow-up). The rolling
+    average is ``n_7d / cnt_7d`` — emitted as the exact integer pair, not
+    a rounded double (determinism rule #2: cross-engine ROUND of doubles
+    diverges at half-boundaries — the round-1 driver red for this query)."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -1477,7 +1479,7 @@ def rolling_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt",
         "n",
         F.sum("n").over(w).alias("n_7d"),
-        F.round(F.avg(F.col("n").cast("double")).over(w), 6).alias("avg_7d"),
+        F.count("n").over(w).alias("cnt_7d"),
     )
 
 
