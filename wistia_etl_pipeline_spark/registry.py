@@ -851,14 +851,28 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stats")
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           COUNT(*) AS n_media,
+           SUM(CAST(n_chars AS BIGINT) % 1920 + 1) AS sum_width,
+           SUM(CAST(n_chars AS BIGINT) % 120 + 1) AS sum_frames,
+           SUM(CAST(16 AS BIGINT)) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (no SQL oracle: binary payload
-    construction + mapInPandas decode aren't SQL-expressible — driver
-    records the rows-only check): synthesize fake media payloads from
-    the documents table, decode headers Arrow-batched, aggregate by
-    kind. The schema/batching/error-isolation shape is the real 100 TB
-    path; only the codec call is stubbed (functions/multimodal.py)."""
+    """Multimodal plumbing end-to-end: synthesize fake media payloads
+    from the documents table, decode headers Arrow-batched, aggregate
+    by kind. The mapInPandas decode isn't SQL — but its EXPECTED output
+    is pure arithmetic on documents (width = n_chars%1920+1, frames =
+    n_chars%120+1, kind = doc_id%3, 16-byte header payload), so the
+    DuckDB oracle recomputes it exactly; aggregates are exact integer
+    sums (determinism rule #2 forbids rounded double avgs). The
+    schema/batching/error-isolation shape is the real 100 TB path;
+    only the codec call is stubbed (functions/multimodal.py)."""
     import pandas as pd
 
     from .functions.multimodal import decode_media_meta
@@ -893,8 +907,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("width"), 6).alias("avg_width"),
-            F.round(F.avg("n_frames"), 6).alias("avg_frames"),
+            F.sum("width").alias("sum_width"),
+            F.sum("n_frames").alias("sum_frames"),
             F.sum("payload_bytes").alias("total_bytes"),
         )
     )
@@ -1166,14 +1180,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk")
+@query(
+    "similarity_ivf_topk",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS k, CAST(5 AS BIGINT) AS nprobe,
+           CAST(16 AS BIGINT) AS n_lists, CAST(1 AS BIGINT) AS recall_ok
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (no SQL oracle: k-means coarse-quantizer training
-    is an iterative algorithm — driver records the rows-only check;
-    recall vs the brute-force baseline is unit-tested): build the
-    inverted-file index, probe the 3 nearest lists for the vec_id=0
-    embedding (functions/similarity.py ivf_build/ivf_topk)."""
-    from .functions.similarity import ivf_build, ivf_topk
+    """IVF ANN, recall-anchored: build the inverted-file index (seeded
+    k-means coarse quantizer), probe the 5 nearest lists for the
+    vec_id=0 embedding, and compare the approximate top-10 against the
+    exact brute-force top-10 INSIDE the query. The k-means training is
+    the one genuinely non-SQL-expressible algorithm here, so the oracle
+    anchors the *contract* instead of the list: the emitted row carries
+    ``recall_ok = (|IVF∩exact| ≥ 9)`` — recall ≥ 0.9, thresholded so
+    seed-level centroid jitter can't flake the hash. A broken index
+    (wrong lists probed, bad assignment, empty probe) flips recall_ok
+    to 0 and the driver's differential gate catches it."""
+    from .functions.similarity import cosine_topk, ivf_build, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(emb, n_lists=16)
@@ -1181,7 +1206,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    return ivf_topk(assigned, centroids, query_vec, k=10, nprobe=3)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = cosine_topk(emb, qcol, k=10).select("vec_id")
+    approx = ivf_topk(assigned, centroids, query_vec, k=10, nprobe=5).select("vec_id")
+    return (
+        approx.join(exact, "vec_id", "inner")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.lit(5).cast("long").alias("nprobe"),
+            F.lit(16).cast("long").alias("n_lists"),
+            (F.col("n_overlap") >= 9).cast("long").alias("recall_ok"),
+        )
+    )
 
 
 @query(
