@@ -29,6 +29,27 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_star_join_never_forces_broadcast_of_scaled_tables(spark, sf_dir):
+    """Broadcast HINTS are allowed only on fixed-cardinality dims
+    (nation=25, region=5). customer/part scale with SF — a forced
+    broadcast OOMs at the 100 TB design point, so their strategy must
+    come from size stats / AQE (which still broadcasts them at small
+    SF, as the physical-plan tests above assert)."""
+    for name, n_hints in (
+        ("star_join_revenue", 2),     # nation + region only
+        ("top_orders_by_revenue", 0),  # filtered customer: AQE's call
+        ("gold_hours_watched", 0),     # part projection: stats' call
+        ("supplier_diversity_by_type", 0),
+    ):
+        df = entry.queries()[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = analyzed.count("ResolvedHint")
+        assert hints == n_hints, f"{name}: {hints} broadcast hints, want {n_hints}"
+        # and the hint-free sides still end up broadcast at this SF
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in phys
+
+
 def test_global_topk_avoids_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "global_topk_events")
     assert "TakeOrderedAndProject" in plan

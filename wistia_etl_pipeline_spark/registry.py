@@ -126,12 +126,15 @@ def gold_hours_watched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference semantics: hours_watched = SUM(percent_viewed ×
     dim_media.duration_seconds)/3600 (wistia_redshift_schemas.py:49) —
-    here l_quantity×p_retailprice over lineitem ⋈ broadcast(part).
+    here l_quantity×p_retailprice over lineitem ⋈ part. The part side
+    is a 3-column projection but still SCALES with SF, so no forced
+    broadcast hint — size stats/AQE broadcast it while it fits and
+    fall back to a shuffled join beyond the threshold.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_retailprice")),
+        part.select("p_partkey", "p_brand", "p_retailprice"),
         lineitem.l_partkey == part.p_partkey,
     )
     return (
@@ -404,9 +407,13 @@ def merge_upsert_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — the full star join implied by the reference's schema +
-    QuickSight layer (SURVEY.md §2.3). Dims are broadcast (never
-    shuffle the fact for a dim); the lineitem⋈orders equi-join is the
-    only real shuffle and AQE picks its strategy."""
+    QuickSight layer (SURVEY.md §2.3). Broadcast hints ONLY on the
+    fixed-cardinality dims (nation=25, region=5 — constant at any SF);
+    customer SCALES with the corpus (billions at the 100 TB design
+    point), so its join strategy is left to size stats + AQE runtime
+    conversion — at small SF it still broadcasts (threshold-driven),
+    at 100 TB it degrades safely to a shuffled join instead of OOMing
+    the executors on a forced build side."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -414,7 +421,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -1328,9 +1335,11 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter → join → agg → global
-    top-k. The segment filter pushes into the customer scan; the
-    filtered customer side broadcasts; the final ORDER BY+LIMIT plans
-    TakeOrderedAndProject over the aggregate — no full sort."""
+    top-k. The segment filter pushes into the customer scan; whether
+    the filtered customer side broadcasts is exactly the decision AQE's
+    runtime size re-check exists for (filter selectivity is runtime
+    info, and customer scales with SF) — no forced hint. The final
+    ORDER BY+LIMIT plans TakeOrderedAndProject — no full sort."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").filter(
@@ -1338,7 +1347,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    ).join(customer, orders.o_custkey == customer.c_custkey)
     agg = joined.groupBy(
         F.col("l_orderkey").alias("orderkey"),
         # o_orderdate arrives TIMESTAMP_NTZ (micros parquet) — cast to
@@ -1371,13 +1380,14 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_diversity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q16-shaped: grouped COUNT(DISTINCT) over a broadcast dim
-    join — Catalyst plans the distinct via expand + two-phase agg, so
-    the fact shuffles once keyed on (group, suppkey)."""
+    """TPC-H-Q16-shaped: grouped COUNT(DISTINCT) over a dim join
+    (strategy stats/AQE-decided — part scales with SF) — Catalyst
+    plans the distinct via expand + two-phase agg, so the fact
+    shuffles once keyed on (group, suppkey)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+        part.select("p_partkey", "p_type", "p_brand"),
         lineitem.l_partkey == part.p_partkey,
     )
     return joined.groupBy(
