@@ -126,13 +126,22 @@ def test_page_cap_checkpoints_and_resumes(spark, tmp_path):
     assert s1["m1"]["events"] == 2 and s1["m1"]["completed"] is False
     st = pipe.state_store.read()["m1"]
     assert st.next_page == 2
-    assert st.updated != "2024-01-02T00:00:00Z"  # watermark NOT advanced yet
+    # reference fold (bronze.py:245): an interrupted FULL pull advances
+    # the watermark to the value captured at pull start; the checkpoint
+    # drives the resume, and any remote change during the interruption
+    # beats the resume with a catch-up full pull (decide priority)
+    assert st.updated == "2024-01-02T00:00:00Z"
 
     s2 = pipe.run_once(["m1"])  # resumes at page 2, finishes
     assert s2["m1"]["action"] == "resume"
     assert s2["m1"]["completed"] is True
     assert pipe.state_store.read()["m1"].next_page is None
     assert spark.read.parquet(str(tmp_path / "silver")).count() == 3
+
+    # metadata moves AFTER the completed resume → catch-up full pull
+    fake.meta["m1"]["updated"] = "2024-01-05T00:00:00Z"
+    s3 = pipe.run_once(["m1"])
+    assert s3["m1"]["action"] == "full_pull"
 
 
 def test_silver_scan_prunes_partitions(spark, tmp_path):

@@ -29,23 +29,42 @@ iso_ts = st.datetimes(
 def test_decide_total_and_consistent(stored, remote, pending):
     state = MediaState(updated=stored, next_page=3 if pending else None)
     action = decide(state, remote)
-    if pending:
-        assert action == RESUME  # checkpoint always wins
-    elif remote > stored:
-        assert action == FULL_PULL
+    if remote > stored:
+        assert action == FULL_PULL  # full pull beats resume (bronze.py:173-174)
+    elif pending:
+        assert action == RESUME
     else:
         assert action == SKIP
 
 
 @given(stored=iso_ts, remote=iso_ts)
 def test_fold_then_decide_skips(stored, remote):
-    """After a COMPLETED pull folds the remote watermark in, the same
-    remote must decide 'skip' (no re-ingestion loops)."""
+    """After a COMPLETED full pull folds the remote watermark in, the
+    same remote must decide 'skip' (no re-ingestion loops)."""
     state = fold_checkpoint(
         MediaState(updated=stored),
-        remote_updated=remote, pages_done=True, next_page=1, max_received_at=None,
+        remote_updated=remote, action=FULL_PULL,
+        pages_done=True, next_page=1, max_received_at=None,
     )
     assert decide(state, remote) == SKIP
+
+
+@given(stored=iso_ts, captured=iso_ts, fresh=iso_ts)
+def test_interrupted_pull_never_loses_updates(stored, captured, fresh):
+    """Safety property for the resume path: after an interrupted full
+    pull for `captured`, any `fresh` remote strictly newer than
+    `captured` must trigger a catch-up FULL_PULL — never SKIP (the
+    round-1 lossiness bug)."""
+    part = fold_checkpoint(
+        MediaState(updated=stored),
+        remote_updated=captured, action=FULL_PULL,
+        pages_done=False, next_page=7, max_received_at=None,
+    )
+    action = decide(part, fresh)
+    if fresh > captured:
+        assert action == FULL_PULL
+    else:
+        assert action == RESUME  # checkpoint still drives completion
 
 
 @given(

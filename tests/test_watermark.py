@@ -25,10 +25,15 @@ def test_decide_three_branches():
     # skip: remote not newer (bronze.py:176-178)
     assert decide(st, "2025-04-01T00:00:00Z") == SKIP
     assert decide(st, "2025-03-31T00:00:00Z") == SKIP
-    assert decide(st, None) == SKIP
-    # resume: pending checkpoint wins regardless of remote
+    # unknown remote timestamp → far-future sentinel → forced pull
+    # (bronze.py:169) — NOT a silent skip
+    assert decide(st, None) == FULL_PULL
+    # resume: pending checkpoint, remote not newer
     st2 = MediaState(updated="2025-04-01T00:00:00Z", next_page=7)
     assert decide(st2, "2025-03-01T00:00:00Z") == RESUME
+    # full pull beats resume when the remote moved during the
+    # interruption (bronze.py:173-174: do_full_pull evaluated first)
+    assert decide(st2, "2025-04-02T00:00:00Z") == FULL_PULL
 
 
 def test_decide_handles_mixed_iso_suffixes():
@@ -50,19 +55,48 @@ def test_normalize_legacy_string_state():
 
 
 def test_fold_checkpoint_completed_vs_interrupted():
+    from wistia_etl_pipeline_spark.incremental.watermark import FULL_PULL, RESUME
+
     st = MediaState(updated="2025-04-01T00:00:00Z")
     done = fold_checkpoint(
-        st, remote_updated="2025-04-02T00:00:00Z", pages_done=True,
-        next_page=9, max_received_at="2025-04-01T23:00:00Z",
+        st, remote_updated="2025-04-02T00:00:00Z", action=FULL_PULL,
+        pages_done=True, next_page=9, max_received_at="2025-04-01T23:00:00Z",
     )
     assert done.updated == "2025-04-02T00:00:00Z" and done.next_page is None
+    # interrupted FULL pull: watermark advances to the updated CAPTURED
+    # at pull start AND the resume point is recorded (bronze.py:245) —
+    # so a later resume keeps it, and a remote change mid-interruption
+    # triggers a catch-up full pull
     part = fold_checkpoint(
-        st, remote_updated="2025-04-02T00:00:00Z", pages_done=False,
-        next_page=9, max_received_at="2025-04-01T23:00:00Z",
+        st, remote_updated="2025-04-02T00:00:00Z", action=FULL_PULL,
+        pages_done=False, next_page=9, max_received_at="2025-04-01T23:00:00Z",
     )
-    # interrupted: watermark NOT advanced, resume point recorded
-    assert part.updated == "2025-04-01T00:00:00Z" and part.next_page == 9
+    assert part.updated == "2025-04-02T00:00:00Z" and part.next_page == 9
     assert part.last_received_at == "2025-04-01T23:00:00Z"
+    # resume completion: watermark UNCHANGED (the fresh remote value is
+    # deliberately not folded — reference bronze.py:245)
+    res = fold_checkpoint(
+        part, remote_updated="2025-04-03T00:00:00Z", action=RESUME,
+        pages_done=True, next_page=1, max_received_at=None,
+    )
+    assert res.updated == "2025-04-02T00:00:00Z" and res.next_page is None
+
+
+def test_resume_interrupted_then_remote_change_is_never_lost():
+    """The round-1 ADVICE lossiness scenario: metadata updates while a
+    pull sits interrupted → the media must be re-pulled, not skipped."""
+    from wistia_etl_pipeline_spark.incremental.watermark import FULL_PULL
+
+    st = MediaState(updated="2025-04-01T00:00:00Z")
+    # full pull for updated=04-02 gets interrupted at page 9
+    part = fold_checkpoint(
+        st, remote_updated="2025-04-02T00:00:00Z", action=FULL_PULL,
+        pages_done=False, next_page=9, max_received_at=None,
+    )
+    # remote moves to 04-03 while interrupted → full-pull restart wins
+    assert decide(part, "2025-04-03T00:00:00Z") == FULL_PULL
+    # remote unchanged → plain resume
+    assert decide(part, "2025-04-02T00:00:00Z") == RESUME
 
 
 def test_store_roundtrip_and_legacy_read(tmp_path):

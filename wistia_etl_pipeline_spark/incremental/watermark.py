@@ -41,9 +41,30 @@ SKIP = "skip"
 RESUME = "resume"
 FULL_PULL = "full_pull"
 
-#: Sentinel for "never seen" (the reference uses a far-past ISO string
-#: fallback at bronze.py:169).
+#: Sentinel for "never seen" (the reference's far-past default,
+#: bronze.py:153).
 EPOCH = "1970-01-01T00:00:00Z"
+
+#: Sentinel for "remote updated unknown" (the reference's far-FUTURE
+#: fallback, bronze.py:163-169): an unknown metadata timestamp must
+#: force a pull, never silently skip the media.
+FAR_FUTURE = "2099-01-01T00:00:00Z"
+
+
+def updated_from_meta(meta: dict | None) -> str:
+    """P4 — the reference's dict-level null-coalescing fallback chain
+    (bronze.py:163-169): ``updated or updated_at or created or
+    created_at or FAR_FUTURE``. The far-future default makes a media
+    with no usable timestamp ALWAYS pull (better a redundant idempotent
+    pull than a silently never-ingested media)."""
+    meta = meta or {}
+    return (
+        meta.get("updated")
+        or meta.get("updated_at")
+        or meta.get("created")
+        or meta.get("created_at")
+        or FAR_FUTURE
+    )
 
 
 @dataclass(frozen=True)
@@ -83,41 +104,55 @@ def _iso_key(ts: str) -> str:
 
 
 def decide(state: MediaState, remote_updated: str | None) -> str:
-    """The three-way decision (bronze.py:173-178).
+    """The three-way decision, reference-exact (bronze.py:173-176).
 
-    A pending checkpoint means the previous run stopped mid-pull
-    (budget/page cap) — resume regardless of the remote watermark,
-    otherwise the tail of that pull would be lost.
-    """
+    FULL_PULL has priority over RESUME: ``do_full_pull = updated >
+    last_seen`` is evaluated first, and resume only applies when the
+    remote is NOT newer. A metadata change during an interrupted pull
+    therefore restarts from page 1 (losing nothing) instead of
+    resuming into a feed whose upstream state moved. ``None`` remote
+    means the metadata had no usable timestamp — far-future sentinel,
+    forced pull (bronze.py:169)."""
+    if remote_updated is None:
+        remote_updated = FAR_FUTURE
+    if _iso_key(remote_updated) > _iso_key(state.updated):
+        return FULL_PULL
     if state.next_page is not None:
         return RESUME
-    if remote_updated is None or _iso_key(remote_updated) <= _iso_key(state.updated):
-        return SKIP
-    return FULL_PULL
+    return SKIP
 
 
 def fold_checkpoint(
     state: MediaState,
     *,
     remote_updated: str,
+    action: str,
     pages_done: bool,
     next_page: int,
     max_received_at: str | None,
 ) -> MediaState:
-    """Fold one run's outcome into the next state (bronze.py:237-247).
+    """Fold one run's outcome into the next state, reference-exact
+    (bronze.py:240-247: ``updated = updated_iso if do_full_pull else
+    last_seen_iso``; checkpoint recorded iff the pull didn't finish).
 
-    Completing the pull advances the watermark to the remote ``updated``
-    and clears the checkpoint; an interrupted pull (page cap / time
-    budget) keeps the old watermark and records where to resume.
+    On FULL_PULL the watermark advances to the remote ``updated``
+    CAPTURED WHEN THE PULL STARTED — even if the pull was interrupted.
+    The saved checkpoint then drives resumes, and resume completion
+    keeps the captured watermark (NOT the fresh remote value), so a
+    metadata update that lands while a pull sits interrupted makes the
+    next decide() a catch-up FULL_PULL instead of being skipped
+    forever — the round-1 resume-loss bug (ADVICE r1 #2).
     """
     last = max(
         filter(None, [state.last_received_at, max_received_at]),
         key=_iso_key,
         default=None,
     )
-    if pages_done:
-        return MediaState(updated=remote_updated, next_page=None, last_received_at=last)
-    return MediaState(updated=state.updated, next_page=next_page, last_received_at=last)
+    return MediaState(
+        updated=remote_updated if action == FULL_PULL else state.updated,
+        next_page=None if pages_done else next_page,
+        last_received_at=last,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -186,13 +221,19 @@ def filter_changed(
     memory."""
     from pyspark.sql import functions as F
 
+    def _norm(c):
+        # same suffix normalization as _iso_key ('+00:00' sorts before
+        # 'Z' lexicographically — unnormalized mixed suffixes would
+        # keep/skip the wrong rows)
+        return F.regexp_replace(c, r"\+00:00$", "Z")
+
     st = state_df.select(
         F.col("media_id").alias("__k"), F.col("updated").alias("__wm")
     )
     joined = candidates.join(
         F.broadcast(st), candidates[key] == F.col("__k"), "left"
     )
-    keep = F.col("__wm").isNull() | (F.col(updated_col) > F.col("__wm"))
+    keep = F.col("__wm").isNull() | (_norm(F.col(updated_col)) > _norm(F.col("__wm")))
     return joined.filter(keep).drop("__k", "__wm")
 
 

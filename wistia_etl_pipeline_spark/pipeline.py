@@ -29,12 +29,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .incremental.watermark import (
+    FULL_PULL,
     RESUME,
     SKIP,
     JsonStateStore,
     MediaState,
     decide,
     fold_checkpoint,
+    updated_from_meta,
 )
 from .operators.dedup import dedup_exact
 from .operators.flatten import conform_dim_media, flatten_events
@@ -88,7 +90,11 @@ class BatchPipeline:
             state = states.get(media_id, MediaState())
             try:
                 meta = self.api.metadata(media_id)
-                action = decide(state, meta.get("updated"))
+                # P4 fallback chain (updated→updated_at→created→
+                # created_at→far-future): an unknown timestamp forces a
+                # pull, never a silent skip (bronze.py:163-169)
+                remote_updated = updated_from_meta(meta)
+                action = decide(state, remote_updated)
                 summary[media_id] = {"action": action, "events": 0}
                 if action == SKIP:
                     continue
@@ -99,7 +105,10 @@ class BatchPipeline:
                     start_page=start_page,
                     config=self.config,
                 )
-                if self.api.stats_url is not None:
+                # stats only on a FULL pull (bronze.py:180-181): the
+                # append-mode stats sink would otherwise duplicate the
+                # whole feed on every resume
+                if self.api.stats_url is not None and action == FULL_PULL:
                     stats = fetch_pages(
                         self.api.transport,
                         lambda p, m=media_id: self.api.stats_url(m, p),
@@ -116,7 +125,8 @@ class BatchPipeline:
                     self._write_bronze(media_id, rows)
                 states[media_id] = fold_checkpoint(
                     state,
-                    remote_updated=meta.get("updated"),
+                    remote_updated=remote_updated,
+                    action=action,
                     pages_done=result.completed,
                     next_page=result.next_page or 1,
                     max_received_at=max_received,
