@@ -102,12 +102,20 @@ def daily_rollup(
 
 
 def media_daily_agg(
-    fact_events: DataFrame, dim_media: DataFrame, *, approx_visitors: bool = False
+    fact_events: DataFrame,
+    dim_media: DataFrame,
+    *,
+    approx_visitors: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """The reference's gold table, end-to-end (EP3, SURVEY.md §3).
 
     fact_events ⋈ broadcast(dim_media) on media_id, then the A1-A6
     rollup at (media_id, dt) grain. Produces MEDIA_DAILY_AGG_SCHEMA.
+    ``exact=True`` selects the bit-reproducible DECIMAL aggregation
+    mode (see :func:`daily_rollup`) — pick it when gold must be
+    identical across replays/parallelism (differential testing, the
+    idempotent-merge contract).
     """
     joined = fact_events.join(
         F.broadcast(dim_media.select("media_id", "duration_seconds")),
@@ -123,6 +131,8 @@ def media_daily_agg(
         played=F.col("percent_viewed") > F.lit(0.0),
         weight=F.col("percent_viewed") * F.col("duration_seconds"),
         approx_visitors=approx_visitors,
+        exact=exact,
+        ndigits=6 if exact else None,
     )
     return out.select(
         "media_id", "dt", "load_count", "play_count", "play_rate",

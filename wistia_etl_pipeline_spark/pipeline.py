@@ -70,6 +70,10 @@ class BatchPipeline:
     gold_path: str
     state_store: JsonStateStore
     config: PullConfig = field(default_factory=PullConfig)
+    #: bit-reproducible gold aggregates (DECIMAL routing — see
+    #: operators/rollup.daily_rollup): identical output across replays
+    #: at any parallelism, at the cost of non-codegen'd 128-bit sums
+    gold_exact: bool = False
 
     def run_once(self, media_ids: list[str]) -> dict[str, dict]:
         """One bounded incremental run over ``media_ids`` (the
@@ -209,7 +213,7 @@ class BatchPipeline:
             F.col("media_id").isin(media_ids)
         )
         dim = spark.read.parquet(self.dim_path)
-        gold_delta = media_daily_agg(silver, dim)
+        gold_delta = media_daily_agg(silver, dim, exact=self.gold_exact)
         merge_into_path(spark, gold_delta, self.gold_path, ["media_id", "dt"])
 
 

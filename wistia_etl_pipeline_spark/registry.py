@@ -1763,3 +1763,121 @@ def visitor_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end pipeline: bronze ingest → silver flatten/dedup → gold rollup
+# (S1/S2/S4/S5/S7, P3, D2, ST2-ST4 as ONE driver-checked query)
+# --------------------------------------------------------------------------
+
+@query(
+    "pipeline_e2e_gold",
+    oracle="""
+    SELECT event_type AS media_id,
+           CAST(ts AS DATE) AS dt,
+           COUNT(*) AS load_count,
+           COUNT(CASE WHEN value > 0 THEN 1 END) AS play_count,
+           ROUND(COUNT(CASE WHEN value > 0 THEN 1 END) / COUNT(*), 6) AS play_rate,
+           ROUND(CAST(SUM(CAST(value * (3600.0 * (1 + length(event_type) % 3))
+                              AS DECIMAL(25,6))) AS DOUBLE) / 3600.0, 6)
+               AS hours_watched,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+               AS engagement,
+           COUNT(DISTINCT user_id) AS visitors
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_e2e_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THREE jobs end-to-end in one driver-checked run
+    (EP1 bronze pull → EP2 silver transform → EP3 gold upsert,
+    wistia_pull_wistia_api.py / wistia_transform_silver.py /
+    wistia_stored_procedures.py top-to-bottom):
+
+    1. the events table is served back through a deterministic paginated
+       REST transport (media = event_type), with a page cap that forces
+       a checkpoint + resume cycle (ST2) before each media completes;
+    2. every run writes partitioned bronze JSON-lines (S1/S2/S4),
+       flatten-projects + exact-dedups into the silver MERGE (P1/D1/
+       A7/S5), conforms dim_media, and re-rolls gold for the touched
+       partitions only (P3);
+    3. runs repeat until the watermark store (S7/ST1) decides skip
+       everywhere — replayed pages collapse in the event_key dedup
+       (ST4/D2) and the MERGEs converge.
+
+    The final gold parquet is read back and compared against a plain
+    SQL rollup of the SAME events table in DuckDB: if any stage —
+    paging, bronze layout, flatten, dedup, merge, watermark fold —
+    drops or duplicates anything, the hash diverges. Gold runs in the
+    exact (DECIMAL-routed, bit-reproducible) mode; duration_seconds is
+    the deterministic 3600·(1+len(media)%3) so A4's join-weighted
+    sum-product is oracle-checkable."""
+    import json as _json
+    import tempfile
+
+    from .incremental.watermark import JsonStateStore
+    from .pipeline import BatchPipeline, WistiaApi
+    from .sources.rest_source import PullConfig
+
+    per_page = 700
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_id", "ts", "value", "user_id", "event_type").collect()
+    feeds: dict[str, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        feeds.setdefault(r.event_type, []).append(
+            {
+                "event_key": str(r.event_id),
+                "received_at": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z",
+                "percent_viewed": None if r.value is None else float(r.value),
+                "embed_url": None, "email": None, "ip": None,
+                "user_agent_details": None,
+                "visitor_key": r.user_id, "country": None, "region": None,
+                "city": None, "lat": None, "lon": None, "org": None,
+                "media_id": r.event_type, "media_name": r.event_type.upper(),
+            }
+        )
+
+    def transport(url: str):
+        media = url.split("media=")[1].split("&")[0]
+        page = int(url.split("page=")[1])
+        feed = feeds[media]
+        chunk = feed[(page - 1) * per_page : page * per_page]
+        return 200, _json.dumps(
+            {"data": chunk, "total": len(feed), "per_page": per_page}
+        ).encode()
+
+    def metadata(m: str) -> dict:
+        return {
+            "hashed_id": m, "name": m.upper(),
+            "duration": str(3600.0 * (1 + len(m) % 3)),
+            "created": "2024-01-01T00:00:00Z",
+            "updated": "2024-06-01T00:00:00Z",
+        }
+
+    root = tempfile.mkdtemp(prefix="wistia_e2e_")
+    pipe = BatchPipeline(
+        spark=spark,
+        api=WistiaApi(
+            transport=transport,
+            events_url=lambda m, p: f"http://api/events?media={m}&page={p}",
+            metadata=metadata,
+        ),
+        bronze_path=f"{root}/bronze",
+        silver_path=f"{root}/silver",
+        dim_path=f"{root}/dim",
+        gold_path=f"{root}/gold",
+        state_store=JsonStateStore(f"{root}/wm.json"),
+        # page cap < pages-per-media at sf0.01 → at least one
+        # interrupted run + checkpoint resume before completion
+        config=PullConfig(per_page=per_page, max_pages=2),
+        gold_exact=True,
+    )
+    media_ids = sorted(feeds)
+    for _ in range(64):  # bounded resume loop; ends when all media skip
+        summary = pipe.run_once(media_ids)
+        if all(v.get("action") == "skip" for v in summary.values()):
+            break
+    return spark.read.parquet(f"{root}/gold").select(
+        "media_id", "dt", "load_count", "play_count", "play_rate",
+        "hours_watched", "engagement", "visitors",
+    )
