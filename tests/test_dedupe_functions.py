@@ -102,3 +102,47 @@ def test_simhash_pandas_matches_expression(spark):
     b = {r.doc_id: r.simhash for r in with_simhash_pandas(df, "nt").collect()}
     assert a == b
     assert b[99] == 0  # blank text → zero signature on both paths
+
+
+def test_simhash_pairs_match_brute_force(spark):
+    """Band-join pair production must equal the all-pairs hamming scan
+    (the blocking is lossless by pigeonhole for max_hamming <= bands-1)."""
+    from itertools import combinations
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        simhash_near_dup_pairs,
+        with_simhash_pandas,
+    )
+    from wistia_etl_pipeline_spark.functions.text import normalize_text
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=i, text=f"{base} variant {i % 7}") for i in range(40)]
+    rows += [Row(doc_id=100 + i, text=f"totally different corpus {i} " * 3) for i in range(5)]
+    df = spark.createDataFrame(rows)
+
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in with_simhash_pandas(
+            df.select("doc_id", normalize_text(F.col("text")).alias("nt")), "nt"
+        ).collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(sigs), 2):
+        d = bin(sigs[a] ^ sigs[b]).count("1")
+        if d <= 3:
+            want.add((a, b, d))
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_rejects_lossy_config():
+    import pytest
+
+    from wistia_etl_pipeline_spark.functions.dedupe import simhash_near_dup_pairs
+
+    with pytest.raises(ValueError, match="lossy"):
+        simhash_near_dup_pairs(None, "doc_id", "text", n_bands=4, max_hamming=4)

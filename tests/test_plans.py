@@ -167,3 +167,10 @@ def test_sorted_write_enables_row_group_skipping(spark, sf_dir, tmp_path):
     # sorted row groups cover disjoint slivers; unsorted ones cover ~all
     assert avg_sorted < 0.5 * avg_unsorted
     assert avg_unsorted > 0.9 * domain
+
+
+def test_simhash_pairs_join_is_equi_on_bands(spark, sf_dir):
+    """SimHash pair production must band-join, never compare all pairs."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

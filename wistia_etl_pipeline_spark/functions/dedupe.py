@@ -222,6 +222,81 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sig_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (a_id < b_id, hamming ≤
+    ``max_hamming``) via a hamming band-join — the SimHash analogue of
+    :func:`minhash_near_dup_pairs`'s LSH banding.
+
+    The signature is cut into ``n_bands`` disjoint bit-ranges; docs are
+    self-joined ON EQUAL BANDS only, then candidates are verified with
+    the true hamming distance. Pigeonhole guarantee: a pair within
+    hamming ``n_bands - 1`` differs in at most ``n_bands - 1`` bit
+    positions, so at least one band is untouched — with the default
+    ``max_hamming = 3 ≤ n_bands - 1`` the blocking is LOSSLESS, never
+    a recall trade. Plan shape: signature (Arrow-batched, no shuffle)
+    → ×n_bands explode → equi hash self-join on (band, value) →
+    distinct → verify. Never all-pairs, never a cartesian."""
+    from .text import normalize_text
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} with {n_bands} bands would make the "
+            "band blocking lossy (pigeonhole needs max_hamming <= n_bands-1); "
+            "raise n_bands instead"
+        )
+    band_bits = sig_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = with_simhash_pandas(
+        df.select(
+            F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__nt")
+        ),
+        "__nt",
+    )
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a_id"),
+            F.col("r.doc").alias("b_id"),
+            F.col("l.simhash").alias("a_sim"),
+            F.col("r.simhash").alias("b_sim"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming64(F.col("a_sim"), F.col("b_sim")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: (fingerprint, ids, dup_count) for every
     normalized text occurring more than once."""
