@@ -113,3 +113,50 @@ def test_ivf_recall_and_exact_hit(spark):
     }
     approx = {r.vec_id for r in ivf_topk(assigned, centroids, target, k=5, nprobe=4).collect()}
     assert len(brute & approx) >= 3
+
+
+def test_recommend_n_planes_bucket_math():
+    from wistia_etl_pipeline_spark.functions.similarity import recommend_n_planes
+
+    # floor of 8 for tiny corpora, cap at 48
+    assert recommend_n_planes(0) == 8
+    assert recommend_n_planes(10_000) == 8
+    assert recommend_n_planes(10**20) == 48
+    # 10^9 vectors / 100k target → 2^14 buckets
+    p = recommend_n_planes(1_000_000_000)
+    assert p == 14
+    assert 1_000_000_000 / (1 << p) <= 100_000
+    # monotone in corpus size
+    sizes = [10**k for k in range(4, 15)]
+    plans = [recommend_n_planes(n) for n in sizes]
+    assert plans == sorted(plans)
+
+
+def test_embedding_near_dup_recall_at_higher_plane_count(spark):
+    """Doubling the plane count must not lose τ=0.99 pairs (near-identical
+    vectors agree on every sign bit) — the guarantee that lets n_planes
+    scale with corpus size without a recall trade."""
+    import random
+
+    from wistia_etl_pipeline_spark.functions.similarity import embedding_near_dup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v, "a"))
+        rows.append((i + 1000, [x * 1.0000001 for x in v], "a"))  # exact-dir dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+
+    def pairs(n_planes):
+        return {
+            (r.a_id, r.b_id)
+            for r in embedding_near_dup_pairs(
+                df, block_col="label", threshold=0.99, n_planes=n_planes, dim=16
+            ).collect()
+        }
+
+    p8, p16 = pairs(8), pairs(16)
+    injected = {(i, i + 1000) for i in range(60)}
+    assert injected <= p8
+    assert injected <= p16  # higher plane count keeps every true dup

@@ -104,6 +104,30 @@ def cosine_scores_pandas(
     return df.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
 
 
+def recommend_n_planes(
+    n_vectors: int, *, target_bucket_rows: int = 100_000
+) -> int:
+    """Plane count sized to the corpus — the knob that keeps LSH
+    bucketing viable at 100 TB.
+
+    Bucket-size math: ``n_planes`` sign bits split the corpus into
+    ``2^n_planes`` buckets; for roughly isotropic data the expected
+    bucket holds ``n_vectors / 2^n_planes`` rows, and the bucketed
+    self-join does ``O(bucket²)`` comparisons per bucket. A FIXED
+    8-plane setting (256 buckets) that is fine at 10⁶ vectors becomes
+    ~4·10⁸ rows per bucket at 10¹¹ — the round-1 scale flaw. Solving
+    ``n / 2^p ≤ target`` gives ``p = ⌈log2(n / target)⌉``; the floor of
+    8 keeps tiny corpora deterministic, the cap of 48 keeps signature
+    strings short. Every bucketing entrypoint takes ``n_planes``
+    explicitly — pass this helper's output (corpus count is one cheap
+    ``df.count()`` at index-build time) or a domain-informed choice."""
+    import math
+
+    if n_vectors <= 0:
+        return 8
+    return max(8, min(48, math.ceil(math.log2(max(1.0, n_vectors / target_bucket_rows)))))
+
+
 def deterministic_planes(n_planes: int, dim: int, *, salt: str = "wistia-lsh") -> list[list[float]]:
     """Fixed pseudo-random hyperplanes from md5 — no RNG state, so
     signatures are reproducible everywhere (they can be persisted as a
@@ -207,7 +231,11 @@ def embedding_near_dup_pairs(
     label column) — the self-join happens per bucket, never across the
     corpus. τ≈0.99 pairs almost surely agree on every sign bit, so
     bucket-equality loses ~nothing at dedup thresholds (unlike search
-    thresholds, where multi-probe matters)."""
+    thresholds, where multi-probe matters). RAISING ``n_planes`` only
+    tightens the blocking (more, smaller buckets) without changing
+    which τ-qualified pairs verify — size it with
+    :func:`recommend_n_planes` so per-bucket work stays bounded as the
+    corpus grows."""
     planes = deterministic_planes(n_planes, dim)
     keyed = df.select(
         F.col(id_col).alias("vid"),
