@@ -7,13 +7,17 @@
 
 Each query is materialized with the noop sink (full execution, no
 driver-side row transfer) after a warm-up of the session/JIT on a
-small query. Timings are per-query wall clock.
+small query. Per-query numbers are MEDIANS over
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) interleaved rounds — the
+whole set runs round-robin so one round's JIT/GC noise can't bias a
+single query — and the headline value is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,6 +58,7 @@ HEADLINE = [
     "text_chunking",              # token-window fan-out
     "dataset_split",              # hash split
     "text_redact_pii",            # regex scrubbing
+    "dedup_simhash_pairs",        # hamming band-join pair production
 ]
 
 
@@ -70,13 +75,18 @@ def main() -> None:
     # warm-up: JVM/JIT/codegen + parquet footer caches
     qs["gold_daily_rollup"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _round in range(n_runs):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,6 +97,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "runs_per_query": n_runs,
             }
         )
     )

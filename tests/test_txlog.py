@@ -1,0 +1,134 @@
+"""Transaction-log ACID table: snapshot isolation, crash consistency,
+optimistic concurrency, vacuum retention (sources/txlog.py — the
+crash-consistent MERGE path the vanilla rename-swap can't provide)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from wistia_etl_pipeline_spark.operators.merge import upsert
+from wistia_etl_pipeline_spark.sources.txlog import TxLogTable, _put_if_absent
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="b", v=2), Row(k="c", v=3)]
+    )
+
+
+def _stage(spark):
+    return spark.createDataFrame([Row(k="b", v=20), Row(k="d", v=40)])
+
+
+def test_overwrite_then_read_roundtrip(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    v = t.overwrite(_target(spark))
+    assert v == 0
+    assert _rows(t.read(spark)) == _rows(_target(spark))
+
+
+def test_merge_matches_vanilla_upsert(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.merge(spark, _stage(spark), ["k"])
+    want = _rows(upsert(_target(spark), _stage(spark), ["k"]))
+    assert _rows(t.read(spark)) == want
+
+
+def test_merge_idempotent_replay(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.merge(spark, _stage(spark), ["k"])
+    once = _rows(t.read(spark))
+    t.merge(spark, _stage(spark), ["k"])  # crash-replay of the same delta
+    assert _rows(t.read(spark)) == once
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    """Data files written without a log commit (crash between write and
+    commit) must never surface to readers."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    orphan = os.path.join(t.path, "data", "v00000001-deadbeef")
+    _stage(spark).write.parquet(orphan)  # the crash: no manifest follows
+    assert t.current_version() == 0
+    assert _rows(t.read(spark)) == _rows(_target(spark))
+    # vacuum reclaims the orphan, never the committed head
+    removed = t.vacuum(keep_versions=1)
+    assert orphan in removed
+    assert _rows(t.read(spark)) == _rows(_target(spark))
+
+
+def test_concurrent_reader_survives_commit(spark, tmp_path):
+    """A reader pinned to version N keeps working — and can re-collect —
+    while N+1 commits (the exact failure mode of overwrite-in-place)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    pinned = t.read(spark)  # snapshot at v0
+    before = _rows(pinned)
+    t.merge(spark, _stage(spark), ["k"])  # v1 commits underneath
+    assert _rows(pinned) == before  # re-collect: v0 files untouched
+    assert _rows(t.read(spark)) != before  # fresh read sees v1
+
+
+def test_put_if_absent_is_exclusive(tmp_path):
+    dst = str(tmp_path / "00000001.json")
+
+    def attempt(payload):
+        tmp = str(tmp_path / f".tmp-{payload}")
+        with open(tmp, "w") as f:
+            f.write(payload)
+        return _put_if_absent(tmp, dst)
+
+    assert attempt("winner") is True
+    assert attempt("loser") is False
+    assert open(dst).read() == "winner"
+    assert not any(p.name.startswith(".tmp") for p in tmp_path.iterdir())
+
+
+def test_lost_race_retries_against_fresh_snapshot(spark, tmp_path):
+    """Serializability: a writer that loses the commit race must
+    recompute its upsert on the NEW snapshot, not blind-publish."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+
+    # interleave: another writer commits k=c->300 between this merge's
+    # snapshot read and its commit attempt
+    real_commit = t._commit
+    interleaved = {"done": False}
+
+    def racing_commit(version, data_dir, **kw):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            other = TxLogTable(t.path)
+            other.merge(spark, spark.createDataFrame([Row(k="c", v=300)]), ["k"])
+        return real_commit(version, data_dir, **kw)
+
+    t._commit = racing_commit
+    t.merge(spark, _stage(spark), ["k"])
+    t._commit = real_commit
+
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    # both writers' effects survive: the lost race was replayed on v1
+    assert got == {"a": 1, "b": 20, "c": 300, "d": 40}
+    assert t.current_version() == 2
+
+
+def test_vacuum_retention(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.merge(spark, _stage(spark), ["k"])
+    t.merge(spark, spark.createDataFrame([Row(k="e", v=5)]), ["k"])
+    assert t.current_version() == 2
+    head = _rows(t.read(spark))
+    removed = t.vacuum(keep_versions=1)
+    assert len(removed) == 2  # v0 + v1 data gone
+    assert t.versions() == [2]
+    assert _rows(t.read(spark)) == head

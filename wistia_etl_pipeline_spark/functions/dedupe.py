@@ -230,10 +230,19 @@ def simhash_near_dup_pairs(
     sig_bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (a_id < b_id, hamming ≤
     ``max_hamming``) via a hamming band-join — the SimHash analogue of
     :func:`minhash_near_dup_pairs`'s LSH banding.
+
+    ``materialize`` persists the signature frame before the self-join:
+    both join sides reference it, and without a materialization Spark
+    recomputes the whole Arrow-batched signature stage twice (no
+    ReusedExchange across the differing band explodes). At corpus scale
+    the same principle says: WRITE signatures to a table at ingest and
+    band-join the table — signatures are computed once per document
+    lifetime, not once per dedup run.
 
     The signature is cut into ``n_bands`` disjoint bit-ranges; docs are
     self-joined ON EQUAL BANDS only, then candidates are verified with
@@ -260,6 +269,10 @@ def simhash_near_dup_pairs(
         ),
         "__nt",
     )
+    if materialize:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc",
         "simhash",

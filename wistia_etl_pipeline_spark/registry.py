@@ -312,9 +312,7 @@ def _latest_slice(events, before: bool):
     return _dlw(sliced, ["event_type"], [F.col("ts").desc(), F.col("event_id").desc()])
 
 
-@query(
-    "merge_upsert_by_key",
-    oracle=f"""
+_MERGE_BY_KEY_ORACLE = f"""
     WITH target AS (
         SELECT event_type, event_id, ts, value FROM events
         WHERE ts < TIMESTAMP '{_CUTOFF}'
@@ -330,8 +328,10 @@ def _latest_slice(events, before: bool):
     UNION ALL
     SELECT event_type AS media_id, event_id, epoch_us(ts) AS received_us, value
     FROM stage
-    """,
-)
+    """
+
+
+@query("merge_upsert_by_key", oracle=_MERGE_BY_KEY_ORACLE)
 def merge_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/J1 — delete-then-insert by single key (dim_media pattern,
     wistia_stored_procedures.py:3-42) as anti-join ∪ stage with the
@@ -1939,4 +1939,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(
         corpus, "doc_id", "text", sig_bits=60, n_bands=4, max_hamming=3
+    )
+
+
+@query("merge_upsert_acid", oracle=_MERGE_BY_KEY_ORACLE)
+def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 through the CRASH-CONSISTENT path: the same delete-then-insert
+    as ``merge_upsert_by_key``, but materialized via the transaction-log
+    table (sources/txlog.py — versioned immutable snapshots, atomic
+    put-if-absent log commit, serializable retry). Identical oracle to
+    the vanilla path: the protocol must change durability, never
+    results. The reference gets this property from Redshift running the
+    upsert inside a stored procedure (wistia_stored_procedures.py:3-42);
+    the rename-swap fallback (operators/merge.py) cannot give it to
+    concurrent readers — this table can (tests/test_txlog.py)."""
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    target, stage = _latest_slice(events, True), _latest_slice(events, False)
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_acid_") + "/tbl")
+    table.overwrite(target)
+    table.merge(spark, stage, ["event_type"])
+    return table.read(spark).select(
+        F.col("event_type").alias("media_id"),
+        "event_id",
+        F.unix_micros("ts").alias("received_us"),
+        "value",
     )

@@ -1,0 +1,198 @@
+"""Transaction-log ACID table over plain parquet — the crash-consistent
+MERGE path (SURVEY.md §7.4's "use Delta/Iceberg for true ACID", with the
+protocol implemented in-repo because neither ships in this environment).
+
+The reference gets transactional upsert for free from Redshift (the
+DELETE+INSERT runs inside a stored procedure,
+wistia_stored_procedures.py:3-85). ``operators/merge.merge_into_path``'s
+rename-swap is only near-atomic: a reader listing the directory during
+the swap can observe a missing or half-populated table. This module
+closes that gap with the same mechanics Delta Lake's protocol uses
+(the "Delta Lake: High-Performance ACID Table Storage" VLDB'20 design):
+
+- **Immutable versioned data**: every commit writes its full snapshot
+  under a fresh ``data/v{N}-{uuid}/`` directory; no commit ever mutates
+  or deletes files a previous version references.
+- **Atomic log commit**: a version exists iff ``_txlog/{N}.json``
+  exists. The manifest is staged to a temp name and published with a
+  PUT-IF-ABSENT (hard-link-then-unlink — atomic and exclusive on
+  POSIX; the HDFS equivalent is rename-without-overwrite, the S3
+  equivalent a conditional PUT / DynamoDB LogStore — that swap is the
+  single storage-specific primitive, isolated in ``_put_if_absent``).
+- **Readers pin a snapshot**: ``read()`` resolves the highest committed
+  manifest and scans only that version's directory. A crash between
+  data write and log commit leaves an orphan directory that no reader
+  ever sees; concurrent readers of version N keep working (and can
+  re-collect) while N+1 commits, because N's files are never touched.
+- **Optimistic concurrency**: two writers racing to version N both
+  write data, one wins the put-if-absent, the loser re-reads the NEW
+  snapshot, recomputes its upsert, and retries at N+1 — merge is
+  serializable, not last-write-wins.
+- **vacuum()** removes data directories no longer referenced by the
+  retained manifests — the only deletion in the protocol, explicitly
+  decoupled from commits so readers get a grace window.
+
+Scale note: this module commits O(1) small manifests per merge; the
+data write itself is the same distributed parquet write as the vanilla
+path. Snapshot-full rewrites (vs Delta's file-level add/remove) are the
+simplification — right for gold/dim-sized tables maintained by MERGE;
+a 100 TB fact table should be appended/partition-overwritten, not
+merge-rewritten, under either protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a merge loses the commit race ``max_retries`` times."""
+
+
+def _put_if_absent(tmp: str, dst: str) -> bool:
+    """Atomically publish ``tmp`` as ``dst`` iff ``dst`` doesn't exist.
+
+    POSIX primitive: ``link(2)`` fails with EEXIST if the target is
+    present and is atomic w.r.t. concurrent linkers — exactly the
+    put-if-absent a transaction log needs. Storage ports: HDFS
+    ``rename`` (no-overwrite mode), S3 conditional PUT.
+    """
+    try:
+        os.link(tmp, dst)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+class TxLogTable:
+    """A parquet table whose visible state is defined by a transaction
+    log — see module docstring for the protocol."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.log_dir = os.path.join(self.path, "_txlog")
+
+    # -- log ------------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, version: int, data_dir: str, *, meta: dict | None = None) -> bool:
+        """Publish ``version`` pointing at ``data_dir``. False = lost race."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        doc = {"version": version, "data_dir": os.path.relpath(data_dir, self.path)}
+        doc.update(meta or {})
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        return _put_if_absent(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+
+    # -- data -----------------------------------------------------------
+
+    def data_dir(self, version: int) -> str:
+        return os.path.join(self.path, self._manifest(version)["data_dir"])
+
+    def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame | None:
+        """The snapshot DataFrame at ``version`` (default: latest), or
+        ``None`` for an empty/never-committed table. The returned frame
+        stays valid across later commits — its files are immutable."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        return spark.read.parquet(self.data_dir(v))
+
+    def overwrite(self, df: DataFrame, *, max_retries: int = 5) -> int:
+        """Commit ``df`` as a full replacement snapshot; returns the
+        committed version."""
+        for _ in range(max_retries):
+            v = self.current_version()
+            next_v = 0 if v is None else v + 1
+            data_dir = os.path.join(
+                self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            df.write.mode("overwrite").parquet(data_dir)
+            if self._commit(next_v, data_dir):
+                return next_v
+            shutil.rmtree(data_dir, ignore_errors=True)  # lost race: orphan
+        raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
+
+    def merge(
+        self,
+        spark: SparkSession,
+        stage: DataFrame,
+        keys: Sequence[str],
+        *,
+        broadcast_stage: bool = True,
+        max_retries: int = 5,
+    ) -> int:
+        """Serializable MERGE (delete-then-insert by key): recomputes
+        the upsert against the CURRENT snapshot on every attempt, so a
+        lost commit race never produces last-write-wins anomalies.
+        Returns the committed version."""
+        from ..operators.merge import upsert
+
+        for _ in range(max_retries):
+            v = self.current_version()
+            target = self.read(spark, version=v)
+            merged = (
+                stage
+                if target is None
+                else upsert(target, stage, keys, broadcast_stage=broadcast_stage)
+            )
+            next_v = 0 if v is None else v + 1
+            data_dir = os.path.join(
+                self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            merged.write.mode("overwrite").parquet(data_dir)
+            if self._commit(next_v, data_dir, meta={"merge_keys": list(keys)}):
+                return next_v
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
+
+    # -- maintenance ----------------------------------------------------
+
+    def vacuum(self, *, keep_versions: int = 2) -> list[str]:
+        """Delete data directories not referenced by the newest
+        ``keep_versions`` manifests (and orphans from crashed/raced
+        commits). Returns the removed paths. Run on a cadence — the
+        retention window is the concurrent readers' grace period."""
+        keep_versions = max(1, keep_versions)  # never unlink the head
+        vs = self.versions()
+        keep = {self._manifest(v)["data_dir"] for v in vs[-keep_versions:]}
+        removed = []
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                rel = os.path.join("data", name)
+                full = os.path.join(data_root, name)
+                if rel not in keep and os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        for v in vs[:-keep_versions]:
+            os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+        return removed
