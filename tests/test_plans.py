@@ -174,3 +174,12 @@ def test_simhash_pairs_join_is_equi_on_bands(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The Q2-shaped correlated MIN must plan as aggregate + rejoin
+    (decorrelation), never nested-loop re-execution per outer row."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier_q2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -1970,3 +1970,185 @@ def merge_upsert_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("received_us"),
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth: Q2-shaped correlated subquery, Q7/Q8 multi-join windows
+# (round-1 deferred list; NOTES_r1.md)
+# --------------------------------------------------------------------------
+
+_Q2_SQL = """
+    SELECT DISTINCT p.p_partkey, s.s_name, n.n_name AS nation_name,
+                    l.l_extendedprice AS min_price
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey
+            AND l2.l_suppkey = s2.s_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("min_cost_supplier_q2", oracle=_Q2_SQL)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped CORRELATED SCALAR SUBQUERY: for every part, the
+    European supplier(s) whose line price equals that part's regional
+    minimum. Runs through the SQL front-end on purpose — Catalyst
+    DECORRELATES the inner MIN into a per-partkey aggregate joined back
+    to the outer block (no per-row re-execution; the same rewrite a
+    hand-written window-min would express), which is the only shape
+    that survives 100 TB. MIN over doubles is order-independent, and
+    min_price is an unrounded raw column value — deterministic on both
+    engines (determinism rule #2)."""
+    from .sql import register_tables
+
+    register_tables(
+        spark, sf_dir, tables=("part", "lineitem", "supplier", "nation", "region")
+    )
+    return spark.sql(_Q2_SQL)
+
+
+@query(
+    "volume_shipping_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1999-12-31 23:59:59'
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: lineitem⋈orders is the
+    only large shuffle; both nation lookups broadcast (fixed 25 rows —
+    the hint policy allows them); the date window pushes to the
+    lineitem scan. Revenue through the DECIMAL route."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        lineitem.filter(
+            F.col("l_shipdate").between("1996-01-01 00:00:00", "1999-12-31 23:59:59")
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue")
+    )
+
+
+@query(
+    "market_share_q8",
+    oracle="""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3's slice of the Asian
+    ECONOMY-part market by order year. The selective p_type filter
+    pushes into the part scan; nation/region lookups broadcast; the
+    share is a ratio of two DECIMAL-exact sums (numerator via
+    conditional aggregation — no second pass over the fact)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(25,6)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
