@@ -136,3 +136,31 @@ def test_salted_agg_matches_plain(spark):
         assert salted[k][0] == plain[k][0]
         assert abs(salted[k][1] - plain[k][1]) < 1e-6
         assert salted[k][2:] == plain[k][2:]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes the shuffle's shape, never the result — including
+    under heavy key skew and with keys missing from either side."""
+    from pyspark.sql import Row, functions as F
+
+    from wistia_etl_pipeline_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows), a cold key, and an unmatched key
+    fact = spark.createDataFrame(
+        [Row(k="hot", ev=i, v=float(i)) for i in range(900)]
+        + [Row(k="cold", ev=1000 + i, v=1.0) for i in range(90)]
+        + [Row(k="orphan", ev=2000 + i, v=2.0) for i in range(10)]
+    )
+    dim = spark.createDataFrame([Row(k="hot", tag="H"), Row(k="cold", tag="C"),
+                                 Row(k="unused", tag="U")])
+
+    plain = fact.join(dim, "k").groupBy("k", "tag").agg(
+        F.count("*").alias("n"), F.sum("ev").alias("s"))
+    salted = salted_join(fact, dim, ["k"], salt_from="ev", n_salts=8).groupBy(
+        "k", "tag").agg(F.count("*").alias("n"), F.sum("ev").alias("s"))
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+    # left join keeps orphans exactly once per fact row
+    lj = salted_join(fact, dim, ["k"], salt_from="ev", n_salts=8, how="left")
+    assert lj.filter(F.col("k") == "orphan").count() == 10
+    assert lj.count() == fact.count()

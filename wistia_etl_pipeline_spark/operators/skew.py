@@ -66,3 +66,39 @@ def salted_agg(
 
     partials = df.groupBy(*[F.col(k) for k in keys], salt).agg(*phase1_aggs)
     return partials.groupBy(*[F.col(k) for k in keys]).agg(*phase2_aggs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    *,
+    salt_from: Column | str,
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: spread each hot key of ``skewed`` over
+    ``n_salts`` reducer tasks.
+
+    Mechanics: the skewed side gets a deterministic salt
+    (``pmod(xxhash64(salt_from), n_salts)``); the other side is
+    replicated ×``n_salts`` (explode of a literal salt array) so every
+    (key, salt) shard finds its match. The join is then an ordinary
+    equi hash join on (keys…, salt) — a hot key that would have pinned
+    one 500 GB reducer partition becomes n_salts even shards.
+
+    Cost model: replication multiplies the OTHER side's shuffle volume
+    by n_salts — use this when ``other`` is much smaller than the hot
+    side but too big (or too mid-sized) to broadcast outright; AQE's
+    skew-join split is the zero-effort alternative for sort-merge
+    plans, salting is the structural fix that also covers aggregations
+    downstream. Deterministic salt ⇒ identical replays.
+
+    Returns the joined frame WITHOUT the helper salt columns.
+    """
+    salt_from = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    left = skewed.withColumn("__salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salts)))
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [*keys, "__salt"], how).drop("__salt")

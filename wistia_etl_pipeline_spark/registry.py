@@ -2152,3 +2152,136 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+# --------------------------------------------------------------------------
+# Skewed join, sketch anchors, multimodal frame sampling
+# --------------------------------------------------------------------------
+
+@query(
+    "salted_join_first_seen",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT e.event_type AS media_id,
+           COUNT(*) AS n_events,
+           SUM(epoch_us(e.ts) - epoch_us(f.first_ts)) AS total_us_since_first
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def salted_join_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant SALTED JOIN (operators/skew.salted_join): fact
+    events ⋈ per-user first-seen dim on a potentially hot user key.
+    The skewed side carries a deterministic salt; the dim replicates
+    ×n_salts; the join runs as an equi hash join on (user, salt), so
+    one viral visitor's 10⁹ events spread over 16 reducer shards
+    instead of pinning one. The oracle is the PLAIN join — salting
+    must never change results, only the shuffle's shape. Aggregates
+    are exact integer sums."""
+    from .operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = salted_join(
+        events, first_seen, ["user_id"], salt_from="event_id", n_salts=16
+    )
+    return joined.groupBy(F.col("event_type").alias("media_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.unix_micros("ts") - F.unix_micros("first_ts")).alias(
+            "total_us_since_first"
+        ),
+    )
+
+
+@query(
+    "approx_sketch_anchor",
+    oracle="""
+    SELECT event_type AS media_id,
+           COUNT(DISTINCT user_id) AS visitors_exact,
+           CAST(1 AS BIGINT) AS hll_within_10pct,
+           CAST(1 AS BIGINT) AS p50_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def approx_sketch_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches with a driver-visible correctness anchor (same pattern
+    as the IVF recall anchor): HLL ``approx_count_distinct`` and KLL
+    ``percentile_approx`` run next to their exact twins, and the query
+    emits THRESHOLDED error flags the oracle asserts — sketch estimates
+    aren't cross-engine reproducible, their error contracts are. At
+    100 TB the sketches are the production path (single-pass,
+    mergeable, no per-key exact-distinct shuffle); this query is the
+    standing proof their error stays inside the contract."""
+    events = load_table(spark, sf_dir, "events")
+    per_media = events.groupBy(F.col("event_type").alias("media_id")).agg(
+        F.count_distinct("user_id").alias("visitors_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        F.expr("percentile(value, 0.5)").alias("__p50_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__p50_approx"),
+    )
+    tol = F.abs(F.col("__p50_exact")) * 0.05 + F.lit(1e-6)
+    return per_media.select(
+        "media_id",
+        "visitors_exact",
+        (
+            F.abs(F.col("__hll") - F.col("visitors_exact"))
+            <= 0.10 * F.col("visitors_exact")
+        )
+        .cast("long")
+        .alias("hll_within_10pct"),
+        (F.abs(F.col("__p50_approx") - F.col("__p50_exact")) <= tol)
+        .cast("long")
+        .alias("p50_within_tol"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT 'd' || CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(n_chars AS BIGINT) % 120 + 1 AS n_frames,
+           unnest(range(0, CAST(n_chars AS BIGINT) % 120 + 1, 10)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing driver-checked end-to-end:
+    synthesize payloads, decode headers (Arrow-batched mapInPandas),
+    fan out one row per sampled frame index via a lateral explode of a
+    sequence — pure expressions after the decode, no Python in the
+    fan-out. Like multimodal_decode_stats, the expected output is
+    arithmetic on documents (frames = n_chars%120+1, every 10th frame),
+    so the oracle re-derives it exactly."""
+    import pandas as pd
+
+    from .functions.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        from wistia_etl_pipeline_spark.functions.multimodal import encode_fake_payload
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].map(lambda d: f"d{d}"),
+                    "payload": [
+                        encode_fake_payload(
+                            int(n % 1920) + 1, int(n % 1080) + 1, int(n % 120) + 1
+                        )
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id", "n_chars").mapInPandas(
+        synth, "media_id string, payload binary"
+    )
+    out = frame_sample_plan(media.withColumn("kind", F.lit("video")), every_n=10)
+    return out.select(
+        "media_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
