@@ -183,3 +183,49 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
+    """Morton-key clustering must keep row-group min/max tight on BOTH
+    cluster columns; a single-column sort only helps its own column."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.sources.writers import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events", raw=True).select("ts", "value")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    opts = {"parquet.block.size": str(32 * 1024)}
+    write_zorder_parquet(events, zpath, cluster_cols=["ts", "value"],
+                         n_files=1, **opts)
+    write_sorted_parquet(events.repartition(1), spath, sort_cols=["ts"], **opts)
+
+    def avg_span(path, col):
+        spans = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            for i in range(meta.num_row_groups):
+                rg = meta.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        spans.append(c.statistics.max - c.statistics.min)
+        return sum(spans) / len(spans), len(spans)
+
+    z_val, n = avg_span(zpath, "value")
+    if n < 4:
+        pytest.skip("too few row groups at this SF")
+    s_val, _ = avg_span(spath, "value")
+    z_ts, _ = avg_span(zpath, "ts")
+    s_ts, _ = avg_span(spath, "ts")
+    # ts-sorted layout leaves `value` row groups spanning ~the domain;
+    # z-order keeps both materially tighter than the worst case
+    assert z_val < 0.75 * s_val
+    # and ts skipping is retained within a bounded factor of the
+    # dedicated single-column sort
+    assert z_ts < 8 * s_ts

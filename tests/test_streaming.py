@@ -122,3 +122,50 @@ def test_streaming_gold_merge_converges(spark, tmp_path):
     assert gold["2024-01-01"].load_count == 3
     assert gold["2024-01-01"].play_count == 2
     assert gold["2024-01-02"].load_count == 1
+
+
+def test_streaming_merge_acid_sink(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE through the transaction-log table: batches
+    land as committed versions; a reader pinned before the stream ran
+    still re-collects its snapshot afterwards (no read outage)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.sources.txlog import TxLogTable
+    from wistia_etl_pipeline_spark.streaming.pipeline import run_silver_stream
+
+    bronze = str(tmp_path / "bronze")
+    target = str(tmp_path / "silver_tx")
+    events = [
+        {"event_key": f"e{i}", "received_at": f"2024-01-01T0{i}:00:00Z",
+         "percent_viewed": 0.5, "visitor_key": f"v{i}", "media_id": "m1",
+         "media_name": "M1"}
+        for i in range(4)
+    ]
+    import json as _json
+    import os
+
+    os.makedirs(bronze)
+    with open(os.path.join(bronze, "b1.json"), "w") as f:
+        for e in events[:2]:
+            f.write(_json.dumps(e) + "\n")
+
+    q = run_silver_stream(spark, bronze, target, str(tmp_path / "ck1"), acid=True)
+    q.awaitTermination(60)
+    table = TxLogTable(target)
+    v_after_first = table.current_version()
+    assert v_after_first is not None  # at least one committed version
+    pinned = table.read(spark)
+    assert pinned.count() == 2
+
+    # second batch (new file + a replayed duplicate) through a fresh run
+    with open(os.path.join(bronze, "b2.json"), "w") as f:
+        for e in events[1:]:
+            f.write(_json.dumps(e) + "\n")
+    q2 = run_silver_stream(spark, bronze, target, str(tmp_path / "ck1"), acid=True)
+    q2.awaitTermination(60)
+
+    latest = table.read(spark)
+    assert latest.count() == 4  # replayed e1 converged, e2/e3 added
+    assert pinned.count() == 2  # pinned snapshot still re-collects

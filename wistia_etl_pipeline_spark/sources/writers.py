@@ -129,6 +129,87 @@ def compact_parquet(
     return n_files
 
 
+def zorder_value(df: DataFrame, cols: Sequence[str], *, bits: int = 16):
+    """Z-order (Morton) key for multi-column clustering, as a pure
+    codegen expression.
+
+    Each column is min/max-normalized into a ``bits``-bit integer (one
+    tiny agg to fetch the bounds), then the bit-planes are interleaved:
+    bit i of column j lands at position ``i*len(cols)+j``. Sorting by
+    the interleaved key gives EVERY participating column locally-tight
+    row-group min/max ranges — a single-column sort optimizes one
+    column's skipping and destroys the others'.
+
+    Returns ``(df_with_bounds, zcol)`` where ``zcol`` references only
+    projection columns of the returned frame.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    ).collect()[0]
+    scaled = df
+    max_val = (1 << bits) - 1
+    for c in cols:
+        lo = float(bounds[f"__min_{c}"])
+        hi = float(bounds[f"__max_{c}"])
+        span = (hi - lo) or 1.0
+        scaled = scaled.withColumn(
+            f"__z_{c}",
+            F.least(
+                F.lit(max_val),
+                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_val).cast(
+                    "long"
+                ),
+            ),
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"__z_{c}"), bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + j,
+            )
+    return scaled, z.alias("__zorder")
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_cols: Sequence[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Multi-column clustered write: range-partition and sort by the
+    Morton key so row-group statistics stay tight on ALL
+    ``cluster_cols`` — pushed-down predicates on any of them skip row
+    groups (the capability Delta's OPTIMIZE ZORDER BY provides; here
+    it's a write-layout decision on plain parquet). Use for the 2-4
+    dominant filter columns of a 100 TB table; for exactly one filter
+    column prefer :func:`write_sorted_parquet` (a plain sort is the
+    optimal 1-D clustering)."""
+    scaled, z = zorder_value(df, cluster_cols, bits=bits)
+    keyed = scaled.withColumn("__zorder", z)
+    # range-partition on the Morton key (disjoint z-ranges per file),
+    # then sort within: row groups carve contiguous z-space
+    keyed = (
+        keyed.repartitionByRange(n_files, "__zorder")
+        if n_files
+        else keyed.repartitionByRange("__zorder")
+    )
+    clustered = keyed.sortWithinPartitions("__zorder").drop(
+        "__zorder", *[f"__z_{c}" for c in cluster_cols]
+    )
+    writer = clustered.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.parquet(path)
+
+
 def write_sorted_parquet(
     df: DataFrame,
     path: str,

@@ -109,16 +109,28 @@ def streaming_daily_rollup(
 
 
 def merge_batch_sink(
-    target_path: str, keys: Sequence[str]
+    target_path: str, keys: Sequence[str], *, acid: bool = False
 ) -> Callable[[DataFrame, int], None]:
     """ST6/A7 — a foreachBatch sink that MERGEs each micro-batch into a
     parquet target by key. Re-executed batches converge (idempotent);
     within-batch duplicates are collapsed first so the merge key is
-    unique."""
+    unique.
+
+    ``acid=True`` commits through the transaction-log table
+    (sources/txlog.py): concurrent readers keep their snapshot while
+    micro-batches land, and a crash mid-batch leaves the previous
+    version intact — streaming maintenance of a serving table without
+    a read outage. The vanilla path stays the default (one fewer
+    indirection when nothing reads the target mid-stream)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch = dedup_exact(batch_df, keys)
-        merge_into_path(batch.sparkSession, batch, target_path, keys)
+        if acid:
+            from ..sources.txlog import TxLogTable
+
+            TxLogTable(target_path).merge(batch.sparkSession, batch, keys)
+        else:
+            merge_into_path(batch.sparkSession, batch, target_path, keys)
 
     return apply
 
@@ -132,10 +144,12 @@ def run_silver_stream(
     watermark_delay: str = "1 day",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    acid: bool = False,
 ):
     """EP2 as a stream: bronze JSON → flatten → dedup → MERGE into the
     silver table. ``Trigger.AvailableNow`` + the offset checkpoint give
     the reference's bounded-run/resume behavior (ST2) for free.
+    ``acid=True`` routes the merge through the transaction-log table.
 
     Returns the started StreamingQuery (call ``awaitTermination()``).
     """
@@ -146,7 +160,9 @@ def run_silver_stream(
         watermark_delay=watermark_delay,
     )
     writer = (
-        stream.writeStream.foreachBatch(merge_batch_sink(target_path, ["event_key"]))
+        stream.writeStream.foreachBatch(
+            merge_batch_sink(target_path, ["event_key"], acid=acid)
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
