@@ -2285,3 +2285,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         F.col("frame_idx").cast("long").alias("frame_idx"),
     )
+
+
+@query(
+    "distributed_ingest_fanout",
+    oracle="""
+    SELECT event_type AS media_id,
+           CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) AS n_pages,
+           COUNT(*) AS n_events,
+           CAST(1 AS BIGINT) AS all_completed
+    FROM events GROUP BY 1
+    """,
+)
+def distributed_ingest_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 at CLUSTER scale: the bounded page loop fanned out over
+    executors with mapInPandas (sources/rest_source.
+    fetch_media_pages_distributed) — one task per media slice, each
+    running the same retry/termination loop the driver-side reference
+    uses (bronze.py:204-232), so ingestion bandwidth scales with the
+    cluster instead of one driver. The transport is a deterministic
+    in-closure pager over the events table; the oracle recounts pages
+    (ceil(n/500)) and events per media, and asserts every pull
+    completed."""
+    import json as _json
+
+    from .sources.rest_source import PullConfig, fetch_media_pages_distributed
+
+    per_page = 500
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_id", "event_type").collect()
+    feeds: dict[str, list[dict]] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.event_id)):
+        feeds.setdefault(r.event_type, []).append({"event_id": r.event_id})
+
+    def url_for(media: str, page: int) -> str:
+        return f"mem://events?media={media}&page={page}"
+
+    def transport_factory():
+        def transport(url: str):
+            media = url.split("media=")[1].split("&")[0]
+            page = int(url.split("page=")[1])
+            feed = feeds[media]
+            chunk = feed[(page - 1) * per_page : page * per_page]
+            return 200, _json.dumps(
+                {"data": chunk, "total": len(feed), "per_page": per_page}
+            ).encode()
+
+        return transport
+
+    pages = fetch_media_pages_distributed(
+        spark,
+        sorted(feeds),
+        url_for,
+        transport_factory,
+        config=PullConfig(per_page=per_page, max_pages=100),
+    )
+    return pages.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.json_array_length("payload")).alias("n_events"),
+        F.min(F.col("completed").cast("long")).alias("all_completed"),
+    )
