@@ -59,6 +59,13 @@ HEADLINE = [
     "dataset_split",              # hash split
     "text_redact_pii",            # regex scrubbing
     "dedup_simhash_pairs",        # hamming band-join pair production
+    "min_cost_supplier_q2",       # decorrelated correlated subquery
+    "volume_shipping_q7",         # Q7 multi-join date window
+    "market_share_q8",            # Q8 conditional-agg market share
+    "salted_join_first_seen",     # skew-resistant salted join
+    "grouped_outlier_profile",    # grouped-map pandas (median/MAD)
+    "cogroup_asof_checkpoint",    # cogroup pandas (merge_asof per key)
+    "merge_upsert_acid",          # txlog ACID merge
 ]
 
 

@@ -2345,3 +2345,92 @@ def distributed_ingest_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.json_array_length("payload")).alias("n_events"),
         F.min(F.col("completed").cast("long")).alias("all_completed"),
     )
+
+
+@query(
+    "grouped_outlier_profile",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               median(value) AS med_value,
+               mad(value) AS mad_value
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type AS media_id,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN abs(e.value - s.med_value) > 3 * s.mad_value
+                      THEN 1 END) AS n_outliers,
+           MIN(s.med_value) AS med_value,
+           MIN(s.mad_value) AS mad_value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY 1
+    """,
+)
+def grouped_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-MAP pandas surface (groupBy().applyInPandas — the one
+    Python-worker shape the engine hadn't driver-checked): per-media
+    robust outlier profile via median/MAD, which have no algebraic
+    (partial-mergeable) decomposition and therefore no built-in
+    single-pass JVM form. DuckDB's median/mad implement the identical
+    interpolated order statistics, so the raw doubles hash-match
+    (operators/grouped.py)."""
+    from .operators.grouped import grouped_robust_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_robust_outliers(events, key="event_type", value="value").select(
+        F.col("event_type").alias("media_id"),
+        "n",
+        "n_outliers",
+        "med_value",
+        "mad_value",
+    )
+
+
+@query(
+    "cogroup_asof_checkpoint",
+    oracle="""
+    WITH cpv AS (
+        SELECT user_id, ts AS cp_ts, value AS cp_value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) = 1
+    )
+    SELECT e.user_id AS visitor_key, epoch_us(e.ts) AS ts_us,
+           e.value, c.cp_value
+    FROM events e ASOF JOIN cpv c
+      ON e.user_id = c.user_id AND e.ts >= c.cp_ts
+    """,
+)
+def cogroup_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUP pandas surface (groupBy().cogroup().applyInPandas — both
+    sides of one key co-shuffled into a single kernel): every event
+    as-of merged with its user's latest daily checkpoint (first event
+    of the day), via pd.merge_asof per user. Verified against DuckDB's
+    NATIVE ASOF JOIN — the kernel's semantics must equal the relational
+    operator's (operators/grouped.cogrouped_asof_merge)."""
+    from pyspark.sql import Window
+
+    from .operators.grouped import cogrouped_asof_merge
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    cpv = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value")
+        )
+    )
+    merged = cogrouped_asof_merge(
+        events.select("user_id", "ts", "value"),
+        cpv,
+        key="user_id",
+        left_time="ts",
+        right_time="cp_ts",
+        value_cols=("value", "cp_value"),
+    )
+    return merged.select(
+        F.col("user_id").alias("visitor_key"),
+        F.unix_micros("__lt").alias("ts_us"),
+        "value",
+        "cp_value",
+    )
