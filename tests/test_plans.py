@@ -229,3 +229,12 @@ def test_zorder_write_tightens_both_columns(spark, sf_dir, tmp_path):
     # and ts skipping is retained within a bounded factor of the
     # dedicated single-column sort
     assert z_ts < 8 * s_ts
+
+
+def test_q7_date_window_pushes_to_scan(spark, sf_dir):
+    """The Q7 ship-date window must reach the lineitem parquet scan
+    (l_shipdate is micros-NTZ — no conversion expression hides it)."""
+    plan = _plan(spark, sf_dir, "volume_shipping_q7")
+    # (the executed-plan string truncates long filter lists, so assert
+    # the lower bound only — both bounds push together or not at all)
+    assert "GreaterThanOrEqual(l_shipdate" in plan

@@ -132,3 +132,32 @@ def test_vacuum_retention(spark, tmp_path):
     assert len(removed) == 2  # v0 + v1 data gone
     assert t.versions() == [2]
     assert _rows(t.read(spark)) == head
+
+
+def test_manifest_stats_enable_file_skipping(spark, tmp_path):
+    """Commits record per-file min/max; a ranged read opens only the
+    overlapping files and still returns exactly the filtered rows."""
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("k2",))
+    # 4 files with disjoint k2 ranges (repartitionByRange + sorted write)
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k2"), (F.col("id") % 7).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(4, "k2").sortWithinPartitions("k2"))
+
+    manifest_files = t._manifest(t.current_version())["files"]
+    assert len(manifest_files) == 4
+    assert all(f["stats"]["k2"] for f in manifest_files)
+
+    # a range inside one file's span opens 1 file, not 4
+    assert t.files_scanned(where=("k2", 100, 200)) == 1
+    got = t.read(spark, where=("k2", 100, 200))
+    assert got.count() == 101
+    assert {r.k2 for r in got.collect()} == set(range(100, 201))
+
+    # a range outside every file opens 0 and returns empty w/ schema
+    assert t.files_scanned(where=("k2", 10_000, 20_000)) == 0
+    empty = t.read(spark, where=("k2", 10_000, 20_000))
+    assert empty.count() == 0 and set(empty.columns) == {"k2", "v"}
+
+    # unranged read is the full snapshot
+    assert t.read(spark).count() == 4000

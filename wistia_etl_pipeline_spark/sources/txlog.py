@@ -72,13 +72,59 @@ def _put_if_absent(tmp: str, dst: str) -> bool:
         os.unlink(tmp)
 
 
+def _collect_file_stats(
+    data_dir: str, stats_cols: Sequence[str]
+) -> list[dict]:
+    """Per-file min/max for ``stats_cols`` from parquet footers (the
+    manifest-level data-skipping index — what Delta stores per add-file).
+    Driver-side, O(#files) footer reads — cheap next to the write."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(data_dir, name)
+        meta = pq.ParquetFile(full).metadata
+        stats: dict[str, list] = {}
+        for rg_i in range(meta.num_row_groups):
+            rg = meta.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                cname = col.path_in_schema
+                if cname not in stats_cols or col.statistics is None:
+                    continue
+                lo, hi = col.statistics.min, col.statistics.max
+                if not isinstance(lo, (int, float, str)):
+                    # only JSON-comparable stats are indexed (store
+                    # timestamps as epoch-micros columns to skip on them)
+                    continue
+                cur = stats.get(cname)
+                stats[cname] = (
+                    [lo, hi]
+                    if cur is None
+                    else [min(cur[0], lo), max(cur[1], hi)]
+                )
+        out.append({"file": name, "rows": meta.num_rows, "stats": stats})
+    return out
+
+
 class TxLogTable:
     """A parquet table whose visible state is defined by a transaction
-    log — see module docstring for the protocol."""
+    log — see module docstring for the protocol.
 
-    def __init__(self, path: str):
+    ``stats_cols`` enables manifest-level DATA SKIPPING: each commit
+    records per-file min/max for those columns, and
+    ``read(where=(col, lo, hi))`` plans a scan over only the files
+    whose range overlaps — the table-format half of predicate pruning
+    (row-group skipping inside each file still happens via parquet
+    pushdown). Pair with a sorted/Z-ordered write so file ranges are
+    tight."""
+
+    def __init__(self, path: str, *, stats_cols: Sequence[str] = ()):
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, "_txlog")
+        self.stats_cols = tuple(stats_cols)
 
     # -- log ------------------------------------------------------------
 
@@ -117,14 +163,67 @@ class TxLogTable:
     def data_dir(self, version: int) -> str:
         return os.path.join(self.path, self._manifest(version)["data_dir"])
 
-    def read(self, spark: SparkSession, *, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        *,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame | None:
         """The snapshot DataFrame at ``version`` (default: latest), or
         ``None`` for an empty/never-committed table. The returned frame
-        stays valid across later commits — its files are immutable."""
+        stays valid across later commits — its files are immutable.
+
+        ``where=(col, lo, hi)`` additionally prunes at the FILE level
+        using the manifest's per-file min/max (files whose recorded
+        range misses [lo, hi] are never opened) and applies the exact
+        range filter on what remains — the same two-tier skipping Delta
+        does with add-file stats + parquet row groups."""
+        from pyspark.sql import functions as F
+
         v = self.current_version() if version is None else version
         if v is None:
             return None
-        return spark.read.parquet(self.data_dir(v))
+        data_dir = self.data_dir(v)
+        if where is None:
+            return spark.read.parquet(data_dir)
+        col, lo, hi = where
+        manifest = self._manifest(v)
+        files = manifest.get("files")
+        paths = [data_dir]
+        if files:
+            kept = []
+            for f in files:
+                rng = (f.get("stats") or {}).get(col)
+                if rng is None or not (rng[1] < lo or rng[0] > hi):
+                    kept.append(os.path.join(data_dir, f["file"]))
+            paths = kept
+        if not paths:  # every file pruned: empty frame, correct schema
+            return (
+                spark.read.parquet(data_dir)
+                .filter(F.lit(False))
+            )
+        return spark.read.parquet(*paths).filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
+
+    def files_scanned(self, *, version: int | None = None,
+                      where: tuple[str, object, object] | None = None) -> int:
+        """How many data files a ``read(where=...)`` would open —
+        observability for the skipping tests/dashboards."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return 0
+        files = self._manifest(v).get("files") or []
+        if where is None or not files:
+            return len(files)
+        col, lo, hi = where
+        n = 0
+        for f in files:
+            rng = (f.get("stats") or {}).get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                n += 1
+        return n
 
     def overwrite(self, df: DataFrame, *, max_retries: int = 5) -> int:
         """Commit ``df`` as a full replacement snapshot; returns the
@@ -136,10 +235,15 @@ class TxLogTable:
                 self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
             )
             df.write.mode("overwrite").parquet(data_dir)
-            if self._commit(next_v, data_dir):
+            if self._commit(next_v, data_dir, meta=self._stats_meta(data_dir)):
                 return next_v
             shutil.rmtree(data_dir, ignore_errors=True)  # lost race: orphan
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
+
+    def _stats_meta(self, data_dir: str) -> dict:
+        if not self.stats_cols:
+            return {}
+        return {"files": _collect_file_stats(data_dir, self.stats_cols)}
 
     def merge(
         self,
@@ -169,7 +273,8 @@ class TxLogTable:
                 self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
             )
             merged.write.mode("overwrite").parquet(data_dir)
-            if self._commit(next_v, data_dir, meta={"merge_keys": list(keys)}):
+            meta = {"merge_keys": list(keys), **self._stats_meta(data_dir)}
+            if self._commit(next_v, data_dir, meta=meta):
                 return next_v
             shutil.rmtree(data_dir, ignore_errors=True)
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
