@@ -77,3 +77,41 @@ def test_rollup_exact_mode_matches_plain(spark):
     # exact mode quantizes inputs to DECIMAL(25,6) → agrees within 1e-6
     assert abs(plain.engagement - exact.engagement) < 1e-5
     assert plain.load_count == exact.load_count == 100
+
+
+def test_incremental_agg_order_independent(spark):
+    """Folding batches in ANY order must equal the single-shot
+    aggregate (the algebraic-aggregate contract; DECIMAL sums make the
+    combine exact)."""
+    from pyspark.sql import Row
+
+    from wistia_etl_pipeline_spark.operators.incremental_agg import (
+        finalize,
+        merge_state,
+        partial_state,
+    )
+
+    rows = [Row(k="a", v=float(i) / 7) for i in range(50)] + [
+        Row(k="b", v=None),
+        Row(k="b", v=3.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    batches = [df.filter(F.crc32(F.col("v").cast("string")) % 3 == i) for i in range(3)]
+    # include the null row (crc32(null) is null -> excluded by all three)
+    batches.append(df.filter(F.col("v").isNull()))
+
+    def fold(order):
+        st = None
+        for b in order:
+            st = merge_state(st, partial_state(b, ["k"], value_cols=["v"]),
+                             ["k"], value_cols=["v"])
+        return {tuple(r) for r in finalize(st, ["k"], value_cols=["v"]).collect()}
+
+    single = {
+        tuple(r)
+        for r in finalize(
+            partial_state(df, ["k"], value_cols=["v"]), ["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert fold(batches) == single
+    assert fold(list(reversed(batches))) == single

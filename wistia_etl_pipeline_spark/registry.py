@@ -2447,3 +2447,41 @@ def cogroup_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "cp_value",
     )
+
+
+@query(
+    "incremental_gold_maintenance",
+    oracle="""
+    SELECT event_type AS media_id,
+           COUNT(*) AS n_rows,
+           COUNT(value) AS value_cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS value_sum_d,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value), 6)
+               AS value_avg
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE (operators/incremental_agg.py):
+    the gold table kept as mergeable partial-aggregate state instead of
+    recomputed from history — each batch folds O(|batch| keys) state
+    rows, the history never rescans (the reference's full stored-proc
+    recompute is a 100 TB table rewrite). Here the events table is
+    split into 3 deterministic batches, folded batch-by-batch through
+    partial_state → merge_state, then finalized; the oracle is the
+    single-shot aggregate over ALL events — maintenance must converge
+    to exactly the from-scratch answer (DECIMAL-exact sums make the
+    fold order-independent)."""
+    from .operators.incremental_agg import finalize, merge_state, partial_state
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("media_id"), "event_id", "value"
+    )
+    state = None
+    for i in range(3):
+        batch = events.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        bstate = partial_state(batch, ["media_id"], value_cols=["value"])
+        state = merge_state(state, bstate, ["media_id"], value_cols=["value"])
+    return finalize(state, ["media_id"], value_cols=["value"])
