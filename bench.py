@@ -66,6 +66,7 @@ HEADLINE = [
     "grouped_outlier_profile",    # grouped-map pandas (median/MAD)
     "cogroup_asof_checkpoint",    # cogroup pandas (merge_asof per key)
     "merge_upsert_acid",          # txlog ACID merge
+    "incremental_gold_maintenance",  # partial-aggregate state fold
 ]
 
 

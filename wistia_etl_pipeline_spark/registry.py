@@ -2485,3 +2485,41 @@ def incremental_gold_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         bstate = partial_state(batch, ["media_id"], value_cols=["value"])
         state = merge_state(state, bstate, ["media_id"], value_cols=["value"])
     return finalize(state, ["media_id"], value_cols=["value"])
+
+
+@query(
+    "variant_try_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(event_type AS DOUBLE) AS etype_num,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+                THEN NULL
+                ELSE value / CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS per_k,
+           epoch_us(TRY_CAST(event_type AS TIMESTAMP)) AS bad_ts_us
+    FROM events
+    """,
+)
+def variant_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern semi-structured + error-safe scalar surface: VARIANT JSON
+    (``parse_json`` once, typed ``variant_get`` extraction — the
+    Spark 4 path that beats per-path string re-parsing of
+    ``get_json_object``) and the ``try_*`` family (NULL instead of
+    runtime error: the 100 TB property that one malformed row must
+    never kill a stage). per-row doubles stay unrounded (rule #2)."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    staged = events.select(
+        "event_id",
+        "value",
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+    )
+    return staged.select(
+        "event_id",
+        "k_int",
+        F.col("event_type").try_cast("double").alias("etype_num"),
+        F.try_divide(F.col("value"), F.col("k_int")).alias("per_k"),
+        F.unix_micros(F.try_to_timestamp(F.col("event_type"))).alias("bad_ts_us"),
+    )
