@@ -169,3 +169,74 @@ def test_streaming_merge_acid_sink(spark, sf_dir, tmp_path):
     latest = table.read(spark)
     assert latest.count() == 4  # replayed e1 converged, e2/e3 added
     assert pinned.count() == 2  # pinned snapshot still re-collects
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: impressions joined to purchases
+    within a 1-hour interval — both sides watermarked so join state is
+    BOUNDED (without the time condition + watermarks, stream-stream
+    join state grows forever at 100 TB)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    imp_dir, pur_dir = str(tmp_path / "imp"), str(tmp_path / "pur")
+    os.makedirs(imp_dir); os.makedirs(pur_dir)
+    with open(os.path.join(imp_dir, "a.json"), "w") as f:
+        for i, h in enumerate([1, 2, 10]):
+            f.write(_json.dumps({"user": f"u{i%2}", "imp_id": f"i{i}",
+                                 "imp_at": f"2024-01-01T0{h}:00:00Z" if h < 10
+                                 else f"2024-01-01T{h}:00:00Z"}) + "\n")
+    with open(os.path.join(pur_dir, "b.json"), "w") as f:
+        # u0 purchases 30 min after imp at 01:00 (joins); u1 purchases
+        # 5 h after imp at 02:00 (outside the interval — must not join)
+        f.write(_json.dumps({"user": "u0", "pur_id": "p0",
+                             "pur_at": "2024-01-01T01:30:00Z"}) + "\n")
+        f.write(_json.dumps({"user": "u1", "pur_id": "p1",
+                             "pur_at": "2024-01-01T07:00:00Z"}) + "\n")
+
+    imps = (spark.readStream.schema("user string, imp_id string, imp_at string")
+            .json(imp_dir)
+            .withColumn("imp_at", F.to_timestamp("imp_at"))
+            .withWatermark("imp_at", "2 hours"))
+    purs = (spark.readStream.schema("user string, pur_id string, pur_at string")
+            .json(pur_dir)
+            .withColumn("pur_at", F.to_timestamp("pur_at"))
+            .withWatermark("pur_at", "2 hours"))
+    joined = imps.join(
+        purs,
+        (imps.user == purs.user)
+        & (purs.pur_at >= imps.imp_at)
+        & (purs.pur_at <= imps.imp_at + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(imps.user, "imp_id", "pur_id")
+
+    out = str(tmp_path / "out")
+    q = (joined.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.user, r.imp_id, r.pur_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {("u0", "i0", "p0")}
+
+
+def test_observe_metrics_on_batch(spark, sf_dir):
+    """df.observe(): accumulator-style pipeline metrics collected as a
+    side effect of the action — row counts / null counts / sums for
+    data-quality dashboards without a second scan."""
+    from pyspark.sql import Observation, functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    obs = Observation("quality")
+    events = load_table(spark, sf_dir, "events")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    )
+    n = observed.count()
+    assert obs.get["n"] == n
+    assert obs.get["null_values"] == 0
