@@ -2523,3 +2523,80 @@ def variant_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("value"), F.col("k_int")).alias("per_k"),
         F.unix_micros(F.try_to_timestamp(F.col("event_type"))).alias("bad_ts_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution: pairs -> connected components -> canonical
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    assign AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT cluster_id,
+           COUNT(*)    AS cluster_size,
+           MAX(doc_id) AS max_member
+    FROM assign GROUP BY cluster_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline the reference's silver dedup
+    gestures at (wistia_transform_silver.py:29-54 drops exact-key dups;
+    a training corpus needs *near*-dup clusters): MinHash pairs →
+    distributed connected components (alternating large-star/small-star,
+    functions/graph.py — O(log n) rounds, never a driver-side adjacency)
+    → total cluster assignment with cluster_id = min member (the
+    keep-first canonical rule) → per-cluster rollup. The DuckDB oracle
+    recomputes the SAME pairs and closes them with a recursive CTE —
+    an independent reachability formulation, so the differential test
+    covers the star-contraction logic itself, not just plumbing."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import dup_clusters as _clusters
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    assign = _clusters(pairs, universe=corpus)
+    return assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("doc_id").alias("max_member"),
+    )
