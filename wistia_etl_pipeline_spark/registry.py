@@ -2600,3 +2600,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("doc_id").alias("max_member"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset curation: deterministic stratified sampling + per-group caps
+# --------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 0.25, "zh": 0.5, "fr": 0.75, "de": 0.75, "es": 0.75}
+
+
+def _strat_oracle() -> str:
+    from .functions.sampling import threshold
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {threshold(rate)}" for lang, rate in _STRAT_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 15))::BIGINT
+          < (CASE lang {cases} ELSE 0 END)
+    """
+
+
+@query("stratified_sample_docs", oracle=_strat_oracle())
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-balancing: per-language sampling rates applied as ONE
+    scan-time filter (functions/sampling.py). Membership is
+    md5(id‖seed) < floor(rate·2^60) — an integer comparison, so the
+    sample is identical across engines, partitionings, and re-runs
+    (the property that makes incremental curation runs composable).
+    No shuffle anywhere in the plan."""
+    from .functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _STRAT_RATES, "doc_id", seed="s1").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "group_capped_docs",
+    oracle="""
+    SELECT doc_id, source, samp_rank FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15))::BIGINT,
+                            doc_id
+               ) AS samp_rank
+        FROM documents
+    ) WHERE samp_rank <= 18
+    """,
+)
+def group_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the "no single domain dominates" rule):
+    deterministic uniform draw without replacement via smallest-hash
+    top-k per group. One shuffle on the group key; scale notes for hot
+    groups in functions/sampling.py (sketch pre-filter / salted window
+    compose because membership is partitioning-independent)."""
+    from .functions.sampling import group_capped_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_capped_sample(docs, "source", 18, "doc_id", seed="cap").select(
+        "doc_id", "source", "samp_rank"
+    )
