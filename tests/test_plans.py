@@ -238,3 +238,40 @@ def test_q7_date_window_pushes_to_scan(spark, sf_dir):
     # (the executed-plan string truncates long filter lists, so assert
     # the lower bound only — both bounds push together or not at all)
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_subquery_pack_decorrelates_to_hash_joins(spark, sf_dir):
+    # Q4 EXISTS -> semi; Q16 NOT IN -> null-aware anti; Q18 IN -> semi;
+    # Q22 NOT EXISTS -> anti. All must be hash joins — a
+    # BroadcastNestedLoopJoin here means decorrelation failed and the
+    # query re-executes the inner block per row at scale.
+    for name in (
+        "order_priority_q4",
+        "supplier_cnt_q16",
+        "large_volume_customers_q18",
+        "global_sales_opportunity_q22",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_distribution_q13")
+    assert "LeftOuter" in plan
+
+
+def test_cc_star_rounds_are_hash_joins(spark):
+    from wistia_etl_pipeline_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 30)], "src long, dst long")
+    out = connected_components(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_sample_docs")
+    assert "Exchange" not in plan

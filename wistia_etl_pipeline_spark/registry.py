@@ -2664,3 +2664,163 @@ def group_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_capped_sample(docs, "source", 18, "doc_id", seed="cap").select(
         "doc_id", "source", "samp_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H subquery-shape breadth: Q4 / Q13 / Q16 / Q18 / Q22 adaptations
+# (adapted to the testdata's column subset — no partsupp/l_commitdate/
+# c_phone — while keeping each query's defining subquery structure)
+# --------------------------------------------------------------------------
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+          )
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("order_priority_q4", oracle=_Q4_SQL)
+def order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped CORRELATED EXISTS (late-shipping order counts by
+    priority; l_shipdate > o_orderdate stands in for the spec's
+    commit<receipt since testdata lacks those columns). Catalyst
+    decorrelates the EXISTS into a LEFT SEMI hash join on orderkey
+    carrying the non-equi ship>order predicate — one pass over
+    lineitem, no per-row re-execution, and the tight o_orderdate range
+    is pushed to the orders scan. That is the 100 TB shape: semi joins
+    never multiply rows, so the exchange is bounded by |orders|."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+"""
+
+
+@query("customer_distribution_q13", oracle=_Q13_SQL)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped two-level aggregate over a filtered LEFT OUTER
+    join (orders-per-customer histogram; the priority filter stands in
+    for the spec's comment NOT LIKE and must live in the JOIN condition,
+    not WHERE, to preserve zero-order customers). First aggregate
+    shuffles on custkey — same key as the join, so AQE coalesces into
+    the join exchange; second aggregate is over ~50 distinct counts
+    (map-side partials collapse it to nothing)."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q16_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("supplier_cnt_q16", oracle=_Q16_SQL)
+def supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped NOT IN + COUNT(DISTINCT) (lineitem stands in
+    for partsupp as the part↔supplier relation). The NOT IN becomes a
+    null-aware LEFT ANTI join against the (tiny, broadcastable)
+    deficit-supplier set; part's brand/size predicates prune at the
+    scan. The distinct-count shuffles once on the (brand,type,size)
+    grain with partial distinct aggregation upstream."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem", "part", "supplier"))
+    return spark.sql(_Q16_SQL)
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+          )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE)
+"""
+
+
+@query("large_volume_customers_q18", oracle=_Q18_SQL)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped IN over a grouped HAVING: the subquery
+    pre-aggregates lineitem to qualifying orderkeys (a LEFT SEMI join
+    feeding the main 3-way join), so the expensive join only sees the
+    ~1% of orders that survive. Quantities are whole-number doubles
+    (exact under FP addition) so the HAVING threshold cannot flake;
+    the output sum still routes through DECIMAL per determinism rule
+    #1. Semi-join reduction BEFORE the wide join is the order that
+    survives 100 TB."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)
+
+
+_Q22_SQL = """
+    SELECT c.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+    GROUP BY c.c_nationkey
+"""
+
+
+@query("global_sales_opportunity_q22", oracle=_Q22_SQL)
+def global_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped scalar subquery + NOT EXISTS (idle rich
+    customers by nation; nationkey stands in for the phone prefix, and
+    "no orders" is windowed to the recent period so the predicate is
+    selective on this data). The uncorrelated AVG evaluates once
+    (broadcast scalar); the NOT EXISTS becomes a LEFT ANTI join on
+    custkey with the date filter pushed to the orders scan. The AVG routes through
+    DECIMAL so the membership boundary is the same exact value on both
+    engines — a raw double AVG here could flip rows near the threshold
+    (determinism rule #1 applied to a *predicate*)."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_Q22_SQL)
