@@ -2824,3 +2824,67 @@ def global_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+_TIME_TRAVEL_ORACLE = f"""
+    WITH target AS (
+        SELECT event_type, event_id, ts, value FROM events
+        WHERE ts < TIMESTAMP '{_CUTOFF}'
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+    ), stage AS (
+        SELECT event_type, event_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '{_CUTOFF}'
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+    ), merged AS (
+        SELECT event_type, event_id, ts, value
+        FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM stage s WHERE s.event_type = t.event_type)
+        UNION ALL
+        SELECT event_type, event_id, ts, value FROM stage
+    )
+    SELECT 1 AS version, event_type AS media_id, event_id,
+           epoch_us(ts) AS received_us, value
+    FROM target
+    UNION ALL
+    SELECT 2 AS version, event_type AS media_id, event_id,
+           epoch_us(ts) AS received_us, value
+    FROM merged
+    """
+
+
+@query("txlog_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the transaction-log table: commit v1
+    (overwrite), commit v2 (merge), then read BOTH versions from the
+    same log and tag them. Version 1's answer must be bit-identical to
+    the pre-merge state even though a later commit has landed — the
+    snapshot-isolation property Delta/Iceberg give and the reference's
+    Redshift procs cannot (sources/txlog.py: immutable per-version
+    data dirs; the manifest, not directory listing, names the files).
+    Scale note: a read pins one manifest — O(1) driver metadata —
+    and never lists the table path."""
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    target, stage = _latest_slice(events, True), _latest_slice(events, False)
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_tt_") + "/tbl")
+    v_base = table.overwrite(target)
+    table.merge(spark, stage, ["event_type"])
+    v_head = table.current_version()
+
+    def _tag(df: DataFrame, v: int) -> DataFrame:
+        return df.select(
+            F.lit(v).alias("version"),
+            F.col("event_type").alias("media_id"),
+            "event_id",
+            F.unix_micros("ts").alias("received_us"),
+            "value",
+        )
+
+    v1 = table.read(spark, version=v_base)
+    v2 = table.read(spark, version=v_head)
+    return _tag(v1, 1).unionByName(_tag(v2, 2))
