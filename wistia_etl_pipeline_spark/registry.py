@@ -2888,3 +2888,140 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = table.read(spark, version=v_base)
     v2 = table.read(spark, version=v_head)
     return _tag(v1, 1).unionByName(_tag(v2, 2))
+
+
+# --------------------------------------------------------------------------
+# Reshaping + statistical profile breadth: unpivot, CUBE, exact-sum corr
+# --------------------------------------------------------------------------
+
+@query(
+    "unpivot_daily_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT event_type AS media_id,
+               COUNT(*) AS load_count,
+               COUNT(CASE WHEN value > 100.0 THEN 1 END) AS play_count,
+               COUNT(DISTINCT user_id) AS visitors
+        FROM events GROUP BY 1
+    )
+    SELECT media_id, 'load_count' AS metric, load_count AS metric_value FROM wide
+    UNION ALL
+    SELECT media_id, 'play_count', play_count FROM wide
+    UNION ALL
+    SELECT media_id, 'visitors', visitors FROM wide
+    """,
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the built-in ``DataFrame.unpivot``
+    (pivot's inverse — the melt a metrics store needs before a generic
+    (entity, metric, value) sink). The unpivot itself is a zero-shuffle
+    projection (each input row fans to k output rows map-side); the
+    only exchange is the upstream aggregate's."""
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy(F.col("event_type").alias("media_id")).agg(
+        F.count(F.lit(1)).alias("load_count"),
+        F.count(F.when(F.col("value") > 100.0, 1)).alias("play_count"),
+        F.countDistinct("user_id").alias("visitors"),
+    )
+    return wide.unpivot(
+        ids="media_id",
+        values=["load_count", "play_count", "visitors"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@query(
+    "cube_event_engagement",
+    oracle="""
+    SELECT event_type AS media_id,
+           CAST(ts AS DATE) AS dt,
+           GROUPING(event_type, CAST(ts AS DATE)) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def cube_event_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (media × day, media, day, grand total) with
+    ``grouping_id`` disambiguating real NULLs from subtotal rows —
+    ROLLUP's sibling already covered by rollup_engagement. One shuffle;
+    Spark expands grouping sets map-side (each input row feeds all 4
+    sets' partial aggregates), so the exchange carries pre-aggregated
+    partials, not 4× the rows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("event_type").alias("media_id"),
+            F.col("ts").cast("date").alias("dt"),
+            "value",
+        )
+        .cube("media_id", "dt")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select("media_id", "dt", "gid", "n_events", "sum_value")
+    )
+
+
+@query(
+    "corr_profile_docs",
+    oracle=r"""
+    WITH base AS (
+        SELECT lang,
+               n_chars AS x,
+               len(regexp_split_to_array(trim(text), '\s+')) AS y
+        FROM documents
+    ),
+    sums AS (
+        SELECT lang, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM base GROUP BY lang
+    )
+    SELECT lang, n, sx, sy,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             AS corr_chars_tokens,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS covar_samp
+    FROM sums
+    """,
+)
+def corr_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation + sample covariance of
+    (n_chars, n_tokens) — the length-consistency screen a corpus
+    profile runs. NOT ``F.corr``: its streaming-moment accumulation
+    over doubles is summation-order-dependent and can't hash-match
+    across engines. Instead the five sufficient statistics are exact
+    BIGINT sums (integer inputs — one map-side-combinable shuffle),
+    and the closed-form corr is per-row IEEE arithmetic on those exact
+    values, textually identical in both engines (determinism rules
+    #1/#2 applied to second moments)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    sums = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    denx = F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+    deny = F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    return sums.select(
+        "lang", "n", "sx", "sy",
+        (num / (denx * deny)).alias("corr_chars_tokens"),
+        (num / (n * (n - F.lit(1))).cast("double")).alias("covar_samp"),
+    )
