@@ -240,3 +240,58 @@ def test_observe_metrics_on_batch(spark, sf_dir):
     n = observed.count()
     assert obs.get["n"] == n
     assert obs.get["null_values"] == 0
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from wistia_etl_pipeline_spark.streaming.pipeline import streaming_session_rollup
+
+    bronze = tmp_path / "bronze_sess"
+    # visitor a: two sessions (10:00-10:30 merged by <60min gaps; 14:00
+    # alone); visitor b: one. Events deliberately out of order — the
+    # session merge must absorb late rows within the watermark.
+    _write_jsonl(bronze / "f1.json", [
+        _event("e1", "2024-01-01T10:00:00Z", visitor="a"),
+        _event("e3", "2024-01-01T14:00:00Z", visitor="a"),
+        _event("e2", "2024-01-01T10:30:00Z", visitor="a"),
+        _event("e4", "2024-01-01T11:00:00Z", visitor="b"),
+        # sentinel far in the future: advances the global watermark past
+        # every real session so append mode finalizes them all.
+        _event("flush", "2024-01-10T00:00:00Z", visitor="zz_flush"),
+    ])
+    stream = deduped_silver_stream(
+        read_bronze_stream(spark, str(bronze)), watermark_delay="1 hour"
+    )
+    sessions = streaming_session_rollup(stream, watermark_delay=None)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.visitor_key, str(r.session_start), r.n_events)
+        for r in spark.sql(
+            "select * from sess_stream where visitor_key != 'zz_flush'"
+        ).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 10:00:00", 2),
+        ("a", "2024-01-01 14:00:00", 1),
+        ("b", "2024-01-01 11:00:00", 1),
+    }
+
+    # Batch over the same files with the same session_window call must
+    # agree exactly (the backfill == live contract).
+    batch = (
+        spark.read.schema(stream.schema).json(str(bronze))
+        .groupBy("visitor_key", F.session_window("received_at", "60 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("visitor_key") != "zz_flush")
+    )
+    got_batch = {
+        (r.visitor_key, str(r.sw.start), r.n_events) for r in batch.collect()
+    }
+    assert got_batch == got

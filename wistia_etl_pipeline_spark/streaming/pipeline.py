@@ -169,3 +169,38 @@ def run_silver_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_rollup(
+    silver_stream: DataFrame,
+    *,
+    gap: str = "60 minutes",
+    watermark_delay: str | None = "1 day",
+) -> DataFrame:
+    """Per-visitor SESSION WINDOWS on a stream — the same
+    ``session_window`` call the batch rollup uses
+    (operators/sessionize.session_rollup), so batch backfill and the
+    live stream produce identical sessions by construction.
+
+    State per key is one open session (merged as events arrive, even
+    out of order within the watermark); a session FINALIZES — and is
+    emitted under append mode — only when the watermark passes its
+    close, which is what bounds state at 100 TB: no watermark, no
+    eviction, unbounded open sessions.
+    """
+    src = silver_stream
+    if watermark_delay is not None:
+        src = src.withWatermark("received_at", watermark_delay)
+    return (
+        src.groupBy(
+            F.col("visitor_key"),
+            F.session_window("received_at", gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "visitor_key",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
