@@ -3025,3 +3025,140 @@ def corr_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / (denx * deny)).alias("corr_chars_tokens"),
         (num / (n * (n - F.lit(1))).cast("double")).alias("covar_samp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signals + SCD2 dimension build
+# --------------------------------------------------------------------------
+
+@query(
+    "text_repetition_stats",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, MAX(c) AS max_tok_freq
+        FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM toks, unnest(t) AS u(tok)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct,
+               [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g2
+        FROM toks
+    )
+    SELECT g.doc_id,
+           g.n_tokens,
+           CAST(g.n_distinct AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) AS ttr,
+           f.max_tok_freq,
+           CAST(len(g.g2) - len(list_distinct(g.g2)) AS DOUBLE)
+             / CAST(len(g.g2) AS DOUBLE) AS dup_bigram_ratio
+    FROM grams g JOIN freq f USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition screens (the Gopher/C4-style quality signals):
+    type-token ratio, most-frequent-token count, duplicate-bigram
+    ratio. Token frequencies go through explode → (doc, token) count →
+    max — one shuffle keyed by doc_id, NOT a per-row O(n²)
+    distinct×filter higher-order loop, because a 100 TB corpus has
+    kilotoken documents (ratios stay per-row array ops; they're
+    linear)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    freq = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_tok_freq"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+        ).alias("g2"),
+    )
+    return grams.join(freq, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        "max_tok_freq",
+        (
+            (F.size("g2") - F.size(F.array_distinct("g2"))).cast("double")
+            / F.size("g2").cast("double")
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+@query(
+    "scd2_media_state",
+    oracle="""
+    WITH staged AS (
+        SELECT event_type AS media_id, ts, event_id,
+               CAST(floor(value / 25.0) AS BIGINT) AS state
+        FROM events
+    ),
+    changes AS (
+        SELECT media_id, ts, event_id, state,
+               lag(state) OVER w AS prev_state
+        FROM staged
+        WINDOW w AS (PARTITION BY media_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT media_id, state, ts AS valid_from, event_id
+        FROM changes
+        WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT media_id, state,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER w2) AS valid_to_us,
+           CAST(lead(valid_from) OVER w2 IS NULL AS INTEGER) AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY media_id ORDER BY valid_from, event_id)
+    """,
+)
+def scd2_media_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension build from a change stream: collapse
+    consecutive equal states (lag), then derive half-open validity
+    intervals (lead) — the standard two-window pass, both windows on
+    the SAME (media) partitioning key so the whole build is one
+    shuffle. This is the versioned flavor of the reference's dim_media
+    upsert (wistia_stored_procedures.py:3-42 keeps only latest; a
+    warehouse keeping history needs exactly this shape). NULL
+    valid_to_us marks the open (current) version."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    staged = events.select(
+        F.col("event_type").alias("media_id"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25.0).cast("long").alias("state"),
+    )
+    w = Window.partitionBy("media_id").orderBy("ts", "event_id")
+    versions = (
+        staged.withColumn("prev_state", F.lag("state").over(w))
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select("media_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    # event_id tiebreak: two changes at one timestamp would otherwise
+    # make the lead() interval chain engine-dependent.
+    w2 = Window.partitionBy("media_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return versions.select(
+        "media_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
