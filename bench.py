@@ -67,6 +67,20 @@ HEADLINE = [
     "cogroup_asof_checkpoint",    # cogroup pandas (merge_asof per key)
     "merge_upsert_acid",          # txlog ACID merge
     "incremental_gold_maintenance",  # partial-aggregate state fold
+    "dedup_clusters",             # large-star/small-star components
+    "stratified_sample_docs",     # shuffle-free stratified sampling
+    "group_capped_docs",          # per-group cap window top-k
+    "order_priority_q4",          # correlated EXISTS semi join
+    "customer_distribution_q13",  # outer-join count histogram
+    "supplier_cnt_q16",           # null-aware NOT IN anti join
+    "large_volume_customers_q18", # IN-over-HAVING semi reduction
+    "global_sales_opportunity_q22",  # scalar subquery + anti join
+    "txlog_time_travel",          # versioned snapshot reads
+    "unpivot_daily_metrics",      # wide->long melt
+    "cube_event_engagement",      # full CUBE grouping sets
+    "corr_profile_docs",          # exact-sum Pearson corr
+    "text_repetition_stats",      # repetition quality screens
+    "scd2_media_state",           # SCD2 validity intervals
 ]
 
 

@@ -28,6 +28,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import normalize_text, tokens
 
 
+def fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Repartition to the session's parallelism when the source scan
+    yields fewer partitions — CPU-bound per-row work (shingling,
+    hashing) otherwise runs on however few tasks a small parquet file
+    happens to split into. At real scale the scan already has ≥
+    parallelism partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def shingles(col: Column | str, *, k: int = 3) -> Column:
     """Word k-shingles (array<string>). Texts shorter than k tokens
     yield [] — guarded because sequence(1, n) with n<1 would generate
@@ -107,44 +119,61 @@ def minhash_near_dup_pairs(
         salt = F.lit(f":{i}")
         return lambda s: F.md5(F.concat(s, salt))
 
+    df = fan_out(df, id_col)
+
     # Staged projections: norm → sh → sig are each computed ONCE per row.
     # Building sig directly from the text Column would inline the whole
     # tokenize subtree into all num_hashes transform bodies (CollapseProject
     # only keeps stages for multi-use attributes) — measured ~30× slower.
-    staged = (
+    #
+    # Both derived frames are persisted because BOTH are read twice:
+    # the band self-join's two sides have different downstream
+    # projections (no ReusedExchange — NOTES rule #7), and the
+    # verification joins read the shingle frame for each candidate
+    # side. Without the caches the tokenizer runs 3× and the 16-hash
+    # signature 2× over the corpus; with them, once each.
+    # MEMORY_AND_DISK: a 100 TB corpus's shingle cache won't fit RAM —
+    # spilled blocks are still far cheaper than recomputation.
+    from pyspark import StorageLevel
+
+    staged_sh = (
         df.select(F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__norm"))
         .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = (
+        staged_sh.filter(F.size("sh") > 0)
         .select(
             "doc",
-            "sh",
             F.array(
                 *[F.array_min(F.transform(F.col("sh"), _salted(i))) for i in range(num_hashes)]
             ).alias("sig"),
         )
-    )
-    banded = staged.filter(F.size("sh") > 0).select(
-        "doc",
-        "sh",
-        F.posexplode(
-            band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)
-        ).alias("band", "key"),
+        .select(
+            "doc",
+            F.posexplode(
+                band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)
+            ).alias("band", "key"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    cands = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("a_id"),
-            F.col("r.doc").alias("b_id"),
-            F.col("l.sh").alias("a_sh"),
-            F.col("r.sh").alias("b_sh"),
-        )
+        .select(F.col("l.doc").alias("a_id"), F.col("r.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    # Verification fetches shingles for CANDIDATE docs only (pairs ≪
+    # corpus at any scale) from the cached shingle frame.
+    pairs = (
+        cands.join(staged_sh.select(F.col("doc").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
+        .join(staged_sh.select(F.col("doc").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
     )
     out = pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6))
     if jaccard_threshold is not None:
@@ -264,7 +293,7 @@ def simhash_near_dup_pairs(
     band_bits = sig_bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = with_simhash_pandas(
-        df.select(
+        fan_out(df, id_col).select(
             F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__nt")
         ),
         "__nt",

@@ -657,9 +657,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 (exact-dedup key) and
     min-shingle-hash content fingerprint (shift-robust), via the staged
     scale path (text.with_fingerprints — single tokenize per row)."""
+    from .functions.dedupe import fan_out
     from .functions.text import with_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return with_fingerprints(docs.select("doc_id", "text"), "text", k=3).select(
         "doc_id", "fp_md5", "fp_content"
     )
@@ -1166,16 +1167,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word-trigram) Jaccard similarity between adjacent
     doc ids — the verification kernel every LSH candidate pair runs
     through, exercised standalone on k=3 shingles."""
-    from .functions.dedupe import jaccard, shingles
+    from .functions.dedupe import fan_out, jaccard, shingles
     from .functions.text import normalize_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    # persisted: the adjacent-id self-join would otherwise shingle the
+    # corpus once per side (no ReusedExchange — NOTES rule #7)
     sh = docs.select(
         "doc_id",
         F.array_distinct(
             shingles(normalize_text(F.col("text")), k=3)
         ).alias("g"),
-    )
+    ).persist()
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
