@@ -81,6 +81,22 @@ HEADLINE = [
     "corr_profile_docs",          # exact-sum Pearson corr
     "text_repetition_stats",      # repetition quality screens
     "scd2_media_state",           # SCD2 validity intervals
+    "top_supplier_q15",           # max-over-aggregate (window form)
+    "small_qty_revenue_q17",      # correlated scalar AVG predicate
+    "disjunctive_pushdown_q19",   # OR-of-conjunctions pushdown
+    "excess_stock_suppliers_q20", # nested IN semi chain
+    "waiting_suppliers_q21",      # double correlation, window form
+    "decontaminate_ngrams",       # benchmark overlap semi join
+    "embedding_centroid_profile", # exact-int centroid stats
+    "sequence_packing",           # fixed-context packing layout
+    "unshipped_orders_q3",        # segment top-k, deterministic ties
+    "local_supplier_volume_q5",   # cyclic join topology
+    "forecast_revenue_q6",        # pure pushdown scan-aggregate
+    "product_profit_q9",          # multi-dim profit rollup
+    "returned_items_q10",         # filtered top-20 by customer
+    "important_stock_q11",        # self-referential HAVING scalar
+    "shipmode_priority_q12",      # conditional integer counts
+    "promo_revenue_q14",          # exact-decimal conditional ratio
 ]
 
 

@@ -275,3 +275,105 @@ def test_cc_star_rounds_are_hash_joins(spark):
 def test_stratified_sample_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stratified_sample_docs")
     assert "Exchange" not in plan
+
+
+def test_wave3_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
+    # Q17 correlated scalar AVG -> per-partkey aggregate + rejoin;
+    # Q20 nested IN -> semi chain; Q15 scalar max -> window over the
+    # aggregate (Spark side has no subquery at all). None may fall
+    # back to a per-row nested loop.
+    for name in (
+        "top_supplier_q15",
+        "small_qty_revenue_q17",
+        "excess_stock_suppliers_q20",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert "LeftSemi" in _plan(spark, sf_dir, "excess_stock_suppliers_q20")
+
+
+def test_q19_disjunction_derives_scan_filters(spark, sf_dir):
+    # The OR-of-conjunctions must still produce derivable single-table
+    # predicates at the part scan (brand in-set / size envelope) —
+    # without them the join reads the whole dimension.
+    plan = _plan(spark, sf_dir, "disjunctive_pushdown_q19")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # derived branch envelopes reach BOTH parquet scans as pushed ORs
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+
+
+def test_q21_window_form_scans_lineitem_once(spark, sf_dir):
+    # The hand-decorrelated Q21 computes both correlated probes as
+    # windows over the single l_orderkey shuffle — the aggregate+rejoin
+    # alternative scans lineitem twice (late-filter pushdown makes the
+    # subtrees non-identical, defeating ReusedExchange).
+    plan = _plan(spark, sf_dir, "waiting_suppliers_q21")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_decontaminate_is_semi_join_on_shingles(spark, sf_dir):
+    # Training x benchmark overlap must stay an equi semi join on the
+    # shingle value — never a pairwise document comparison.
+    plan = _plan(spark, sf_dir, "decontaminate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_centroid_profile_partial_aggregates_before_shuffle(spark, sf_dir):
+    # The posexplode multiplies rows by n_dims; the partial aggregate
+    # must sit below the exchange so only |labels|x|dims| rows shuffle.
+    plan = _plan(spark, sf_dir, "embedding_centroid_profile")
+    assert plan.count("HashAggregate") >= 2
+    gen = plan.index("Generate")
+    ex = plan.index("Exchange")
+    # Exchange appears above (before, in toString order) the Generate
+    # only if partial aggregation separates them; the Generate must not
+    # feed the exchange directly.
+    assert "HashAggregate" in plan[ex:gen]
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    # window(source) and groupBy(source, bin) share the source
+    # partitioning: one exchange total.
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert plan.count("Exchange") == 1
+
+
+def test_q6_is_pure_scan_aggregate(spark, sf_dir):
+    # No join; every predicate is a pushed single-column comparison and
+    # the scan reads only the 4 referenced columns. (The default plan
+    # toString truncates scan metadata at 100 chars — widen it so the
+    # PushedFilters list is actually inspectable.)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(spark, sf_dir, "forecast_revenue_q6")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_q3_q10_topk_avoid_global_sort(spark, sf_dir):
+    for name in ("unshipped_orders_q3", "returned_items_q10"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "GlobalSort" not in plan and "Sort [revenue" not in plan, name
+
+
+def test_q5_cycle_join_carries_nation_residual(spark, sf_dir):
+    # The supplier join must carry BOTH equalities (suppkey + the
+    # same-nation constraint) as hash-join keys/residual — never a
+    # nested loop closing the cycle.
+    plan = _plan(spark, sf_dir, "local_supplier_volume_q5")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "s_nationkey" in plan and "c_nationkey" in plan

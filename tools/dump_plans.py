@@ -30,6 +30,18 @@ ANNOTATED = {
     "global_sales_opportunity_q22": "uncorrelated scalar AVG evaluated once (subquery broadcast); NOT EXISTS as LeftAnti hash join with the date filter pushed to the orders scan.",
     "cube_event_engagement": "full CUBE: Expand feeds 4 grouping sets into ONE partial aggregate before the single exchange.",
     "scd2_media_state": "SCD2: both windows sort within the same media_id exchange — one shuffle for lag-collapse and lead-chaining.",
+    "top_supplier_q15": "Q15 window form: ONE lineitem scan into the revenue aggregate; max-filter is a window over the |suppliers|-sized aggregate (oracle's scalar-subquery form scans twice).",
+    "small_qty_revenue_q17": "Q17: correlated AVG decorrelated to a per-partkey aggregate hash-joined back; brand filter pushed to the probe-side part scan.",
+    "disjunctive_pushdown_q19": "Q19: each OR branch's single-table conjuncts are derived and pushed — both parquet scans show Or(Or(And(...))) in PushedFilters; full disjunction re-checked post-join.",
+    "excess_stock_suppliers_q20": "Q20: inner HAVING block reduces to qualifying suppkeys; outer IN is a LeftSemi hash join; nation IN-list prunes the supplier scan.",
+    "waiting_suppliers_q21": "Q21 single-pass: both correlated probes are collect_set windows over the one l_orderkey shuffle — lineitem.parquet appears ONCE in the plan.",
+    "decontaminate_ngrams": "decontamination: exploded training shingles LeftSemi-join the benchmark shingle set (broadcast); distinct doc ids; no pairwise document comparison anywhere.",
+    "embedding_centroid_profile": "centroid stats: Generate (posexplode x64 dims) feeds a partial HashAggregate BELOW the exchange — only |labels|x|dims| rows shuffle.",
+    "sequence_packing": "packing: running-sum window and (source,bin) aggregate share the source partitioning — exactly one Exchange in the plan.",
+    "forecast_revenue_q6": "Q6 pure scan-aggregate: all four predicates in PushedFilters, 4-column ReadSchema, scan -> partial agg -> single-row exchange. The pushdown benchmark.",
+    "local_supplier_volume_q5": "Q5 cyclic topology: the supplier hash join carries suppkey AND the same-nation equality; nation/region broadcast; orders date window pushed. Join order grows through the fact, never customer x supplier.",
+    "unshipped_orders_q3": "Q3 top-k: TakeOrderedAndProject over the grouped revenue with the o_orderkey tiebreak — deterministic LIMIT, no global sort.",
+    "important_stock_q11": "Q11 self-referential threshold: the per-part aggregate is filtered against a broadcast scalar SUM over the same aggregate; membership stays DECIMAL-exact.",
 }
 
 

@@ -3165,3 +3165,661 @@ def scd2_media_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 3: remaining TPC-H subquery taxonomy (Q15/Q17/Q19/Q20/Q21)
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+@query("top_supplier_q15", oracle=_Q15_ORACLE)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped max-over-aggregate (quarter's top revenue
+    supplier). The oracle uses the spec's scalar-subquery-on-a-view
+    form, which scans lineitem twice; the Spark side instead computes
+    the revenue aggregate ONCE and takes the max with an empty-frame
+    window over the (|suppliers|-sized) aggregate — at 100 TB that
+    halves the big scan, and the window input is already tiny.
+    Revenue is compared for equality, so it must be exact: the whole
+    comparison stays in DECIMAL and is only cast to double for output."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return (
+        supplier.join(best, supplier.s_suppkey == best.supplier_no)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_small_qty_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem
+            WHERE l_partkey = l.l_partkey
+          )
+"""
+
+
+@query("small_qty_revenue_q17", oracle=_Q17_SQL)
+def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar AVG used as a row predicate
+    (revenue lost to small-quantity orders). Catalyst decorrelates the
+    per-part AVG into one aggregate over lineitem joined back on
+    partkey — lineitem is scanned twice but never re-executed per row,
+    and the brand filter prunes the probe side at the scan. The AVG
+    threshold itself is exact without DECIMAL: quantities are
+    whole-number doubles, so every partial sum is an integer below
+    2^53 and summation order cannot change it (the output SUM still
+    routes through DECIMAL per determinism rule #1)."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
+_Q19_SQL = """
+    SELECT COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'
+           AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#7'
+           AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#13'
+           AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@query("disjunctive_pushdown_q19", oracle=_Q19_SQL)
+def disjunctive_pushdown_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunction of conjunctive clauses across both
+    join sides. The planner splits each OR-branch into its single-table
+    conjuncts: part-only predicates (brand OR-set, size ranges) and the
+    lineitem quantity envelope are derivable and get pushed below the
+    join, so the scans prune before the equi join on partkey; the full
+    disjunction is re-applied as a post-join residual. At 100 TB the
+    derived scan filters are the difference between joining the whole
+    fact table and joining the qualifying slice."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
+
+
+_Q20_SQL = """
+    SELECT s.s_name, s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+      AND s.s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%widget%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 100
+          )
+"""
+
+
+@query("excess_stock_suppliers_q20", oracle=_Q20_SQL)
+def excess_stock_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped nested IN over a grouped HAVING (suppliers who
+    moved significant volume of a part family). The inner block
+    aggregates lineitem⋈part down to qualifying suppkeys; the outer IN
+    becomes a LEFT SEMI hash join against that (tiny) set, and the
+    nation IN-list prunes supplier at the scan. Semi joins never
+    multiply rows, so the whole query is bounded by one pass over the
+    filtered fact table. HAVING threshold on whole-number-double
+    quantities — exact under any summation order."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_ORACLE = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+    GROUP BY s.s_name
+"""
+
+
+@query("waiting_suppliers_q21", oracle=_Q21_ORACLE)
+def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped double correlation (suppliers who were the SOLE
+    late shipper on multi-supplier finished orders; ship>order+60d
+    stands in for receipt>commit). The oracle keeps the spec's
+    EXISTS + NOT EXISTS form; the Spark side decorrelates BY HAND into
+    a single-pass WINDOW formulation — per order (over the one
+    l_orderkey shuffle): the distinct-supplier and distinct-LATE-
+    supplier sets as collect_set windows (bounded: an order has a
+    handful of lines) — then keeps late lines where n_supp > 1 and
+    n_late = 1. Aggregate-then-rejoin would scan and shuffle lineitem
+    TWICE (the late filter pushes different predicates into each
+    subtree, defeating ReusedExchange — measured); the window form
+    scans it once, which is the only Q21 shape that survives a fact
+    table that won't fit a second pass. supplier is SF-scaled: no
+    broadcast hint (policy), AQE decides."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = lineitem.join(
+        finished, lineitem.l_orderkey == finished.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        joined.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        sole_late.join(supplier, sole_late.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 3: training-data pipeline — decontamination, centroids, packing
+# --------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, source, regexp_split_to_array({_NORM}, '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(toks) < 4 THEN []::VARCHAR[]
+                    ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+                                        for i in range(1, len(toks) - 2)])
+               END AS g
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS s FROM sh WHERE source = 'src0'),
+    train AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE source <> 'src0'),
+    hits AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON b.s = t.s)
+    SELECT d.doc_id, d.source,
+           CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+    FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+@query("decontaminate_ngrams", oracle=_DECONTAM_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    any word 4-gram with the benchmark set (source 'src0' stands in
+    for the eval corpus). The benchmark's distinct shingle set is tiny
+    and FIXED-cardinality relative to the training corpus — exactly
+    the asymmetry the plan exploits: explode training shingles, LEFT
+    SEMI join against the benchmark set (broadcastable), then distinct
+    doc ids. Nothing ever multiplies: semi join + distinct keep the
+    intermediate bounded by the exploded scan, which is the same work
+    the shingling pass already does. The flag join back to the
+    training slice is on doc_id (unique), also non-multiplying."""
+    from .functions.dedupe import fan_out, shingles
+    from .functions.text import normalize_text
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(shingles(normalize_text(F.col("text")), k=4))
+        ).alias("s"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    train = sh.filter(F.col("source") != "src0")
+    hits = (
+        train.join(bench, "s", "left_semi").select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .fillna(0, subset=["contaminated"])
+    )
+
+
+_CENTROID_ORACLE = """
+    SELECT label,
+           dim1 - 1 AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
+           CAST(SUM(CAST(FLOOR((CAST(x AS DOUBLE) * 1000)
+                               * (CAST(x AS DOUBLE) * 1000)) AS BIGINT))
+                AS BIGINT) AS sumsq_scaled
+    FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim1
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+"""
+
+
+@query("embedding_centroid_profile", oracle=_CENTROID_ORACLE)
+def embedding_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sufficient statistics over the embedding
+    corpus: count, per-dimension sum and sum-of-squares (centroid =
+    sum/n; dispersion = sumsq/n - mean² downstream). Floats are scaled
+    and FLOORED to exact integers BEFORE aggregation — float32→double
+    is exact and IEEE multiply is bit-deterministic, so both engines
+    floor identical doubles, and integer sums are order-independent
+    (determinism rule #1 taken to its limit: no decimals, just longs).
+    posexplode multiplies rows by the dimension count, but the
+    groupBy(label, dim) partial-aggregates map-side, so the shuffle
+    carries only |labels|·|dims| rows — the explode never crosses the
+    wire. This is the building block semantic dedup and IVF both reuse
+    (functions/similarity.py ivf_build collects the same stats via
+    Spark ML — this is the pure-SQL exact twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1000000.0).cast("long")).alias("sum_scaled"),
+        F.sum(
+            F.floor((F.col("x") * 1000.0) * (F.col("x") * 1000.0)).cast("long")
+        ).alias("sumsq_scaled"),
+    )
+
+
+_PACKING_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT *,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(cum_before / 256) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           COUNT(CASE WHEN FLOOR(cum_before / 256)
+                       <> FLOOR((cum_before + n_tok - 1) / 256)
+                 THEN 1 END) AS boundary_docs
+    FROM c
+    GROUP BY 1, 2
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-style sequence packing: documents are laid out
+    per source in doc_id order and chopped into fixed 256-token
+    training contexts; each doc is assigned the bin where it STARTS
+    (floor of the running token count before it), and docs straddling
+    a boundary are counted per bin. One window + one aggregate, both
+    partitioned by source — a single shuffle, and the running sum is
+    over exact integers so the layout is bit-identical on any engine
+    or partitioning. The capacity is a parameter; 256 makes the
+    boundary condition exercised at every SF (bin fill ~6 docs)."""
+    from pyspark.sql import Window
+    from .functions import text as Tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", Tx.token_count("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    bin_id = F.floor(F.col("cum_before") / 256)
+    crosses = bin_id != F.floor((F.col("cum_before") + F.col("n_tok") - 1) / 256)
+    return (
+        c.withColumn("bin_id", bin_id.cast("long"))
+        .withColumn("crosses", crosses)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.count(F.when(F.col("crosses"), 1)).alias("boundary_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 3b: the remaining TPC-H shapes — the full 22 are now covered
+# (Q1≈sql_pricing_summary, Q2,4,7,8,13,15,16,17,18,19,20,21,22 above)
+# --------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           o.o_orderpriority,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@query("unshipped_orders_q3", oracle=_Q3_SQL)
+def unshipped_orders_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped segment top-k (highest-value orders booked but
+    unshipped at the cutoff). Ties broken by o_orderkey so the LIMIT
+    is deterministic cross-engine (a bare ORDER BY revenue LIMIT 10
+    would hash-flake whenever two orders tie — same rule as
+    top_orders_by_revenue). Spark plans TakeOrderedAndProject over the
+    aggregate: per-partition heaps, no global sort. DECIMAL-exact
+    revenue makes the ORDER itself deterministic, not just the set."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("customer", "orders", "lineitem"))
+    return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+
+@query("local_supplier_volume_q5", oracle=_Q5_SQL)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped cyclic join topology: the supplier join carries
+    TWO predicates — the lineitem equi key AND the supplier-customer
+    same-nation constraint — closing the customer→order→lineitem→
+    supplier→nation cycle. The extra equality rides the hash join as a
+    join-side residual (no second shuffle); nation/region broadcast
+    (fixed cardinality, hint policy); the date window pushes to the
+    orders scan. This cycle is the canonical case where join ORDER
+    matters at 100 TB: filter orders first, then grow through
+    lineitem, never materialize customer×supplier."""
+    from .sql import register_tables
+
+    register_tables(
+        spark, sf_dir,
+        tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(_Q5_SQL)
+
+
+_Q6_SQL = """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_q6", oracle=_Q6_SQL)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped pure scan-aggregate: every predicate is a
+    single-column comparison, so ALL of them reach the parquet reader
+    as PushedFilters and the projection prunes to 4 columns — the
+    plan is scan → partial agg → single-row exchange. At 100 TB this
+    query IS the pushdown test: no join, no wide shuffle, just
+    row-group skipping doing the work."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_Q9_SQL = """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+"""
+
+
+@query("product_profit_q9", oracle=_Q9_SQL)
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped multi-dimension profit rollup (testdata has no
+    partsupp, so unit cost is modeled as 0.6·p_retailprice — the join
+    topology, which is what Q9 exercises, is unchanged). The p_name
+    LIKE filter prunes part BEFORE its join, shrinking the build side;
+    lineitem⋈orders is the large shuffle; nation broadcasts. Profit is
+    a per-row IEEE expression routed through DECIMAL only at the SUM."""
+    from .sql import register_tables
+
+    register_tables(
+        spark, sf_dir, tables=("lineitem", "part", "supplier", "orders", "nation")
+    )
+    return spark.sql(_Q9_SQL)
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("returned_items_q10", oracle=_Q10_SQL)
+def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-revenue top-k by customer. The
+    returnflag filter pushes to the lineitem scan and the half-year
+    window to orders, so the join sees both sides pre-filtered; the
+    top-20 is TakeOrderedAndProject with the c_custkey tiebreak
+    (deterministic LIMIT under revenue ties, DECIMAL-exact order)."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)
+
+
+_Q11_SQL = """
+    WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS val
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE val > (SELECT SUM(val) * 0.0008 FROM v)
+"""
+
+
+@query("important_stock_q11", oracle=_Q11_SQL)
+def important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped aggregate filtered against a scalar aggregate
+    of ITSELF (parts whose traded value exceeds a fraction of total;
+    lineitem value stands in for partsupp stock value). Catalyst
+    evaluates the total once over the same per-part aggregate and
+    broadcasts the scalar — the fact table is scanned once for the
+    groupBy and once for the total in the naive plan; the membership
+    threshold stays in DECIMAL end-to-end because it's a predicate
+    (determinism rule from Q22 applied to self-referential HAVING)."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+"""
+
+
+@query("shipmode_priority_q12", oracle=_Q12_SQL)
+def shipmode_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional counting (priority mix per return
+    class; l_returnflag stands in for the missing l_shipmode). The
+    CASE counts are integer sums — immune to ordering by construction;
+    the ship-date year pushes to the lineitem scan; one shuffle on the
+    3-value grouping key after map-side partials."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("orders", "lineitem"))
+    return spark.sql(_Q12_SQL)
+
+
+_Q14_SQL = """
+    SELECT ROUND(
+             100.0
+             * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                       AS DECIMAL(25,6))
+                             ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE),
+             6) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("promo_revenue_q14", oracle=_Q14_SQL)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional revenue ratio (promo share of a
+    month's revenue). BOTH sums are DECIMAL-exact before the single
+    double division — dividing two bit-identical doubles is IEEE-
+    deterministic, so the 6-dp round cannot sit on a half-boundary
+    disagreement (the unsafe pattern is rounding DIFFERENT doubles).
+    One scan of the month's lineitem slice, part join pruned to the
+    type column."""
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir, tables=("lineitem", "part"))
+    return spark.sql(_Q14_SQL)
