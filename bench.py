@@ -97,6 +97,7 @@ HEADLINE = [
     "important_stock_q11",        # self-referential HAVING scalar
     "shipmode_priority_q12",      # conditional integer counts
     "promo_revenue_q14",          # exact-decimal conditional ratio
+    "rest_fanout_ingest",         # distributed paged ingest (fake API)
 ]
 
 

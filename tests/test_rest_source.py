@@ -142,3 +142,37 @@ def test_distributed_fanout_isolates_errors(spark):
     ).collect()
     errs = {r.media_id: r.error for r in out}
     assert errs["good"] is None and "TransportError" in errs["bad"]
+
+
+def test_parquet_fake_api_pages_match_table(sf_dir):
+    """The parquet-backed transport (driver fan-out query's API) serves
+    every row exactly once, in event_id order, with a correct envelope."""
+    import json as _json
+
+    from wistia_etl_pipeline_spark.sources.fake_api import (
+        PER_PAGE,
+        ParquetEventsTransport,
+        url_for,
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    event_ids = t["event_id"].to_pylist()
+    media_col = t["event_type"].to_pylist()
+    media = media_col[0]
+    expect = sorted(e for e, m in zip(event_ids, media_col) if m == media)
+    transport = ParquetEventsTransport(sf_dir)
+    got, page = [], 1
+    while True:
+        status, body = transport(url_for(media, page))
+        assert status == 200
+        payload = _json.loads(body)
+        assert payload["per_page"] == PER_PAGE and payload["total"] == len(expect)
+        rows = payload["data"]
+        got.extend(r["event_id"] for r in rows)
+        if len(rows) < PER_PAGE:
+            break
+        if page * PER_PAGE >= payload["total"]:
+            break
+        page += 1
+    assert got == expect

@@ -42,6 +42,7 @@ ANNOTATED = {
     "local_supplier_volume_q5": "Q5 cyclic topology: the supplier hash join carries suppkey AND the same-nation equality; nation/region broadcast; orders date window pushed. Join order grows through the fact, never customer x supplier.",
     "unshipped_orders_q3": "Q3 top-k: TakeOrderedAndProject over the grouped revenue with the o_orderkey tiebreak — deterministic LIMIT, no global sort.",
     "important_stock_q11": "Q11 self-referential threshold: the per-part aggregate is filtered against a broadcast scalar SUM over the same aggregate; membership stays DECIMAL-exact.",
+    "rest_fanout_ingest": "distributed ingest: one mapInPandas stage runs the bounded page loop per media partition; payload JSON parsed JVM-side by from_json, then a single aggregate exchange. Python surface = the fetch loop only.",
 }
 
 

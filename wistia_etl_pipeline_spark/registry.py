@@ -3823,3 +3823,130 @@ def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, tables=("lineitem", "part"))
     return spark.sql(_Q14_SQL)
+
+
+# --------------------------------------------------------------------------
+# Distributed REST ingest, driver-checked (S3 scale path, SURVEY.md EP1)
+# --------------------------------------------------------------------------
+
+_REST_FANOUT_SQL = """
+    SELECT event_type AS media_id,
+           CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS n_pages,
+           COUNT(*)                              AS n_events,
+           SUM(event_id)                         AS sum_event_id,
+           COUNT(DISTINCT user_id)               AS n_visitors
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query("rest_fanout_ingest", oracle=_REST_FANOUT_SQL)
+def rest_fanout_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end distributed REST ingestion under the differential check.
+
+    The reference fetched API pages in a driver-side loop while the
+    cluster sat idle (bronze wistia_pull_wistia_api.py:181-232, SURVEY.md
+    EP1); the engine fans the same bounded page loop out over executors
+    with ``mapInPandas`` (``rest_source.fetch_media_pages_distributed``).
+    Here the pluggable transport is the parquet-backed fake API
+    (``sources/fake_api.py``): every page an executor "fetches" is a
+    deterministic slice of the events table, so the ingested feed —
+    page counts, row counts, content checksums (SUM of event ids),
+    visitor cardinality — must exactly equal a plain SQL aggregate over
+    that table. This converts the fan-out path from tests-only to
+    driver-green: pagination (total/per_page envelope termination),
+    per-executor transport construction, payload JSON round-trip, and
+    the ingest→parse→aggregate seam are all inside the hash comparison.
+
+    Scale: one task per media id (the repartition key), each doing one
+    pushdown-filtered read + in-memory paging; ingest bandwidth scales
+    with the cluster, and the page payloads are parsed JVM-side by
+    ``from_json`` — the Python surface is only the fetch loop itself.
+    """
+    from functools import partial
+
+    from .sources.fake_api import PER_PAGE, ParquetEventsTransport, url_for
+    from .sources.rest_source import PullConfig, fetch_media_pages_distributed
+
+    media_ids = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    pages = fetch_media_pages_distributed(
+        spark,
+        media_ids,
+        url_for,
+        partial(ParquetEventsTransport, sf_dir),
+        config=PullConfig(
+            per_page=PER_PAGE, max_pages=10**6, time_budget_seconds=3600.0
+        ),
+    )
+    evs = pages.select(
+        "media_id",
+        "page",
+        F.explode(
+            F.from_json("payload", "array<struct<event_id:bigint,user_id:bigint>>")
+        ).alias("ev"),
+    )
+    return evs.groupBy("media_id").agg(
+        F.countDistinct("page").alias("n_pages"),
+        F.count("*").alias("n_events"),
+        F.sum("ev.event_id").alias("sum_event_id"),
+        F.countDistinct("ev.user_id").alias("n_visitors"),
+    )
+
+
+@query("rest_datasource_ingest", oracle=_REST_FANOUT_SQL)
+def rest_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ingestion through Spark 4's Python DataSource API.
+
+    ``sources/datasource.py`` wraps the bounded page loop as a
+    registered format — ``spark.read.format("paged_rest")`` — with one
+    ``InputPartition`` per media id, so Spark itself schedules/retries
+    fetch tasks like any other scan (and the stream variant tracks
+    per-media page offsets in the streaming offset log). Same parquet-
+    backed fake API, same plain-SQL oracle as ``rest_fanout_ingest``:
+    the two surfaces must agree with the table and therefore with each
+    other. This is the "a user points spark.read at the API" form of
+    S3; the mapInPandas form remains for composing with upstream state.
+    """
+    import json as _json
+
+    from .sources.datasource import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+    media_ids = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    pages = (
+        spark.read.format("paged_rest")
+        .option("media_ids", _json.dumps(media_ids))
+        .option(
+            "transport",
+            "wistia_etl_pipeline_spark.sources.fake_api:transport_factory_from_options",
+        )
+        .option("sf_dir", sf_dir)
+        .option("max_pages", "1000000")
+        .option("time_budget_seconds", "3600")
+        .load()
+    )
+    evs = pages.select(
+        "media_id",
+        "page",
+        F.explode(
+            F.from_json("payload", "array<struct<event_id:bigint,user_id:bigint>>")
+        ).alias("ev"),
+    )
+    return evs.groupBy("media_id").agg(
+        F.countDistinct("page").alias("n_pages"),
+        F.count("*").alias("n_events"),
+        F.sum("ev.event_id").alias("sum_event_id"),
+        F.countDistinct("ev.user_id").alias("n_visitors"),
+    )
