@@ -98,6 +98,7 @@ HEADLINE = [
     "shipmode_priority_q12",      # conditional integer counts
     "promo_revenue_q14",          # exact-decimal conditional ratio
     "rest_fanout_ingest",         # distributed paged ingest (fake API)
+    "rest_datasource_ingest",     # same loop via Python DataSource API
 ]
 
 

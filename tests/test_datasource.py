@@ -1,0 +1,122 @@
+"""Python DataSource API surface: batch scan + incremental stream of
+the paged REST source (sources/datasource.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+TRANSPORT = "wistia_etl_pipeline_spark.sources.fake_api:transport_factory_from_options"
+
+
+def _register(spark):
+    from wistia_etl_pipeline_spark.sources.datasource import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+
+
+def _media_ids(spark, sf_dir):
+    from wistia_etl_pipeline_spark.session import load_table
+
+    return sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    )
+
+
+def _reader(spark, sf_dir, media_ids, **opts):
+    _register(spark)
+    r = (
+        spark.read.format("paged_rest")
+        .option("media_ids", json.dumps(media_ids))
+        .option("transport", TRANSPORT)
+        .option("sf_dir", sf_dir)
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r
+
+
+def test_batch_scan_serves_every_event_once(spark, sf_dir):
+    from wistia_etl_pipeline_spark.session import load_table
+
+    media_ids = _media_ids(spark, sf_dir)
+    df = _reader(
+        spark, sf_dir, media_ids, max_pages=10**6, time_budget_seconds=3600
+    ).load()
+    rows = df.collect()
+    assert all(r.error is None and r.completed for r in rows)
+    n_events = sum(len(json.loads(r.payload)) for r in rows)
+    assert n_events == load_table(spark, sf_dir, "events").count()
+    # One scan partition per media id: every media present, page 1 seen.
+    by_media = {r.media_id for r in rows}
+    assert by_media == set(media_ids)
+
+
+def test_batch_scan_honors_page_cap_and_start_pages(spark, sf_dir):
+    media_ids = _media_ids(spark, sf_dir)[:2]
+    df = _reader(
+        spark,
+        sf_dir,
+        media_ids,
+        max_pages=3,
+        time_budget_seconds=3600,
+        start_pages=json.dumps({media_ids[0]: 2}),
+    ).load()
+    rows = df.collect()
+    pages = {m: sorted(r.page for r in rows if r.media_id == m) for m in media_ids}
+    assert pages[media_ids[0]] == [2, 3, 4]  # resumed at 2, capped at 3 pages
+    assert pages[media_ids[1]] == [1, 2, 3]
+    assert all(not r.completed for r in rows)  # cap interrupted both
+
+
+def test_transport_errors_isolated_per_media(spark, sf_dir):
+    media_ids = _media_ids(spark, sf_dir)[:1]
+    df = _reader(spark, "/nonexistent/path", media_ids, max_pages=5).load()
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].error is not None and rows[0].page is None
+
+
+def test_stream_reader_delivers_all_pages_then_goes_idle(spark, sf_dir, tmp_path):
+    media_ids = _media_ids(spark, sf_dir)
+    _register(spark)
+    stream = (
+        spark.readStream.format("paged_rest")
+        .option("media_ids", json.dumps(media_ids))
+        .option("transport", TRANSPORT)
+        .option("sf_dir", sf_dir)
+        .option("max_pages", str(10**6))
+        .option("time_budget_seconds", "3600")
+        .load()
+    )
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out).select("media_id", "page").collect()
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.sources.fake_api import PER_PAGE
+
+    counts = (
+        load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    )
+    expect_pages = {r.event_type: -(-r["count"] // PER_PAGE) for r in counts}
+    seen = {}
+    for r in got:
+        seen.setdefault(r.media_id, set()).add(r.page)
+    assert {m: len(p) for m, p in seen.items()} == expect_pages
+    # A second run over the same checkpoint resumes from the committed
+    # offset: the feed is exhausted, so no new rows land in the sink
+    # (exactly-once page delivery across restarts).
+    run_once()
+    assert spark.read.parquet(out).count() == len(got)

@@ -1,0 +1,156 @@
+"""The REST paginated source as a first-class PySpark DataSource.
+
+``rest_source.fetch_media_pages_distributed`` fans the reference's
+bounded page loop (bronze wistia_pull_wistia_api.py:181-232) out with
+``mapInPandas``. This module exposes the SAME loop through Spark 4's
+Python DataSource API instead, so ingestion becomes a scan node:
+
+    spark.dataSource.register(PagedRestDataSource)
+    df = (spark.read.format("paged_rest")
+          .option("media_ids", json.dumps(ids))
+          .option("transport", "pkg.module:factory_from_options")
+          .load())
+
+Why both surfaces exist: the mapInPandas form composes with arbitrary
+upstream DataFrames (e.g. a watermark state table deciding start
+pages); the DataSource form is the idiomatic "it's just a table"
+integration — one ``InputPartition`` per media id, so Spark schedules,
+retries, and speculates fetch tasks like any other scan, and the
+stream variant (``PagedRestStreamReader``) turns the same loop into an
+incremental source with page offsets tracked per media id in the
+streaming offset log (ST2 checkpoint semantics, but stored by Spark
+itself rather than our control file).
+
+Transports are resolved from a ``module:callable`` option string —
+options are the only channel the DataSource API gives us, and a dotted
+path keeps the executor-side import explicit and credential-free
+(the callable builds the client from config; never a literal secret —
+SURVEY.md §0 credentials warning).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from .rest_source import PullConfig, Transport, fetch_pages
+
+#: Output schema of the scan — one row per fetched page (payload is the
+#: raw JSON rows array; parse downstream with ``from_json``).
+SCHEMA = "media_id string, page int, payload string, completed boolean, error string"
+
+
+def resolve_transport(options: dict) -> Transport:
+    """Build the transport from the ``transport = module:callable``
+    option; the callable receives the full options dict."""
+    path = options["transport"]
+    mod_name, _, attr = path.partition(":")
+    factory = getattr(importlib.import_module(mod_name), attr)
+    return factory(options)
+
+
+def _config(options: dict) -> PullConfig:
+    return PullConfig(
+        per_page=int(options.get("per_page", 50)),
+        max_pages=int(options.get("max_pages", 100)),
+        time_budget_seconds=float(options.get("time_budget_seconds", 45.0)),
+    )
+
+
+def _pull(options: dict, media_id: str, start_page: int) -> Iterator[tuple]:
+    """One media id's bounded pull → page rows (ST6 error isolation)."""
+    try:
+        transport = resolve_transport(options)
+        res = fetch_pages(
+            transport,
+            lambda p: f"fake://events/{media_id}?page={p}"
+            if "url_template" not in options
+            else options["url_template"].format(media_id=media_id, page=p),
+            start_page=start_page,
+            config=_config(options),
+        )
+        for page_no, rows in res.pages:
+            yield (media_id, page_no, json.dumps(rows), res.completed, None)
+    except Exception as exc:  # noqa: BLE001 — isolate per media, like the reference
+        yield (media_id, None, None, False, repr(exc))
+
+
+class MediaPartition(InputPartition):
+    def __init__(self, media_id: str, start_page: int):
+        self.media_id = media_id
+        self.start_page = start_page
+
+
+class PagedRestReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+
+    def partitions(self) -> list[InputPartition]:
+        media_ids = json.loads(self.options["media_ids"])
+        starts = json.loads(self.options.get("start_pages", "{}"))
+        return [MediaPartition(m, int(starts.get(m, 1))) for m in media_ids]
+
+    def read(self, partition: MediaPartition) -> Iterator[tuple]:
+        yield from _pull(self.options, partition.media_id, partition.start_page)
+
+
+class PagedRestStreamReader(SimpleDataSourceStreamReader):
+    """Incremental variant: the offset is ``{media_id: next_page}``.
+
+    Each micro-batch resumes every media id at its recorded next page
+    and advances the offset past whatever it fetched — the reference's
+    ``events_checkpoint.next_page`` resume (ST2), except the offset
+    log and commit protocol belong to Structured Streaming, giving
+    exactly-once page delivery into the sink for free.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.media_ids = json.loads(options["media_ids"])
+
+    def initialOffset(self) -> dict:
+        starts = json.loads(self.options.get("start_pages", "{}"))
+        return {m: int(starts.get(m, 1)) for m in self.media_ids}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        rows: list[tuple] = []
+        end: dict = {}
+        for media_id in self.media_ids:
+            first = int(start.get(media_id, 1))
+            got = list(_pull(self.options, media_id, first))
+            rows.extend(got)
+            pages = [r[1] for r in got if r[1] is not None]
+            end[media_id] = (max(pages) + 1) if pages else first
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Deterministic replay for recovery: re-pull [start, end) pages.
+        for media_id in self.media_ids:
+            lo, hi = int(start.get(media_id, 1)), int(end.get(media_id, 1))
+            if hi <= lo:
+                continue
+            opts = dict(self.options, max_pages=str(hi - lo))
+            yield from (r for r in _pull(opts, media_id, lo) if r[1] is None or r[1] < hi)
+
+
+class PagedRestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_rest"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> PagedRestReader:
+        return PagedRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PagedRestStreamReader:
+        return PagedRestStreamReader(self.options)
