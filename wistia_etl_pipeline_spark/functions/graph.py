@@ -76,33 +76,40 @@ def connected_components(
     no edges are the caller's business (coalesce to self-labels).
 
     Convergence: a round is large-star + small-star; we stop when the
-    small-star output equals the previous round's (set equality via
-    two anti-joins — same order of work as a round itself). Raises
-    after ``max_iter`` rounds rather than returning a wrong answer.
+    small-star output equals the previous round's. Both outputs are
+    distinct row sets, so equality is ``|nxt| == |cur|`` (two counts
+    over already-checkpointed frames — near-free) plus ONE one-sided
+    ``exceptAll`` only when the counts match; while the edge set is
+    still contracting the counts differ and the expensive check is
+    skipped entirely. Raises after ``max_iter`` rounds rather than
+    returning a wrong answer.
     """
+    # Truncate upstream lineage once: the edge list is typically the
+    # output of an expensive pair-mining stage (MinHash LSH etc.), and
+    # both derivations below would otherwise recompute it (rule #7 in
+    # NOTES — no ReusedExchange across different downstream plans).
     raw = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     # Node universe up front: nodes whose only edges are self-loops
     # still deserve a (singleton) label.
     nodes = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     cur = _symmetric(raw).distinct().localCheckpoint(eager=True)
+    cur_cnt = cur.count()
 
     for _ in range(max_iter):
         nxt = _small_star(_symmetric(_large_star(_symmetric(cur)))).localCheckpoint(
             eager=True
         )
-        changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
-        )
-        prev, cur = cur, nxt
-        if changed == 0:
+        nxt_cnt = nxt.count()
+        changed = nxt_cnt != cur_cnt or not nxt.exceptAll(cur).isEmpty()
+        prev, cur, cur_cnt = cur, nxt, nxt_cnt
+        if not changed:
             prev.unpersist()
             break
         prev.unpersist()
