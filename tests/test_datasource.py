@@ -120,3 +120,45 @@ def test_stream_reader_delivers_all_pages_then_goes_idle(spark, sf_dir, tmp_path
     # (exactly-once page delivery across restarts).
     run_once()
     assert spark.read.parquet(out).count() == len(got)
+
+
+def test_media_id_filters_prune_fetch_partitions():
+    """EqualTo/In on media_id are fully absorbed: pruned ids never get a
+    fetch task. Contract-level test on the reader object itself."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In
+    from wistia_etl_pipeline_spark.sources.datasource import PagedRestReader
+
+    opts = {"media_ids": json.dumps(["a", "b", "c"]), "transport": TRANSPORT}
+    r = PagedRestReader(opts)
+    leftover = list(
+        r.pushFilters(
+            [
+                In(("media_id",), ("a", "b")),
+                EqualTo(("media_id",), "b"),
+                GreaterThanOrEqual(("page",), 3),  # not ours
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["GreaterThanOrEqual"]
+    assert [p.media_id for p in r.partitions()] == ["b"]  # intersection
+
+
+def test_pushed_media_filter_end_to_end(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    media_ids = _media_ids(spark, sf_dir)
+    target = media_ids[1]
+    df = (
+        _reader(spark, sf_dir, media_ids, max_pages=10**6, time_budget_seconds=3600)
+        .load()
+        .filter(F.col("media_id") == target)
+    )
+    rows = df.collect()
+    assert rows and {r.media_id for r in rows} == {target}
+    n_events = sum(len(json.loads(r.payload)) for r in rows)
+    from wistia_etl_pipeline_spark.session import load_table
+
+    expect = (
+        load_table(spark, sf_dir, "events").where(F.col("event_type") == target).count()
+    )
+    assert n_events == expect

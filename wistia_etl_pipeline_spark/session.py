@@ -32,6 +32,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource scans (sources/datasource.py) absorb media_id
+    # equality/IN filters to prune fetch partitions — opt-in conf.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Advisory only (AQE coalesces down); sized so a 100 TB shuffle stage
     # still produces ~128 MB post-coalesce partitions.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",

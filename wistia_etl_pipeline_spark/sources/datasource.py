@@ -92,9 +92,33 @@ class MediaPartition(InputPartition):
 class PagedRestReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
+        self._keep: set[str] | None = None  # media_id pushdown, None = all
+
+    def pushFilters(self, filters):
+        """Push ``media_id = x`` / ``media_id IN (...)`` into the scan:
+        a pruned media id means its fetch task is never scheduled — the
+        API is not called at all. At scale this is the difference
+        between "ingest everything then filter" and "only pull what the
+        query touches"; it's the partition-pruning story of P3
+        (reference: path-built partition scan) applied to a remote
+        source. Other filters are left for Spark to evaluate post-scan.
+        """
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("media_id",):
+                wanted = {f.value}
+            elif isinstance(f, In) and f.attribute == ("media_id",):
+                wanted = set(f.value)
+            else:
+                yield f  # not ours — Spark applies it after the scan
+                continue
+            self._keep = wanted if self._keep is None else (self._keep & wanted)
 
     def partitions(self) -> list[InputPartition]:
         media_ids = json.loads(self.options["media_ids"])
+        if self._keep is not None:
+            media_ids = [m for m in media_ids if m in self._keep]
         starts = json.loads(self.options.get("start_pages", "{}"))
         return [MediaPartition(m, int(starts.get(m, 1))) for m in media_ids]
 
