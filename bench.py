@@ -99,6 +99,7 @@ HEADLINE = [
     "promo_revenue_q14",          # exact-decimal conditional ratio
     "rest_fanout_ingest",         # distributed paged ingest (fake API)
     "rest_datasource_ingest",     # same loop via Python DataSource API
+    "txlog_append_ingest",        # file-level append commits, O(batch)
 ]
 
 

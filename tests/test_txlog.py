@@ -62,7 +62,8 @@ def test_crash_before_commit_is_invisible(spark, tmp_path):
     assert _rows(t.read(spark)) == _rows(_target(spark))
     # vacuum reclaims the orphan, never the committed head
     removed = t.vacuum(keep_versions=1)
-    assert orphan in removed
+    assert any(p.startswith(orphan + os.sep) for p in removed)
+    assert not os.path.exists(orphan)  # emptied directory pruned too
     assert _rows(t.read(spark)) == _rows(_target(spark))
 
 
@@ -129,7 +130,8 @@ def test_vacuum_retention(spark, tmp_path):
     assert t.current_version() == 2
     head = _rows(t.read(spark))
     removed = t.vacuum(keep_versions=1)
-    assert len(removed) == 2  # v0 + v1 data gone
+    removed_dirs = {os.path.dirname(p) for p in removed}
+    assert len(removed_dirs) == 2  # v0 + v1 data gone
     assert t.versions() == [2]
     assert _rows(t.read(spark)) == head
 
@@ -161,3 +163,66 @@ def test_manifest_stats_enable_file_skipping(spark, tmp_path):
 
     # unranged read is the full snapshot
     assert t.read(spark).count() == 4000
+
+
+def test_append_reuses_prior_files_without_rewrite(spark, tmp_path):
+    """append() commits new files on top of the old snapshot: the head
+    manifest references the previous version's files byte-for-byte (same
+    paths, same mtimes — nothing was read or rewritten)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    v0_files = {
+        os.path.join(t.path, f["path"]): os.path.getmtime(
+            os.path.join(t.path, f["path"])
+        )
+        for f in t._manifest(0)["files"]
+    }
+    v1 = t.append(spark.createDataFrame([Row(k="d", v=4), Row(k="e", v=5)]))
+    assert v1 == 1
+    head_paths = {os.path.join(t.path, f["path"]) for f in t._manifest(1)["files"]}
+    assert set(v0_files) < head_paths  # strict superset: old files reused
+    for p, mtime in v0_files.items():
+        assert os.path.getmtime(p) == mtime  # untouched on disk
+    assert _rows(t.read(spark)) == _rows(_target(spark)) | {("d", 4), ("e", 5)}
+    # time travel still works: v0 unchanged
+    assert _rows(t.read(spark, version=0)) == _rows(_target(spark))
+
+
+def test_vacuum_keeps_files_shared_with_append_head(spark, tmp_path):
+    """File-level GC: after an append, the head still references v0's
+    files — vacuum(keep_versions=1) must keep them and reclaim nothing
+    the head needs."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.append(spark.createDataFrame([Row(k="x", v=9)]))
+    head = _rows(t.read(spark))
+    removed = t.vacuum(keep_versions=1)
+    assert removed == [] or all(".crc" in p or "_SUCCESS" in p for p in removed)
+    assert t.versions() == [1]
+    assert _rows(t.read(spark)) == head  # shared files survived GC
+
+
+def test_append_chain_then_merge_compacts(spark, tmp_path):
+    """Appends accumulate files; a merge rewrites to a fresh snapshot
+    whose manifest drops the accumulated list (Delta's OPTIMIZE-like
+    effect via MERGE). Old versions stay readable until vacuumed."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.append(spark.createDataFrame([Row(k="d", v=4)]))
+    t.append(spark.createDataFrame([Row(k="e", v=5)]))
+    head_dirs = {os.path.dirname(f["path"]) for f in t._manifest(2)["files"]}
+    assert len(head_dirs) == 3  # v0 dir + two append dirs accumulated
+    t.merge(spark, _stage(spark), ["k"])  # v3: full rewrite
+    merged_dirs = {os.path.dirname(f["path"]) for f in t._manifest(3)["files"]}
+    assert len(merged_dirs) == 1 and merged_dirs.isdisjoint(head_dirs)  # compacted
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3, "d": 40, "e": 5}
+    t.vacuum(keep_versions=1)
+    assert {r.k: r.v for r in t.read(spark).collect()} == got
+
+
+def test_append_on_empty_table_bootstraps(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    v = t.append(_target(spark))
+    assert v == 0
+    assert _rows(t.read(spark)) == _rows(_target(spark))

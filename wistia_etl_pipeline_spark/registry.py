@@ -3950,3 +3950,52 @@ def rest_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev.event_id").alias("sum_event_id"),
         F.countDistinct("ev.user_id").alias("n_visitors"),
     )
+
+
+_TXLOG_APPEND_SQL = """
+    SELECT event_type,
+           COUNT(*)     AS n_events,
+           SUM(event_id) AS sum_event_id,
+           5            AS n_commits
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query("txlog_append_ingest", oracle=_TXLOG_APPEND_SQL)
+def txlog_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fact-table accumulation on the transaction log.
+
+    The 100 TB fact-table path (module docstring, ``sources/txlog.py``):
+    each of 5 ingest batches lands as an ``append()`` — new parquet
+    files plus an O(1) manifest listing old + new; committed history is
+    never read or rewritten (byte-identity of prior files is pinned by
+    ``test_append_reuses_prior_files_without_rewrite``). The head
+    snapshot must therefore equal the union of the batches, i.e. a
+    plain aggregate over the source table; ``n_commits`` (= head
+    version + 1) rides the hash so the driver also verifies the table
+    was really built by 5 incremental commits, not one write.
+
+    Reference contrast: bronze accumulated pages as raw S3 puts with no
+    table semantics (wistia_pull_wistia_api.py:117-129); here the same
+    accumulate-only workload gets snapshot isolation, time travel, and
+    file-level vacuum for the cost of one manifest per batch.
+    """
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_append_") + "/tbl")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    kinds = sorted(r[0] for r in events.select("event_type").distinct().collect())
+    for kind in kinds:
+        table.append(events.where(F.col("event_type") == kind))
+    head = table.read(spark)
+    n_commits = table.current_version() + 1
+    return head.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.lit(n_commits).cast("int").alias("n_commits"),
+    )

@@ -32,12 +32,17 @@ closes that gap with the same mechanics Delta Lake's protocol uses
   retained manifests — the only deletion in the protocol, explicitly
   decoupled from commits so readers get a grace window.
 
-Scale note: this module commits O(1) small manifests per merge; the
+Scale note: this module commits O(1) small manifests per operation; the
 data write itself is the same distributed parquet write as the vanilla
-path. Snapshot-full rewrites (vs Delta's file-level add/remove) are the
-simplification — right for gold/dim-sized tables maintained by MERGE;
-a 100 TB fact table should be appended/partition-overwritten, not
-merge-rewritten, under either protocol.
+path. Manifests are FILE-LEVEL (each commit lists the parquet files
+that make up its snapshot, Delta's add-file model): ``overwrite`` and
+``merge`` list a fresh directory's files (full rewrite — right for
+gold/dim-sized tables maintained by MERGE), while ``append`` lists the
+previous snapshot's files PLUS the new batch's — the 100 TB fact-table
+path, where a daily ingest commits new files without touching, reading,
+or rewriting the accumulated history. ``vacuum`` accordingly collects
+file-level garbage: a parquet file survives iff some retained manifest
+references it.
 """
 
 from __future__ import annotations
@@ -73,9 +78,11 @@ def _put_if_absent(tmp: str, dst: str) -> bool:
 
 
 def _collect_file_stats(
-    data_dir: str, stats_cols: Sequence[str]
+    data_dir: str, stats_cols: Sequence[str], *, rel_root: str
 ) -> list[dict]:
-    """Per-file min/max for ``stats_cols`` from parquet footers (the
+    """Per-file entries for every parquet file in ``data_dir``: path
+    (relative to the TABLE root, so manifests can mix directories),
+    row count, and min/max for ``stats_cols`` from parquet footers (the
     manifest-level data-skipping index — what Delta stores per add-file).
     Driver-side, O(#files) footer reads — cheap next to the write."""
     import pyarrow.parquet as pq
@@ -105,7 +112,13 @@ def _collect_file_stats(
                     if cur is None
                     else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        out.append({"file": name, "rows": meta.num_rows, "stats": stats})
+        out.append(
+            {
+                "path": os.path.relpath(full, rel_root),
+                "rows": meta.num_rows,
+                "stats": stats,
+            }
+        )
     return out
 
 
@@ -148,10 +161,14 @@ class TxLogTable:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, version: int, data_dir: str, *, meta: dict | None = None) -> bool:
-        """Publish ``version`` pointing at ``data_dir``. False = lost race."""
+    def _commit(self, version: int, data_dir: str | None, *, meta: dict | None = None) -> bool:
+        """Publish ``version``. ``data_dir`` (may be None for file-list
+        commits like append) is recorded for provenance; the
+        authoritative content is ``meta["files"]``. False = lost race."""
         os.makedirs(self.log_dir, exist_ok=True)
-        doc = {"version": version, "data_dir": os.path.relpath(data_dir, self.path)}
+        doc = {"version": version}
+        if data_dir is not None:
+            doc["data_dir"] = os.path.relpath(data_dir, self.path)
         doc.update(meta or {})
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -162,6 +179,14 @@ class TxLogTable:
 
     def data_dir(self, version: int) -> str:
         return os.path.join(self.path, self._manifest(version)["data_dir"])
+
+    def _file_paths(self, manifest: dict) -> list[str] | None:
+        """Absolute paths of the snapshot's parquet files, or None for a
+        directory-scan manifest (no file list recorded)."""
+        files = manifest.get("files")
+        if files is None:
+            return None
+        return [os.path.join(self.path, f["path"]) for f in files]
 
     def read(
         self,
@@ -180,32 +205,35 @@ class TxLogTable:
         range filter on what remains — the same two-tier skipping Delta
         does with add-file stats + parquet row groups."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
         v = self.current_version() if version is None else version
         if v is None:
             return None
-        data_dir = self.data_dir(v)
-        if where is None:
-            return spark.read.parquet(data_dir)
-        col, lo, hi = where
         manifest = self._manifest(v)
-        files = manifest.get("files")
-        paths = [data_dir]
-        if files:
-            kept = []
-            for f in files:
-                rng = (f.get("stats") or {}).get(col)
-                if rng is None or not (rng[1] < lo or rng[0] > hi):
-                    kept.append(os.path.join(data_dir, f["file"]))
-            paths = kept
-        if not paths:  # every file pruned: empty frame, correct schema
-            return (
-                spark.read.parquet(data_dir)
-                .filter(F.lit(False))
-            )
-        return spark.read.parquet(*paths).filter(
-            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-        )
+        paths = self._file_paths(manifest)
+        if paths is None:  # legacy directory-scan manifest
+            paths = [self.data_dir(v)]
+        if where is not None:
+            col, lo, hi = where
+            files = manifest.get("files")
+            if files is not None:
+                paths = [
+                    os.path.join(self.path, f["path"])
+                    for f in files
+                    if (rng := (f.get("stats") or {}).get(col)) is None
+                    or not (rng[1] < lo or rng[0] > hi)
+                ]
+        if not paths:
+            # Empty snapshot (or every file pruned): an empty frame with
+            # the schema the manifest recorded at commit time.
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(*paths)
+        if where is not None:
+            col, lo, hi = where
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return df
 
     def files_scanned(self, *, version: int | None = None,
                       where: tuple[str, object, object] | None = None) -> int:
@@ -235,15 +263,51 @@ class TxLogTable:
                 self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
             )
             df.write.mode("overwrite").parquet(data_dir)
-            if self._commit(next_v, data_dir, meta=self._stats_meta(data_dir)):
+            if self._commit(next_v, data_dir, meta=self._files_meta(df, data_dir)):
                 return next_v
             shutil.rmtree(data_dir, ignore_errors=True)  # lost race: orphan
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
-    def _stats_meta(self, data_dir: str) -> dict:
-        if not self.stats_cols:
-            return {}
-        return {"files": _collect_file_stats(data_dir, self.stats_cols)}
+    def append(self, df: DataFrame, *, max_retries: int = 5) -> int:
+        """Commit ``df`` as NEW FILES on top of the current snapshot —
+        the manifest lists the previous version's files plus the batch's.
+        Nothing already committed is read, touched, or rewritten, so an
+        append costs O(batch), not O(table): this is how a fact table
+        accumulates 100 TB under the protocol. A lost commit race only
+        re-reads the new head MANIFEST (the batch directory is reused),
+        so retries are O(1) too. Returns the committed version."""
+        data_dir = os.path.join(self.path, f"data/a-{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        batch_files = _collect_file_stats(data_dir, self.stats_cols, rel_root=self.path)
+        for _ in range(max_retries):
+            v = self.current_version()
+            if v is None:
+                prior = []
+            else:
+                prior = self._manifest(v).get("files")
+                if prior is None:  # legacy head without a file list:
+                    # appending would silently drop it — refuse.
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise ValueError(
+                        "append requires a file-list manifest at the head; "
+                        "re-commit the table with overwrite() first"
+                    )
+            next_v = 0 if v is None else v + 1
+            meta = {
+                "files": prior + batch_files,
+                "schema": df.schema.json(),
+                "append": True,
+            }
+            if self._commit(next_v, None, meta=meta):
+                return next_v
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
+
+    def _files_meta(self, df: DataFrame, data_dir: str) -> dict:
+        return {
+            "files": _collect_file_stats(data_dir, self.stats_cols, rel_root=self.path),
+            "schema": df.schema.json(),
+        }
 
     def merge(
         self,
@@ -273,7 +337,7 @@ class TxLogTable:
                 self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
             )
             merged.write.mode("overwrite").parquet(data_dir)
-            meta = {"merge_keys": list(keys), **self._stats_meta(data_dir)}
+            meta = {"merge_keys": list(keys), **self._files_meta(merged, data_dir)}
             if self._commit(next_v, data_dir, meta=meta):
                 return next_v
             shutil.rmtree(data_dir, ignore_errors=True)
@@ -282,22 +346,39 @@ class TxLogTable:
     # -- maintenance ----------------------------------------------------
 
     def vacuum(self, *, keep_versions: int = 2) -> list[str]:
-        """Delete data directories not referenced by the newest
+        """Delete data FILES not referenced by the newest
         ``keep_versions`` manifests (and orphans from crashed/raced
-        commits). Returns the removed paths. Run on a cadence — the
-        retention window is the concurrent readers' grace period."""
+        commits), then any directories left empty. File-level, because
+        append commits share files across versions and directories —
+        a file survives iff some retained manifest lists it. Returns
+        the removed paths. Run on a cadence — the retention window is
+        the concurrent readers' grace period."""
         keep_versions = max(1, keep_versions)  # never unlink the head
         vs = self.versions()
-        keep = {self._manifest(v)["data_dir"] for v in vs[-keep_versions:]}
+        keep_files: set[str] = set()
+        keep_dirs: set[str] = set()
+        for v in vs[-keep_versions:]:
+            m = self._manifest(v)
+            files = m.get("files")
+            if files is not None:
+                keep_files.update(
+                    os.path.abspath(os.path.join(self.path, f["path"])) for f in files
+                )
+            if "data_dir" in m:  # legacy directory-scan manifests
+                keep_dirs.add(os.path.abspath(os.path.join(self.path, m["data_dir"])))
         removed = []
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
-            for name in sorted(os.listdir(data_root)):
-                rel = os.path.join("data", name)
-                full = os.path.join(data_root, name)
-                if rel not in keep and os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed.append(full)
+            for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+                if os.path.abspath(dirpath) in keep_dirs:
+                    continue
+                for fn in files:
+                    full = os.path.abspath(os.path.join(dirpath, fn))
+                    if full not in keep_files:
+                        os.remove(full)
+                        removed.append(full)
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         for v in vs[:-keep_versions]:
             os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
         return removed
