@@ -100,6 +100,8 @@ HEADLINE = [
     "rest_fanout_ingest",         # distributed paged ingest (fake API)
     "rest_datasource_ingest",     # same loop via Python DataSource API
     "txlog_append_ingest",        # file-level append commits, O(batch)
+    "txlog_incremental_read",     # CDF-style delta consumption
+    "txlog_partition_backfill",   # dynamic partition overwrite
 ]
 
 

@@ -226,3 +226,154 @@ def test_append_on_empty_table_bootstraps(spark, tmp_path):
     v = t.append(_target(spark))
     assert v == 0
     assert _rows(t.read(spark)) == _rows(_target(spark))
+
+
+def test_read_changes_returns_only_appended_batches(spark, tmp_path):
+    """Incremental consumption: a consumer that processed version N
+    reads exactly the rows later appends added — never the base."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))  # v0
+    t.append(spark.createDataFrame([Row(k="d", v=4)]))  # v1
+    t.append(spark.createDataFrame([Row(k="e", v=5)]))  # v2
+    assert _rows(t.read_changes(spark, 0)) == {("d", 4), ("e", 5)}
+    assert _rows(t.read_changes(spark, 1)) == {("e", 5)}
+    assert _rows(t.read_changes(spark, 0, to_version=1)) == {("d", 4)}
+    # fully caught up: empty frame, schema preserved
+    caught_up = t.read_changes(spark, 2)
+    assert caught_up.count() == 0
+    assert caught_up.columns == ["k", "v"]
+
+
+def test_read_changes_refuses_rewrites_unless_snapshot(spark, tmp_path):
+    """A merge/overwrite in the range removes files — the delta is not
+    add-only, so the consumer must restate from a snapshot."""
+    import pytest
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))  # v0
+    t.append(spark.createDataFrame([Row(k="d", v=4)]))  # v1
+    t.merge(spark, _stage(spark), ["k"])  # v2: rewrite
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_changes(spark, 0)
+    restated = t.read_changes(spark, 0, on_rewrite="snapshot")
+    assert _rows(restated) == _rows(t.read(spark))
+    # a range that stops before the rewrite is still incremental
+    assert _rows(t.read_changes(spark, 0, to_version=1)) == {("d", 4)}
+
+
+def _days(spark):
+    return spark.createDataFrame(
+        [
+            Row(day=1, k="a", v=1),
+            Row(day=1, k="b", v=2),
+            Row(day=2, k="c", v=3),
+            Row(day=3, k="d", v=4),
+        ]
+    )
+
+
+def test_overwrite_partitions_backfills_only_touched_day(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing day=2 replaces exactly
+    that partition's files; every other day's files are carried into
+    the new manifest byte-identical (never read or rewritten)."""
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_days(spark), ["day"])  # v0 bootstrap
+    untouched = {
+        os.path.join(t.path, f["path"]): os.path.getmtime(
+            os.path.join(t.path, f["path"])
+        )
+        for f in t._manifest(0)["files"]
+        if f["partition"]["day"] != "2"
+    }
+    backfill = spark.createDataFrame(
+        [Row(day=2, k="c", v=30), Row(day=2, k="e", v=50)]
+    )
+    v = t.overwrite_partitions(backfill, ["day"])
+    assert v == 1
+    assert _rows(t.read(spark)) == {
+        (1, "a", 1), (1, "b", 2), (2, "c", 30), (2, "e", 50), (3, "d", 4),
+    }
+    head_paths = {os.path.join(t.path, f["path"]) for f in t._manifest(1)["files"]}
+    assert set(untouched) <= head_paths
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime
+    # snapshot isolation: v0 still shows the original day=2
+    assert _rows(t.read(spark, version=0)) == _rows(_days(spark))
+    # vacuum reclaims only the replaced day's old files
+    removed = t.vacuum(keep_versions=1)
+    assert removed and all("__part_day=2" in p for p in removed)
+    assert _rows(t.read(spark)) == {
+        (1, "a", 1), (1, "b", 2), (2, "c", 30), (2, "e", 50), (3, "d", 4),
+    }
+
+
+def test_overwrite_partitions_refuses_unpartitioned_head(spark, tmp_path):
+    import pytest
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    with pytest.raises(ValueError, match="partition"):
+        t.overwrite_partitions(
+            spark.createDataFrame([Row(k="a", v=9)]), ["k"]
+        )
+
+
+def test_partition_overwrite_is_a_rewrite_for_read_changes(spark, tmp_path):
+    """A consumer mid-stream over appends must notice a partition
+    rewrite (files were removed) and restate from a snapshot."""
+    import pytest
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite_partitions(_days(spark), ["day"])  # v0
+    t.overwrite_partitions(
+        spark.createDataFrame([Row(day=2, k="z", v=99)]), ["day"]
+    )  # v1 rewrites day=2
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_changes(spark, 0)
+    assert _rows(t.read_changes(spark, 0, on_rewrite="snapshot")) == _rows(
+        t.read(spark)
+    )
+
+
+def test_append_new_column_evolves_schema(spark, tmp_path):
+    """merge_schema append: a new column widens the table schema; files
+    from before the evolution read it as null (the manifest schema is
+    authoritative at scan time — no old file is rewritten)."""
+    import pytest
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    wide = spark.createDataFrame([Row(k="d", v=4, w="x")])
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(wide)  # strict by default
+    t.append(wide, merge_schema=True)
+    got = t.read(spark)
+    assert got.columns == ["k", "v", "w"]
+    assert _rows(got) == {
+        ("a", 1, None), ("b", 2, None), ("c", 3, None), ("d", 4, "x"),
+    }
+    # incremental read of the evolved range carries the widened schema
+    assert _rows(t.read_changes(spark, 0)) == {("d", 4, "x")}
+
+
+def test_append_missing_column_fills_null(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    narrow = spark.createDataFrame([Row(k="e")])
+    t.append(narrow, merge_schema=True)
+    assert _rows(t.read(spark)) == {
+        ("a", 1), ("b", 2), ("c", 3), ("e", None),
+    }
+
+
+def test_append_type_change_always_refused(spark, tmp_path):
+    import pytest
+
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    retyped = spark.createDataFrame([Row(k="f", v="not-an-int")])
+    with pytest.raises(ValueError, match="type"):
+        t.append(retyped, merge_schema=True)
+    # the failed append left no visible state and no garbage the head uses
+    assert t.current_version() == 0
+    assert _rows(t.read(spark)) == _rows(_target(spark))

@@ -3999,3 +3999,116 @@ def txlog_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("sum_event_id"),
         F.lit(n_commits).cast("int").alias("n_commits"),
     )
+
+
+_TXLOG_INCREMENTAL_SQL = """
+    SELECT event_type,
+           COUNT(*)      AS n_events,
+           SUM(event_id) AS sum_event_id
+    FROM events
+    WHERE event_type IN (
+        SELECT event_type
+        FROM (SELECT DISTINCT event_type FROM events ORDER BY event_type OFFSET 2)
+    )
+    GROUP BY 1
+"""
+
+
+@query("txlog_incremental_read", oracle=_TXLOG_INCREMENTAL_SQL)
+def txlog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-style incremental consumption off the transaction log.
+
+    A downstream consumer checkpoints the last version it processed and
+    calls ``read_changes(since_version)`` — which scans ONLY the files
+    later appends added (O(delta), never O(table); the rewrite guard is
+    pinned by ``test_read_changes_refuses_rewrites_unless_snapshot``).
+    Here: two batches land, the consumer marks its checkpoint, three
+    more batches land; the incremental read must return exactly those
+    three batches — i.e. the events whose type sorts after the first
+    two — which is what the oracle computes directly from the source.
+
+    Reference contrast: the bronze job's downstream (silver) re-lists
+    and re-reads the whole partition space every run
+    (wistia_transform_silver.py:29-38); a log-backed consumer reads
+    only the delta.
+    """
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_incr_") + "/tbl")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    kinds = sorted(r[0] for r in events.select("event_type").distinct().collect())
+    for kind in kinds[:2]:
+        table.append(events.where(F.col("event_type") == kind))
+    consumer_checkpoint = table.current_version()
+    for kind in kinds[2:]:
+        table.append(events.where(F.col("event_type") == kind))
+    delta = table.read_changes(spark, consumer_checkpoint)
+    return delta.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+_TXLOG_BACKFILL_SQL = """
+    SELECT event_type,
+           COUNT(*)      AS n_events,
+           SUM(event_id) AS sum_event_id
+    FROM (
+        SELECT event_type, event_id
+        FROM events
+        WHERE event_type <> (SELECT MIN(event_type) FROM events)
+        UNION ALL
+        SELECT event_type, event_id + 1000000000
+        FROM events
+        WHERE event_type = (SELECT MIN(event_type) FROM events)
+          AND event_id % 2 = 0
+    )
+    GROUP BY 1
+"""
+
+
+@query("txlog_partition_backfill", oracle=_TXLOG_BACKFILL_SQL)
+def txlog_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: the day-backfill path.
+
+    Load events partitioned by ``event_type``, then re-land ONE
+    partition (the first type, keeping only even event ids with a
+    +1e9 id shift so replacement — not merge — is observable in the
+    hash). ``overwrite_partitions`` writes and commits O(partition):
+    every other partition's files are carried into the new manifest
+    byte-identical (pinned by
+    ``test_overwrite_partitions_backfills_only_touched_day``), which is
+    what makes re-landing one day of a 100 TB fact table affordable.
+    The oracle rebuilds the same final state set-theoretically:
+    everything outside the replaced partition, plus the restated rows.
+
+    Reference contrast: the silver job's backfill story is "overwrite
+    the whole output path" (wistia_transform_silver.py:50-54 writes
+    mode=overwrite over the full frame); partition-scoped replacement
+    is the scale-safe version of that truncate-and-reload.
+    """
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_backfill_") + "/tbl")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    table.overwrite_partitions(events, ["event_type"])
+    first_kind = events.agg(F.min("event_type")).collect()[0][0]
+    backfill = (
+        events.where(
+            (F.col("event_type") == first_kind) & (F.col("event_id") % 2 == 0)
+        )
+        .withColumn("event_id", F.col("event_id") + F.lit(1000000000))
+    )
+    table.overwrite_partitions(backfill, ["event_type"])
+    return table.read(spark).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )

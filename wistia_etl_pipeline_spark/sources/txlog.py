@@ -77,21 +77,39 @@ def _put_if_absent(tmp: str, dst: str) -> bool:
         os.unlink(tmp)
 
 
+_PART_PREFIX = "__part_"
+
+
+def _partition_values(rel_to_data_dir: str) -> dict[str, str]:
+    """Partition column → value parsed from ``__part_col=val`` path
+    segments of a partitioned write (values as Spark spelled them)."""
+    out = {}
+    for seg in rel_to_data_dir.split(os.sep)[:-1]:
+        if seg.startswith(_PART_PREFIX) and "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k[len(_PART_PREFIX):]] = v
+    return out
+
+
 def _collect_file_stats(
     data_dir: str, stats_cols: Sequence[str], *, rel_root: str
 ) -> list[dict]:
-    """Per-file entries for every parquet file in ``data_dir``: path
+    """Per-file entries for every parquet file under ``data_dir``
+    (recursive — partitioned writes nest ``__part_col=val`` dirs): path
     (relative to the TABLE root, so manifests can mix directories),
-    row count, and min/max for ``stats_cols`` from parquet footers (the
-    manifest-level data-skipping index — what Delta stores per add-file).
-    Driver-side, O(#files) footer reads — cheap next to the write."""
+    row count, partition values if any, and min/max for ``stats_cols``
+    from parquet footers (the manifest-level data-skipping index — what
+    Delta stores per add-file). Driver-side, O(#files) footer reads —
+    cheap next to the write."""
     import pyarrow.parquet as pq
 
+    paths = []
+    for dirpath, _dirs, names in os.walk(data_dir):
+        for name in names:
+            if name.endswith(".parquet"):
+                paths.append(os.path.join(dirpath, name))
     out = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(data_dir, name)
+    for full in sorted(paths):
         meta = pq.ParquetFile(full).metadata
         stats: dict[str, list] = {}
         for rg_i in range(meta.num_row_groups):
@@ -112,14 +130,50 @@ def _collect_file_stats(
                     if cur is None
                     else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        out.append(
-            {
-                "path": os.path.relpath(full, rel_root),
-                "rows": meta.num_rows,
-                "stats": stats,
-            }
-        )
+        entry = {
+            "path": os.path.relpath(full, rel_root),
+            "rows": meta.num_rows,
+            "stats": stats,
+        }
+        parts = _partition_values(os.path.relpath(full, data_dir))
+        if parts:
+            entry["partition"] = parts
+        out.append(entry)
     return out
+
+
+def _evolve_schema(head_json: str | None, df: DataFrame, *, merge_schema: bool) -> str:
+    """The table schema after appending ``df``: head fields first, then
+    ``df``'s new fields as nullable. Additions/omissions require
+    ``merge_schema``; type changes are always refused (see
+    ``TxLogTable.append``)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if head_json is None:
+        return df.schema.json()
+    head = StructType.fromJson(json.loads(head_json))
+    head_types = {f.name: f.dataType for f in head.fields}
+    df_types = {f.name: f.dataType for f in df.schema.fields}
+    conflicts = sorted(
+        n for n, t in df_types.items() if n in head_types and t != head_types[n]
+    )
+    if conflicts:
+        raise ValueError(
+            f"append changes column types for {conflicts}; "
+            "rewrite the table (overwrite/merge) to change a type"
+        )
+    new = [f for f in df.schema.fields if f.name not in head_types]
+    missing = sorted(n for n in head_types if n not in df_types)
+    if (new or missing) and not merge_schema:
+        raise ValueError(
+            f"batch schema differs from table (new={[f.name for f in new]}, "
+            f"missing={missing}); pass merge_schema=True to evolve"
+        )
+    merged = StructType(
+        list(head.fields)
+        + [StructField(f.name, f.dataType, True) for f in new]
+    )
+    return merged.json()
 
 
 class TxLogTable:
@@ -229,11 +283,75 @@ class TxLogTable:
             # the schema the manifest recorded at commit time.
             schema = StructType.fromJson(json.loads(manifest["schema"]))
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(*paths)
+        reader = spark.read
+        if "schema" in manifest:
+            # The manifest schema is authoritative: files predating a
+            # schema evolution read their missing columns as null.
+            reader = reader.schema(
+                StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        df = reader.parquet(*paths)
         if where is not None:
             col, lo, hi = where
             df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return df
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        *,
+        to_version: int | None = None,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
+        """Rows added by commits AFTER ``since_version`` up to
+        ``to_version`` (default: head) — the incremental-consumption
+        path. A downstream job remembers the last version it processed
+        and reads only the files newer commits added, so consuming a
+        day's appends off a 100 TB table costs O(day), never O(table)
+        (Delta's CDF read, restricted to the append case where change =
+        add-files and no row-level ``_change_type`` is needed).
+
+        A rewrite commit (``overwrite``/``merge``/partition overwrite)
+        in the range removes files, so its delta is NOT expressible as
+        added rows: with ``on_rewrite="error"`` (default) raise so the
+        consumer notices; ``on_rewrite="snapshot"`` returns the full
+        snapshot at ``to_version`` — the documented "restate from a
+        fresh snapshot" recovery, matching how CDF consumers handle
+        non-append history.
+        """
+        from pyspark.sql.types import StructType
+
+        head = self.current_version()
+        to_v = head if to_version is None else to_version
+        if to_v is None or since_version > to_v:
+            raise ValueError(f"bad version range ({since_version}, {to_v}]")
+        added: list[str] = []
+        prev: set[str] | None = None
+        for v in range(since_version, to_v + 1):
+            files = self._manifest(v).get("files")
+            if files is None:
+                raise ValueError(
+                    f"version {v} has no file-list manifest; "
+                    "changes across it cannot be computed"
+                )
+            cur = {f["path"] for f in files}
+            if prev is not None:
+                if prev - cur:  # files removed: rewrite commit
+                    if on_rewrite == "snapshot":
+                        return self.read(spark, version=to_v)
+                    raise ValueError(
+                        f"version {v} rewrote the table (files removed); "
+                        "re-read from a snapshot or pass on_rewrite='snapshot'"
+                    )
+                added.extend(sorted(cur - prev))
+            prev = cur
+        schema = StructType.fromJson(json.loads(self._manifest(to_v)["schema"]))
+        if not added:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *(os.path.join(self.path, p) for p in added)
+        )
 
     def files_scanned(self, *, version: int | None = None,
                       where: tuple[str, object, object] | None = None) -> int:
@@ -268,14 +386,25 @@ class TxLogTable:
             shutil.rmtree(data_dir, ignore_errors=True)  # lost race: orphan
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
-    def append(self, df: DataFrame, *, max_retries: int = 5) -> int:
+    def append(
+        self, df: DataFrame, *, merge_schema: bool = False, max_retries: int = 5
+    ) -> int:
         """Commit ``df`` as NEW FILES on top of the current snapshot —
         the manifest lists the previous version's files plus the batch's.
         Nothing already committed is read, touched, or rewritten, so an
         append costs O(batch), not O(table): this is how a fact table
         accumulates 100 TB under the protocol. A lost commit race only
         re-reads the new head MANIFEST (the batch directory is reused),
-        so retries are O(1) too. Returns the committed version."""
+        so retries are O(1) too. Returns the committed version.
+
+        Schema: by default the batch must match the table schema
+        exactly (by column name and type). ``merge_schema=True`` allows
+        evolution — new columns widen the table schema (old files read
+        as null for them, because ``read()`` applies the manifest
+        schema) and the batch may omit existing columns (its files read
+        as null there). A TYPE change for an existing column is always
+        refused: parquet files with conflicting physical types can't
+        share one scan schema — that's a rewrite, not an append."""
         data_dir = os.path.join(self.path, f"data/a-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(data_dir)
         batch_files = _collect_file_stats(data_dir, self.stats_cols, rel_root=self.path)
@@ -283,8 +412,10 @@ class TxLogTable:
             v = self.current_version()
             if v is None:
                 prior = []
+                schema_json = df.schema.json()
             else:
-                prior = self._manifest(v).get("files")
+                m = self._manifest(v)
+                prior = m.get("files")
                 if prior is None:  # legacy head without a file list:
                     # appending would silently drop it — refuse.
                     shutil.rmtree(data_dir, ignore_errors=True)
@@ -292,11 +423,92 @@ class TxLogTable:
                         "append requires a file-list manifest at the head; "
                         "re-commit the table with overwrite() first"
                     )
+                try:
+                    schema_json = _evolve_schema(
+                        m.get("schema"), df, merge_schema=merge_schema
+                    )
+                except ValueError:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise
             next_v = 0 if v is None else v + 1
             meta = {
                 "files": prior + batch_files,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "append": True,
+            }
+            if self._commit(next_v, None, meta=meta):
+                return next_v
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
+
+    def overwrite_partitions(
+        self, df: DataFrame, partition_cols: Sequence[str], *, max_retries: int = 5
+    ) -> int:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        ``df`` contains (the day-backfill path — re-landing one day of a
+        100 TB fact table writes and commits O(day); every other
+        partition's files are carried into the new manifest untouched).
+
+        The write is one distributed ``partitionBy`` job over copies of
+        the partition columns (``__part_col=val`` directories), so data
+        files keep the real columns and reads stay plain parquet scans
+        of manifest paths — no Hive-style partition inference needed.
+        Replacement matches on the partition values Spark spelled into
+        the directory names vs ``str()`` of ``df``'s distinct values:
+        keep partition columns to strings/ints (dates formatted to
+        strings) so both spellings agree.
+
+        First commit bootstraps a partitioned table; later commits
+        require every head file to carry partition info for the same
+        columns (appends of unpartitioned batches can't be safely
+        replaced — refuse rather than silently keep stale rows).
+        Returns the committed version.
+        """
+        from pyspark.sql import functions as F
+
+        cols = list(partition_cols)
+        if not cols:
+            raise ValueError("partition_cols must be non-empty")
+        staged = df
+        for c in cols:
+            staged = staged.withColumn(_PART_PREFIX + c, F.col(c))
+        data_dir = os.path.join(self.path, f"data/p-{uuid.uuid4().hex[:8]}")
+        staged.write.partitionBy(*(_PART_PREFIX + c for c in cols)).mode(
+            "overwrite"
+        ).parquet(data_dir)
+        new_files = _collect_file_stats(data_dir, self.stats_cols, rel_root=self.path)
+        touched = {
+            tuple(f["partition"][c] for c in cols)
+            for f in new_files
+            if "partition" in f
+        }
+        for _ in range(max_retries):
+            v = self.current_version()
+            keep: list[dict] = []
+            if v is not None:
+                prior = self._manifest(v).get("files")
+                if prior is None:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise ValueError(
+                        "overwrite_partitions requires a file-list manifest "
+                        "at the head; re-commit with overwrite() first"
+                    )
+                for f in prior:
+                    part = f.get("partition")
+                    if part is None or any(c not in part for c in cols):
+                        shutil.rmtree(data_dir, ignore_errors=True)
+                        raise ValueError(
+                            f"head file {f['path']} has no partition values "
+                            f"for {cols}; cannot replace partitions safely"
+                        )
+                    if tuple(part[c] for c in cols) not in touched:
+                        keep.append(f)
+            next_v = 0 if v is None else v + 1
+            meta = {
+                "files": keep + new_files,
+                "schema": df.schema.json(),
+                "partitioned_by": cols,
+                "replaced_partitions": sorted(touched),
             }
             if self._commit(next_v, None, meta=meta):
                 return next_v
@@ -369,14 +581,35 @@ class TxLogTable:
         removed = []
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
-            for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            live_dirs: set[str] = set()  # contain kept content (subtree)
+            for dirpath, dirs, files in os.walk(data_root, topdown=False):
                 if os.path.abspath(dirpath) in keep_dirs:
+                    live_dirs.add(os.path.abspath(dirpath))
                     continue
+                kept_here = any(
+                    os.path.abspath(os.path.join(dirpath, fn)) in keep_files
+                    for fn in files
+                ) or any(
+                    os.path.abspath(os.path.join(dirpath, d)) in live_dirs
+                    for d in dirs
+                )
+                if kept_here:
+                    live_dirs.add(os.path.abspath(dirpath))
                 for fn in files:
                     full = os.path.abspath(os.path.join(dirpath, fn))
-                    if full not in keep_files:
-                        os.remove(full)
-                        removed.append(full)
+                    if full in keep_files:
+                        continue
+                    if fn.startswith(".") and fn.endswith(".crc"):
+                        # checksum sidecar: lives and dies with its file
+                        base = fn[1:-len(".crc")]
+                        if os.path.abspath(os.path.join(dirpath, base)) in keep_files:
+                            continue
+                        if not base.endswith(".parquet") and kept_here:
+                            continue  # e.g. ._SUCCESS.crc of a live dir
+                    elif not fn.endswith(".parquet") and kept_here:
+                        continue  # _SUCCESS etc. of a still-live directory
+                    os.remove(full)
+                    removed.append(full)
                 if not os.listdir(dirpath):
                     os.rmdir(dirpath)
         for v in vs[:-keep_versions]:
