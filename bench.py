@@ -102,6 +102,9 @@ HEADLINE = [
     "txlog_append_ingest",        # file-level append commits, O(batch)
     "txlog_incremental_read",     # CDF-style delta consumption
     "txlog_partition_backfill",   # dynamic partition overwrite
+    "vocab_top_tokens",           # corpus vocabulary build, top-k
+    "doc_token_commonness",       # unigram-LM commonness (exact ints)
+    "doc_rare_terms",             # idf-ranked distinctive terms
 ]
 
 

@@ -377,3 +377,23 @@ def test_q5_cycle_join_carries_nation_residual(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "s_nationkey" in plan and "c_nationkey" in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    """Vocabulary top-100 must plan per-partition heaps over the
+    aggregated counts (TakeOrderedAndProject), never a full sort of a
+    corpus-sized vocabulary."""
+    plan = _plan(spark, sf_dir, "vocab_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_commonness_join_has_no_forced_broadcast(spark, sf_dir):
+    """The token→vocab join must not hint a broadcast: a corpus
+    vocabulary scales with the corpus (same policy as SF-scaled dims).
+    Partial counts must still combine below the exchange."""
+    df = entry.queries()["doc_token_commonness"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in phys  # map-side combine before shuffle

@@ -4112,3 +4112,135 @@ def txlog_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("event_id").alias("sum_event_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: vocabulary build, unigram commonness, rare terms
+# --------------------------------------------------------------------------
+
+@query(
+    "vocab_top_tokens",
+    oracle=rf"""
+    SELECT tok,
+           COUNT(*) AS n
+    FROM documents, unnest({_TOKS}) AS u(tok)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: global token frequencies, top 100.
+
+    The first step of any tokenizer/vocab pipeline (BPE merges, vocab
+    pruning, stopword discovery) over a training corpus. Shape at
+    100 TB: explode → hash-aggregate on the token — partial counts
+    combine map-side before the single shuffle (tokens are zipfian, so
+    map-side combine absorbs the hot head) — then a global top-k via
+    TakeOrderedAndProject, never a full sort. Ties broken by token
+    text so the LIMIT is deterministic (NOTES_r2 rule: top-k needs an
+    explicit tiebreak or ties hash-flake).
+    """
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(100)
+    )
+
+
+_COMMONNESS_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    )
+    SELECT doc_id,
+           COUNT(*)   AS n_tokens,
+           SUM(c)     AS sum_global_freq,
+           MIN(c)     AS min_global_freq
+    FROM tok JOIN vocab USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@query("doc_token_commonness", oracle=_COMMONNESS_SQL)
+def doc_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM commonness profile per document — the exact-integer
+    surrogate for unigram log-probability quality filters (documents
+    whose tokens are globally rare score low; boilerplate scores
+    high). A float -log p would sum doubles in engine-dependent order
+    and can't hash-match (determinism rule #2); the exact BIGINT pair
+    (sum, min of global frequencies) carries the same ranking signal.
+
+    Shape at 100 TB: token-exploded corpus self-joined to its own
+    frequency table — an equi shuffle join on the token key with
+    partial aggregation on both sides; no broadcast hint because a
+    corpus vocabulary scales with the corpus (the same policy VERDICT
+    r1 #4 set for SF-scaled dims).
+    """
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return tok.join(vocab, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("c").alias("sum_global_freq"),
+        F.min("c").alias("min_global_freq"),
+    )
+
+
+_RARE_TERMS_SQL = rf"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS doc_freq FROM tok GROUP BY tok
+    ),
+    ranked AS (
+        SELECT doc_id, tok, doc_freq,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY doc_freq, tok
+               ) AS rnk
+        FROM tok JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, doc_freq, rnk
+    FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("doc_rare_terms", oracle=_RARE_TERMS_SQL)
+def doc_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per document: the 3 tokens with the lowest
+    corpus document-frequency — tf-idf's idf half with exact integers
+    (idf = log(N/df) is monotone in df, so ranking by df ascending IS
+    the idf ranking, minus the un-hashable log).
+
+    Shape: distinct (doc, token) pairs → document-frequency aggregate →
+    equi join back → per-doc window top-k. The window partitions by
+    doc_id (tens of rows per partition after distinct), so no skew;
+    rank ties broken by token text for determinism.
+    """
+    from .functions.text import tokens
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    df_ = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("doc_freq"), F.col("tok"))
+    return (
+        tok.join(df_, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "doc_freq", "rnk")
+    )
