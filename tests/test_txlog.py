@@ -377,3 +377,50 @@ def test_append_type_change_always_refused(spark, tmp_path):
     # the failed append left no visible state and no garbage the head uses
     assert t.current_version() == 0
     assert _rows(t.read(spark)) == _rows(_target(spark))
+
+
+def test_check_constraints_reject_bad_batch(spark, tmp_path):
+    """CHECK constraints: a violating batch aborts BEFORE anything
+    becomes visible — on every commit path. Null predicate results
+    count as violations."""
+    import pytest
+
+    from wistia_etl_pipeline_spark.sources.txlog import ConstraintViolation
+
+    t = TxLogTable(
+        str(tmp_path / "t"),
+        constraints={"v_positive": "v > 0", "k_not_null": "k IS NOT NULL"},
+    )
+    t.overwrite(_target(spark))  # all rows satisfy the checks
+    bad = spark.createDataFrame([Row(k="x", v=-1), Row(k=None, v=2)])
+    for op in (
+        lambda: t.append(bad),
+        lambda: t.overwrite(bad),
+        lambda: t.merge(spark, bad, ["k"]),
+    ):
+        with pytest.raises(ConstraintViolation, match="v_positive"):
+            op()
+    assert t.current_version() == 0  # nothing landed
+    assert _rows(t.read(spark)) == _rows(_target(spark))
+    t.append(spark.createDataFrame([Row(k="d", v=4)]))  # clean batch OK
+    assert ("d", 4) in _rows(t.read(spark))
+
+
+def test_compact_rewrites_append_chain_without_changing_rows(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"))
+    t.overwrite(_target(spark))
+    t.append(spark.createDataFrame([Row(k="d", v=4)]))
+    t.append(spark.createDataFrame([Row(k="e", v=5)]))
+    before = _rows(t.read(spark))
+    n_files_before = len(t._manifest(2)["files"])
+    v = t.compact(spark)
+    assert v == 3
+    assert _rows(t.read(spark)) == before  # same rows
+    assert len(t._manifest(3)["files"]) == 1 < n_files_before
+    # pre-compaction snapshot still readable until vacuumed
+    assert _rows(t.read(spark, version=2)) == before
+    # compaction is a rewrite for incremental consumers
+    import pytest
+
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_changes(spark, 0)

@@ -60,6 +60,11 @@ class ConcurrentCommitError(RuntimeError):
     """Raised when a merge loses the commit race ``max_retries`` times."""
 
 
+class ConstraintViolation(ValueError):
+    """Raised when a batch fails the table's CHECK constraints; the
+    commit is aborted and no data becomes visible."""
+
+
 def _put_if_absent(tmp: str, dst: str) -> bool:
     """Atomically publish ``tmp`` as ``dst`` iff ``dst`` doesn't exist.
 
@@ -188,10 +193,49 @@ class TxLogTable:
     pushdown). Pair with a sorted/Z-ordered write so file ranges are
     tight."""
 
-    def __init__(self, path: str, *, stats_cols: Sequence[str] = ()):
+    def __init__(
+        self,
+        path: str,
+        *,
+        stats_cols: Sequence[str] = (),
+        constraints: dict[str, str] | None = None,
+    ):
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, "_txlog")
         self.stats_cols = tuple(stats_cols)
+        self.constraints = dict(constraints or {})
+
+    def _check_constraints(self, df: DataFrame) -> DataFrame:
+        """Enforce CHECK constraints (name → boolean SQL expression)
+        on the batch BEFORE any data lands: one aggregate over the
+        batch only — never the table — counts rows violating each
+        expression; any violation aborts the commit (Delta's CHECK
+        constraint contract: bad data never becomes visible, and the
+        writer finds out at write time, not at read time three jobs
+        downstream). Null predicate results count as violations, so a
+        constraint must be explicit about nullable columns."""
+        from pyspark.sql import functions as F
+
+        if not self.constraints:
+            return df
+        counts = df.agg(
+            *[
+                F.count(
+                    F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1)
+                ).alias(name)
+                for name, expr in self.constraints.items()
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in self.constraints if counts[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"constraint violations on {self.path}: "
+                + ", ".join(
+                    f"{n} ({c} rows, CHECK {self.constraints[n]!r})"
+                    for n, c in sorted(bad.items())
+                )
+            )
+        return df
 
     # -- log ------------------------------------------------------------
 
@@ -374,6 +418,7 @@ class TxLogTable:
     def overwrite(self, df: DataFrame, *, max_retries: int = 5) -> int:
         """Commit ``df`` as a full replacement snapshot; returns the
         committed version."""
+        self._check_constraints(df)
         for _ in range(max_retries):
             v = self.current_version()
             next_v = 0 if v is None else v + 1
@@ -405,6 +450,7 @@ class TxLogTable:
         as null there). A TYPE change for an existing column is always
         refused: parquet files with conflicting physical types can't
         share one scan schema — that's a rewrite, not an append."""
+        self._check_constraints(df)
         data_dir = os.path.join(self.path, f"data/a-{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(data_dir)
         batch_files = _collect_file_stats(data_dir, self.stats_cols, rel_root=self.path)
@@ -469,6 +515,7 @@ class TxLogTable:
         cols = list(partition_cols)
         if not cols:
             raise ValueError("partition_cols must be non-empty")
+        self._check_constraints(df)
         staged = df
         for c in cols:
             staged = staged.withColumn(_PART_PREFIX + c, F.col(c))
@@ -536,6 +583,7 @@ class TxLogTable:
         Returns the committed version."""
         from ..operators.merge import upsert
 
+        self._check_constraints(stage)
         for _ in range(max_retries):
             v = self.current_version()
             target = self.read(spark, version=v)
@@ -556,6 +604,35 @@ class TxLogTable:
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
     # -- maintenance ----------------------------------------------------
+
+    def compact(
+        self, spark: SparkSession, *, target_files: int = 1, max_retries: int = 5
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``target_files``
+        files per the usual commit protocol — same rows, fewer files.
+        An append-heavy table accumulates one file set per batch; small
+        files tax every scan (driver listing, task scheduling, parquet
+        footer overhead), so compaction on a cadence is part of the
+        100 TB contract. Readers of older versions keep their snapshot
+        (files are shared/immutable as always); ``vacuum`` reclaims the
+        pre-compaction files once retention passes. Counts as a rewrite
+        for ``read_changes`` (no rows changed, but file identity did —
+        consumers mid-range restate from the snapshot)."""
+        for _ in range(max_retries):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"nothing to compact at {self.path}")
+            snapshot = self.read(spark, version=v).coalesce(target_files)
+            next_v = v + 1
+            data_dir = os.path.join(
+                self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            snapshot.write.mode("overwrite").parquet(data_dir)
+            meta = {"compaction": True, **self._files_meta(snapshot, data_dir)}
+            if self._commit(next_v, data_dir, meta=meta):
+                return next_v
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
     def vacuum(self, *, keep_versions: int = 2) -> list[str]:
         """Delete data FILES not referenced by the newest
