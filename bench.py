@@ -134,19 +134,27 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "runs_per_query": n_runs,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            "runs_per_query": n_runs,
+        }
     )
+    # The driver captures stdout-tail only (BENCH_r02 lost its first ~16
+    # per-query entries to truncation, VERDICT r2 #7) — persist the full
+    # JSON to disk so every round has complete per-query medians.
+    local_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # read-only cwd must not break the driver's stdout contract
+    print(payload)
 
 
 if __name__ == "__main__":

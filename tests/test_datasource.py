@@ -162,3 +162,100 @@ def test_pushed_media_filter_end_to_end(spark, sf_dir):
         load_table(spark, sf_dir, "events").where(F.col("event_type") == target).count()
     )
     assert n_events == expect
+
+
+def test_partitioned_stream_reader_is_default_and_fetches_on_executors(
+    spark, sf_dir, tmp_path
+):
+    """streamReader() (partitioned, executor-side fetch) must win over
+    simpleStreamReader() — VERDICT r2 #6: at ingest scale the page
+    fetch cannot live on the driver. Delivery must match the events
+    table exactly, across multiple bounded micro-batches."""
+    import json as _json
+
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.sources.datasource import (
+        PagedRestDataSource,
+        PartitionedPagedRestStreamReader,
+    )
+
+    # dispatch check at the API boundary
+    ds = PagedRestDataSource(
+        options={
+            "media_ids": _json.dumps(["a"]),
+            "transport": TRANSPORT,
+            "sf_dir": sf_dir,
+        }
+    )
+    assert isinstance(
+        ds.streamReader(None), PartitionedPagedRestStreamReader
+    )
+
+    media_ids = _media_ids(spark, sf_dir)
+    _register(spark)
+    stream = (
+        spark.readStream.format("paged_rest")
+        .option("media_ids", _json.dumps(media_ids))
+        .option("transport", TRANSPORT)
+        .option("sf_dir", sf_dir)
+        .option("max_pages_per_batch", "3")  # forces several micro-batches
+        .option("time_budget_seconds", "3600")
+        .load()
+    )
+    out = str(tmp_path / "out")
+
+    # Spark runs a partitioned Python stream reader one micro-batch per
+    # availableNow trigger (no AvailableNow support → single-batch mode),
+    # so drive the bounded batches reference-style: one run per
+    # scheduler tick until the offset stops advancing (ST2).
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    last = -1
+    for _ in range(32):
+        run_once()
+        n = spark.read.parquet(out).count()
+        if n == last:
+            break
+        last = n
+
+    got = spark.read.parquet(out).collect()
+    assert all(r.error is None for r in got)
+    n_events = sum(len(_json.loads(r.payload)) for r in got)
+    assert n_events == load_table(spark, sf_dir, "events").count()
+    # no page delivered twice per media
+    seen: dict[str, list[int]] = {}
+    for r in got:
+        seen.setdefault(r.media_id, []).append(r.page)
+    for m, pages in seen.items():
+        assert sorted(pages) == sorted(set(pages)), m
+    assert set(seen) == set(media_ids)
+
+
+def test_simple_stream_option_falls_back_to_driver_prefetch_reader(spark, sf_dir):
+    """`simple_stream=true` must dispatch the Simple (driver-prefetch)
+    variant through Spark's PySparkNotImplementedError fallback."""
+    import json as _json
+
+    from pyspark.errors import PySparkNotImplementedError
+
+    from wistia_etl_pipeline_spark.sources.datasource import PagedRestDataSource
+
+    ds = PagedRestDataSource(
+        options={
+            "media_ids": _json.dumps(["a"]),
+            "transport": TRANSPORT,
+            "sf_dir": sf_dir,
+            "simple_stream": "true",
+        }
+    )
+    with pytest.raises(PySparkNotImplementedError):
+        ds.streamReader(None)
+    assert ds.simpleStreamReader(None) is not None

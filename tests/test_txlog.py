@@ -424,3 +424,107 @@ def test_compact_rewrites_append_chain_without_changing_rows(spark, tmp_path):
 
     with pytest.raises(ValueError, match="rewrote"):
         t.read_changes(spark, 0)
+
+
+# -- real concurrency stress (VERDICT r2 #5): racing writers -------------
+
+def test_racing_appends_lose_no_batch_and_linearize(spark, tmp_path):
+    """Two writers racing append+append: every batch must land exactly
+    once and the version history must be gapless 0..N — the put-if-
+    absent manifest commit (os.link) is the only arbiter."""
+    import threading
+
+    from wistia_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    table = TxLogTable(str(tmp_path / "t"))
+    table.overwrite(spark.range(0).selectExpr("id AS k"))  # v0, file manifest
+
+    per_writer, batch_rows = 4, 10
+    errors: list[Exception] = []
+
+    def writer(tag: int) -> None:
+        try:
+            for i in range(per_writer):
+                base = tag * 100_000 + i * batch_rows
+                df = spark.range(batch_rows).selectExpr(f"id + {base} AS k")
+                table.append(df, max_retries=50)
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    # gapless, linearizable history: v0 + one version per committed batch
+    assert table.versions() == list(range(2 * per_writer + 1))
+    got = sorted(r.k for r in table.read(spark).collect())
+    want = sorted(
+        tag * 100_000 + i * batch_rows + j
+        for tag in (1, 2)
+        for i in range(per_writer)
+        for j in range(batch_rows)
+    )
+    assert got == want  # no lost batch, no duplicated batch
+
+
+def test_racing_append_and_merge_serialize(spark, tmp_path):
+    """append vs merge racing on the same table: merge recomputes
+    against the CURRENT snapshot on every retry, so whichever
+    interleaving wins, the final state must contain every appended row
+    AND the merged keys' staged values — no last-write-wins anomaly."""
+    import threading
+
+    from wistia_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    table = TxLogTable(str(tmp_path / "t"))
+    table.overwrite(
+        spark.createDataFrame(
+            [(k, 0) for k in range(5)], "k long, v long"
+        )
+    )
+
+    errors: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            for i in range(3):
+                df = spark.createDataFrame(
+                    [(1000 + i * 10 + j, -1) for j in range(10)], "k long, v long"
+                )
+                table.append(df, max_retries=50)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def merger() -> None:
+        try:
+            for i in range(3):
+                stage = spark.createDataFrame(
+                    [(k, i + 1) for k in range(5)], "k long, v long"
+                )
+                table.merge(spark, stage, ["k"], max_retries=50)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=merger),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    assert table.versions() == list(range(7))  # v0 + 3 appends + 3 merges
+    rows = {(r.k, r.v) for r in table.read(spark).collect()}
+    appended = {(1000 + i * 10 + j, -1) for i in range(3) for j in range(10)}
+    assert appended <= rows  # every appended row survived every merge
+    base = {kv for kv in rows if kv[0] < 1000}
+    # merged keys hold values from SOME committed merge generation —
+    # never the overwritten 0s, never a torn mix beyond one generation
+    # boundary per key pair (serializability: each merge saw a snapshot)
+    assert {k for k, _ in base} == set(range(5))
+    assert all(v >= 1 for _, v in base)

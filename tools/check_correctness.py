@@ -62,19 +62,35 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures += 1
+            print(f"{name:40s} SPARK-ERROR {type(e).__name__}: {str(e)[:160]}")
+            continue
         if name not in oracles:
             print(f"{name:40s} rows-only: {len(srows)} rows, cols={scols}")
             continue
+        # Type audit first: DuckDB HUGEINT (SUM of integers) renders as
+        # float64 under pandas-based fetches (the driver's path) even
+        # though fetchall() below yields Python ints — treat it as a
+        # failure the same way the driver would (determinism rule #9).
+        rel = con.sql(oracles[name])
+        hugeint_cols = [
+            c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)
+        ]
         cur = con.execute(oracles[name])
         ocols = [d[0] for d in cur.description]
         orows = cur.fetchall()
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         ok_hash = _hash(srows, scols) == _hash(orows, ocols)
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        ok_types = not hugeint_cols or name.startswith("canary_")
+        if not ok_types:
+            print(f"{name:40s} HUGEINT in oracle output: {hugeint_cols}")
+        status = "OK" if (ok_rows and ok_cols and ok_hash and ok_types) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(

@@ -28,6 +28,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # The driver's testdata parquet stores TIMESTAMP(NANOS) which Spark's
     # vectorized reader rejects; read as long and convert (see load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Current testdata stores TIMESTAMP(MICROS) with no timezone
+    # annotation, which Spark 4 infers as TIMESTAMP_NTZ by default. Read
+    # it as session-local TimestampType instead (UTC session ⇒ identical
+    # epoch values): timestamp predicates then push down to the parquet
+    # scan directly — a cast-to-LTZ projection would hide every ts
+    # filter from row-group pruning (the P3/P5 scale story).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -125,10 +132,12 @@ def get_spark(
     return apply_runtime_confs(builder.getOrCreate())
 
 
-#: Testdata columns stored as parquet TIMESTAMP(NANOS). With
-#: ``nanosAsLong`` they surface as epoch-nanos longs; ``load_table``
-#: restores TimestampType via exact integer division (truncation to
-#: micros — matching DuckDB's micros-precision TIMESTAMP).
+#: Testdata timestamp columns. Earlier driver generations stored parquet
+#: TIMESTAMP(NANOS) (surfacing as epoch-nanos longs under ``nanosAsLong``);
+#: the current generation stores TIMESTAMP(MICROS) without a timezone
+#: annotation, which Spark 4 reads as TIMESTAMP_NTZ. ``load_table``
+#: normalizes BOTH to session-local TimestampType (UTC session ⇒ the
+#: epoch value is preserved, matching DuckDB's naive micros TIMESTAMP).
 _NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -157,7 +166,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if raw:
         return df
+    dtypes = dict(df.dtypes)
     for col in _NANOS_TIMESTAMP_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col in df.columns and dtypes[col] == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Safety net only: with ``inferTimestampNTZ.enabled=false`` (see
+    # RUNTIME_CONFS) untagged micros columns already surface as LTZ and
+    # this loop is a no-op. If a session rejects that conf, normalize
+    # NTZ → session-UTC TimestampType here (value-preserving, but the
+    # cast hides ts predicates from pushdown — prefer the conf).
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

@@ -37,11 +37,12 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
 
-from .rest_source import PullConfig, Transport, fetch_pages
+from .rest_source import PullConfig, Transport, fetch_pages, page_shape
 
 #: Output schema of the scan — one row per fetched page (payload is the
 #: raw JSON rows array; parse downstream with ``from_json``).
@@ -165,6 +166,135 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
             yield from (r for r in _pull(opts, media_id, lo) if r[1] is None or r[1] < hi)
 
 
+class PageRangePartition(InputPartition):
+    """One media id's page range [lo, hi) for one micro-batch."""
+
+    def __init__(self, media_id: str, lo: int, hi: int):
+        self.media_id = media_id
+        self.lo = lo
+        self.hi = hi
+
+
+class PartitionedPagedRestStreamReader(DataSourceStreamReader):
+    """Partitioned streaming variant — the fetch lives on EXECUTORS.
+
+    ``SimpleDataSourceStreamReader`` prefetches every page on the
+    DRIVER and only replays on executors (its wrapper caches batch
+    data driver-side) — fine for tests, wrong for a 100 TB ingest
+    (VERDICT r2 #6 / NOTES r2 #24). This reader keeps the driver's
+    work to OFFSET ARITHMETIC: per micro-batch it probes one page
+    envelope per media for ``total`` (a bounded metadata-sized
+    request, capped further by ``max_pages`` per batch), emits one
+    :class:`PageRangePartition` per media with work to do, and Spark
+    schedules/retries the page fetches as scan tasks. Offsets are
+    ``{media_id: next_page}`` in Spark's streaming offset log — the
+    reference's ``events_checkpoint.next_page`` (ST2) with
+    Spark-owned exactly-once commit semantics.
+
+    Replay determinism: a recovered batch re-reads the SAME [lo, hi)
+    ranges recorded in the offset log; with a deterministic transport
+    the rows are identical (at-least-once fetch + exactly-once offset
+    commit = the reference's idempotent-by-key contract, ST4).
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.media_ids = json.loads(options["media_ids"])
+        self._transport: Transport | None = None
+        #: probe memo for bare-array feeds only (no ``total`` in the
+        #: envelope): the page the next probe starts from. Envelope
+        #: feeds (the Wistia shape) yield an ABSOLUTE latest offset
+        #: from ``total`` and never consult this.
+        self._probe_from: dict | None = None
+
+    # -- offset plumbing (driver side, metadata only) -------------------
+
+    def initialOffset(self) -> dict:
+        starts = json.loads(self.options.get("start_pages", "{}"))
+        return {m: int(starts.get(m, 1)) for m in self.media_ids}
+
+    def _probe_total_pages(self, media_id: str, next_page: int) -> int:
+        """Cheapest available end-of-feed probe: one envelope fetch.
+        Returns the 1-past-the-end page for the CURRENT feed state,
+        or ``next_page`` when the feed is exhausted/unknown."""
+        if self._transport is None:
+            self._transport = resolve_transport(self.options)
+        url = (
+            f"fake://events/{media_id}?page={next_page}"
+            if "url_template" not in self.options
+            else self.options["url_template"].format(
+                media_id=media_id, page=next_page
+            )
+        )
+        try:
+            status, body = self._transport(url)
+            if status >= 400:
+                return next_page
+            rows, total, per_page = page_shape(json.loads(body))
+            per_page = per_page or _config(self.options).per_page
+            if total is not None:
+                import math
+
+                return math.ceil(total / per_page) + 1
+            # bare-array feed: no total — advance iff the probe saw rows
+            return next_page + 1 if rows else next_page
+        except Exception:  # noqa: BLE001 — probe failure = no progress
+            return next_page
+
+    def latestOffset(self) -> dict:
+        """ABSOLUTE latest offset per media, derived from the feed's
+        envelope ``total`` (one metadata-sized probe per media). Being
+        absolute — independent of consumption — is what makes restarts
+        correct: ``latestOffset`` has no access to the committed offset,
+        so any consumption-relative answer would stall or regress after
+        recovery. Work is NOT bounded here; ``partitions()`` bounds it
+        per TASK instead, which scales better anyway (many bounded
+        fetch tasks per media inside one batch, instead of many tiny
+        batches)."""
+        base = self._probe_from or self.initialOffset()
+        end: dict = {}
+        for m in self.media_ids:
+            lo = int(base.get(m, 1))
+            hi = self._probe_total_pages(m, lo)
+            end[m] = max(hi, lo)
+        self._probe_from = end
+        return end
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        """One task per CHUNK of ``max_pages_per_batch`` (default:
+        ``max_pages``) pages per media — the ST2 bounded-work knob,
+        applied at task granularity so a media with 10⁶ outstanding
+        pages becomes many schedulable/retryable fetch tasks rather
+        than one giant one (or one giant batch)."""
+        chunk = int(self.options.get("max_pages_per_batch", 0)) or _config(
+            self.options
+        ).max_pages
+        parts: list[InputPartition] = []
+        for m in self.media_ids:
+            lo, hi = int(start.get(m, 1)), int(end.get(m, 1))
+            while lo < hi:
+                parts.append(PageRangePartition(m, lo, min(lo + chunk, hi)))
+                lo += chunk
+        # zero-progress batch still needs ≥1 (empty) partition
+        return parts or [PageRangePartition(self.media_ids[0], 1, 1)]
+
+    def commit(self, end: dict) -> None:  # offsets live in Spark's log
+        pass
+
+    # -- data path (executor side) --------------------------------------
+
+    def read(self, partition: PageRangePartition) -> Iterator[tuple]:
+        if partition.hi <= partition.lo:
+            return
+        opts = dict(self.options, max_pages=str(partition.hi - partition.lo))
+        for row in _pull(opts, partition.media_id, partition.lo):
+            # clamp to the committed range: a feed that grew between the
+            # probe and the fetch must not leak future pages into this
+            # batch (they belong to the next offset window)
+            if row[1] is None or row[1] < partition.hi:
+                yield row
+
+
 class PagedRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -175,6 +305,22 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema) -> PagedRestReader:
         return PagedRestReader(self.options)
+
+    def streamReader(self, schema) -> PartitionedPagedRestStreamReader:
+        """Spark prefers this over ``simpleStreamReader`` when both are
+        implemented — the executor-side reader is the default. Pass
+        ``simple_stream=true`` to force the driver-prefetch Simple
+        variant (kept for comparison/tests)."""
+        if self.options.get("simple_stream", "").lower() == "true":
+            from pyspark.errors import PySparkNotImplementedError
+
+            # the exact type Spark's _streamReader dispatch catches to
+            # fall back to simpleStreamReader (datasource_internal.py:41)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simple_stream=true)"},
+            )
+        return PartitionedPagedRestStreamReader(self.options)
 
     def simpleStreamReader(self, schema) -> PagedRestStreamReader:
         return PagedRestStreamReader(self.options)

@@ -76,6 +76,86 @@ class ParquetEventsTransport:
         return 200, json.dumps(body).encode()
 
 
+class CorruptPageTransport(ParquetEventsTransport):
+    """Same paginated feed, but every page of ``poison_media`` comes back
+    as an undecodable 200 body — the deterministic fault injector behind
+    the ``ingest_error_isolation`` query (ST6: one bad media must yield
+    an error row, never fail the stage; reference bronze.py:261-265)."""
+
+    def __init__(self, sf_dir: str, per_page: int = PER_PAGE, poison_media: str = ""):
+        super().__init__(sf_dir, per_page)
+        self.poison_media = poison_media
+
+    def __call__(self, url: str) -> tuple[int, bytes]:
+        media_id = urlparse(url).path.lstrip("/")
+        if media_id == self.poison_media:
+            return 200, b'{"data": [truncated garbage'
+        return super().__call__(url)
+
+
+class ParquetWistiaFeedTransport:
+    """Full-shape Wistia event feed served from ``events.parquet``.
+
+    Same contract as :class:`ParquetEventsTransport` but each row carries
+    the complete RAW_EVENT_SCHEMA surface the silver flatten consumes
+    (event_key, ISO received_at, percent_viewed, visitor_key, media
+    fields) — the feed ``pipeline_e2e_gold`` ingests. Rows are ordered by
+    (ts, event_id) per media, and the parquet read is pushdown-filtered
+    per media and cached, so no caller ever materializes the whole events
+    table (the r2 fixture did exactly that via ``DataFrame.collect``;
+    VERDICT r2 "What's wrong" #2)."""
+
+    def __init__(self, sf_dir: str, per_page: int = PER_PAGE):
+        self.sf_dir = sf_dir
+        self.per_page = per_page
+        self._cache: dict[str, list[dict]] = {}
+
+    def _rows(self, media_id: str) -> list[dict]:
+        if media_id not in self._cache:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                f"{self.sf_dir}/events.parquet",
+                columns=["event_id", "ts", "value", "user_id", "event_type"],
+                filters=[("event_type", "=", media_id)],
+            )
+            recs = sorted(
+                zip(
+                    t["ts"].to_pylist(),
+                    t["event_id"].to_pylist(),
+                    t["value"].to_pylist(),
+                    t["user_id"].to_pylist(),
+                )
+            )
+            self._cache[media_id] = [
+                {
+                    "event_key": str(event_id),
+                    "received_at": ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z",
+                    "percent_viewed": None if value is None else float(value),
+                    "embed_url": None, "email": None, "ip": None,
+                    "user_agent_details": None,
+                    "visitor_key": user_id, "country": None, "region": None,
+                    "city": None, "lat": None, "lon": None, "org": None,
+                    "media_id": media_id, "media_name": media_id.upper(),
+                }
+                for ts, event_id, value, user_id in recs
+            ]
+        return self._cache[media_id]
+
+    def __call__(self, url: str) -> tuple[int, bytes]:
+        parsed = urlparse(url)
+        media_id = parsed.path.lstrip("/")
+        page = int(parse_qs(parsed.query)["page"][0])
+        rows = self._rows(media_id)
+        lo = (page - 1) * self.per_page
+        body = {
+            "data": rows[lo : lo + self.per_page],
+            "total": len(rows),
+            "per_page": self.per_page,
+        }
+        return 200, json.dumps(body).encode()
+
+
 def transport_factory_from_options(options: dict) -> ParquetEventsTransport:
     """DataSource-API entry point (``transport`` option target): build
     the parquet-backed transport from string options."""

@@ -145,9 +145,22 @@ def zorder_value(df: DataFrame, cols: Sequence[str], *, bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    # normalize each cluster column to a numeric expression first —
+    # timestamp (LTZ or NTZ) clusters on epoch micros, dates on epoch
+    # days, everything else casts to double
+    dtypes = dict(df.dtypes)
+
+    def _numeric(c: str):
+        dt = dtypes[c]
+        if dt in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if dt == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
     bounds = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in cols],
-        *[F.max(c).alias(f"__max_{c}") for c in cols],
+        *[F.min(_numeric(c)).alias(f"__min_{c}") for c in cols],
+        *[F.max(_numeric(c)).alias(f"__max_{c}") for c in cols],
     ).collect()[0]
     scaled = df
     max_val = (1 << bits) - 1
@@ -159,9 +172,7 @@ def zorder_value(df: DataFrame, cols: Sequence[str], *, bits: int = 16):
             f"__z_{c}",
             F.least(
                 F.lit(max_val),
-                ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_val).cast(
-                    "long"
-                ),
+                ((_numeric(c) - F.lit(lo)) / F.lit(span) * max_val).cast("long"),
             ),
         )
     z = F.lit(0).cast("long")
