@@ -43,6 +43,9 @@ ANNOTATED = {
     "unshipped_orders_q3": "Q3 top-k: TakeOrderedAndProject over the grouped revenue with the o_orderkey tiebreak — deterministic LIMIT, no global sort.",
     "important_stock_q11": "Q11 self-referential threshold: the per-part aggregate is filtered against a broadcast scalar SUM over the same aggregate; membership stays DECIMAL-exact.",
     "rest_fanout_ingest": "distributed ingest: one mapInPandas stage runs the bounded page loop per media partition; payload JSON parsed JVM-side by from_json, then a single aggregate exchange. Python surface = the fetch loop only.",
+    "rank_set_suite": "compound suite: four branches union under one plan — the window top-k sorts inside its key exchange, the global top-k is TakeOrderedAndProject, INTERSECT/EXCEPT plan as LeftSemi/LeftAnti hash joins over distinct aggregates.",
+    "behavioral_suite": "compound suite: funnel and event-mix are single-exchange conditional aggregates; retention self-joins the DEDUPED (user, day) grain on its own shuffle key — no event-level self-join in any branch.",
+    "ingest_error_isolation": "ST6 fan-out: the poisoned media dies inside its fetch task and surfaces as an error row from the same mapInPandas stage; JSON parse + explode_outer stay JVM-side; one aggregate exchange.",
 }
 
 
