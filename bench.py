@@ -105,6 +105,14 @@ HEADLINE = [
     "vocab_top_tokens",           # corpus vocabulary build, top-k
     "doc_token_commonness",       # unigram-LM commonness (exact ints)
     "doc_rare_terms",             # idf-ranked distinctive terms
+    "asof_join_forward",          # forward as-of (descending carry)
+    "asof_join_nearest",          # nearest as-of (two carries, 1 shuffle)
+    "corpus_pmi_bigrams",         # collocations via PMI lift, top-40
+    "value_histogram",            # equi-width binning per key
+    "argmax_latest_state",        # max_by/min_by aggregate surface
+    "rank_set_suite",             # compound: topk/sets under one hash
+    "behavioral_suite",           # compound: funnel/retention/mix
+    "ingest_error_isolation",     # ST6 fault-injected fan-out
 ]
 
 

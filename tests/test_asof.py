@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from wistia_etl_pipeline_spark.operators.asof import asof_join
 
@@ -50,3 +50,57 @@ def test_asof_join_preserves_left_rowcount(spark):
     got = {r.event_id: r.state for r in out.collect()}
     assert all(got[i] is None for i in range(25))
     assert all(got[i] == "x" for i in range(25, 50))
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e10"), (1, 25, "e25"), (1, 40, "e40"), (2, 5, "x5")],
+        "k int, t int, name string",
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "name")
+    right = spark.createDataFrame(
+        [(1, 10, "s10"), (1, 30, "s30"), (2, 50, "s50")],
+        "k int, t int, state string",
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "state")
+    return left, right
+
+
+def test_asof_forward_attaches_next_state(spark):
+    from wistia_etl_pipeline_spark.operators.asof import asof_join
+
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["state"], direction="forward",
+    )
+    got = {r.name: r.state for r in out.collect()}
+    # t=10 matches s10 inclusively; t=25 -> s30; t=40 -> nothing after
+    assert got == {"e10": "s10", "e25": "s30", "e40": None, "x5": "s50"}
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    from wistia_etl_pipeline_spark.operators.asof import asof_join
+
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["state"], direction="nearest",
+    )
+    got = {r.name: r.state for r in out.collect()}
+    # e25: |25-10|=15 vs |30-25|=5 -> forward s30
+    # e40: |40-30|=10, nothing forward -> backward s30
+    # x5: nothing backward -> forward s50
+    assert got == {"e10": "s10", "e25": "s30", "e40": "s30", "x5": "s50"}
+
+
+def test_asof_nearest_single_exchange(spark):
+    """nearest computes both directional carries over one key
+    partitioning — the plan must contain exactly one Exchange."""
+    from wistia_etl_pipeline_spark.operators.asof import asof_join
+
+    left, right = _fixture(spark)
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["state"], direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -397,3 +397,34 @@ def test_commonness_join_has_no_forced_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in analyzed
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in phys  # map-side combine before shuffle
+
+
+def test_suites_have_no_cartesian_or_bnl(spark, sf_dir):
+    """The compound suites union four/five branches under one plan —
+    every branch must stay an equi hash join / aggregate; a planner
+    regression to nested-loop in any branch would poison the shared
+    hash silently at the driver."""
+    for name in ("rank_set_suite", "behavioral_suite"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_behavioral_suite_retention_joins_on_day_grain(spark, sf_dir):
+    """Retention must self-join the deduped (user, day) grain, never raw
+    events: the plan's join inputs must both sit above distinct
+    aggregates (HashAggregate), keeping the join |users|x|days|-sized."""
+    plan = _plan(spark, sf_dir, "behavioral_suite")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    # the event-level anti-pattern would show a join keyed only on
+    # user_id with raw FileScan children and no distinct aggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_canary_window_nulls_single_exchange(spark, sf_dir):
+    """The null-order canary must stay one shuffle (the user window) —
+    it exists to isolate a rendering axis, not to cost anything."""
+    plan = _plan(spark, sf_dir, "canary_window_nulls")
+    assert plan.count("Exchange hashpartitioning") == 1

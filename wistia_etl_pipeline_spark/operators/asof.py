@@ -38,14 +38,28 @@ def asof_join(
     left_time: str,
     right_time: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join in any direction.
+
+    - ``backward`` (default): latest right row at-or-before the left
+      time (state lookup / SCD2).
+    - ``forward``: earliest right row at-or-after the left time (next
+      scheduled event / next price tick).
+    - ``nearest``: whichever of the two is closer in time; exact ties
+      resolve backward (pandas ``merge_asof`` convention).
 
     ``value_cols`` are the right-side columns to attach (NULL where no
-    right row at-or-before the left time exists). Right rows sharing
-    (key, time) should be pre-deduped (latest-wins) — otherwise which
-    one wins is unspecified, as in any as-of join.
+    qualifying right row exists). Right rows sharing (key, time) should
+    be pre-deduped (latest-wins) — otherwise which one wins is
+    unspecified, as in any as-of join.
+
+    Scale: ``backward``/``forward`` are ONE shuffle (the key window)
+    over |L|+|R| rows; ``nearest`` computes both carries over the SAME
+    key partitioning — still one Exchange, two Sorts.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -61,19 +75,53 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    # right rows sort before left rows at equal time → inclusive (≤)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned = l_tagged.unionByName(r_tagged)
+
+    def _carry(df: DataFrame, suffix: str, *, forward: bool) -> DataFrame:
+        # right rows sort before left rows at equal time in BOTH
+        # orderings → the boundary is inclusive (≤ / ≥)
+        order = (
+            [F.col("__t").desc(), F.col("__is_left")]
+            if forward
+            else [F.col("__t"), F.col("__is_left")]
+        )
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cols = ["*"]
+        cols += [
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__{suffix}_{c}")
+            for c in value_cols
+        ]
+        cols.append(
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+            ).over(w).alias(f"__{suffix}_t")
+        )
+        return df.select(*cols)
+
+    if direction in ("backward", "forward"):
+        carried = _carry(unioned, "m", forward=direction == "forward")
+        return carried.filter(F.col("__is_left") == 1).select(
+            *lcols, *[F.col(f"__m_{c}").alias(c) for c in value_cols]
+        )
+
+    both = _carry(_carry(unioned, "b", forward=False), "f", forward=True)
+    back_wins = F.col("__f_t").isNull() | (
+        F.col("__b_t").isNotNull()
+        & (
+            F.unix_micros("__t") - F.unix_micros("__b_t")
+            <= F.unix_micros("__f_t") - F.unix_micros("__t")
+        )
     )
-    carried = l_tagged.unionByName(r_tagged).select(
-        "*",
+    return both.filter(F.col("__is_left") == 1).select(
+        *lcols,
         *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__latest_{c}")
+            F.when(back_wins, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(c)
             for c in value_cols
         ],
-    )
-    return carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__latest_{c}").alias(c) for c in value_cols]
     )
