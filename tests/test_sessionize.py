@@ -164,3 +164,90 @@ def test_salted_join_matches_plain_join(spark):
     lj = salted_join(fact, dim, ["k"], salt_from="ev", n_salts=8, how="left")
     assert lj.filter(F.col("k") == "orphan").count() == 10
     assert lj.count() == fact.count()
+
+
+def test_transform_with_state_sessionize_matches_applyinpandas(spark, tmp_path):
+    """The transformWithState sessionizer must close the same session
+    the applyInPandasWithState one does (same fixture as
+    test_streaming_sessionize_closes_on_gap): burst of 3, then a later
+    batch past the gap closes it.
+
+    transformWithState's Python state-protocol worker requires
+    google.protobuf, which this container does not ship — skip (not
+    xfail) when absent; the operator itself is import-clean either way.
+    """
+    import json
+    import time
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf (not in container)",
+    )
+
+    from wistia_etl_pipeline_spark.operators.flatten import flatten_events
+    from wistia_etl_pipeline_spark.operators.sessionize import (
+        streaming_sessionize_tws,
+    )
+    from wistia_etl_pipeline_spark.streaming.pipeline import read_bronze_stream
+
+    bronze = tmp_path / "stream"
+    bronze.mkdir()
+
+    def ev(key, iso):
+        return {
+            "event_key": key, "received_at": iso, "percent_viewed": 0.5,
+            "embed_url": "e", "email": None, "ip": "1",
+            "user_agent_details": None, "visitor_key": "v1", "country": "US",
+            "region": "CA", "city": "SF", "lat": 1.0, "lon": 2.0, "org": None,
+            "media_id": "m1", "media_name": "D",
+        }
+
+    (bronze / "f1.json").write_text(
+        "\n".join(
+            json.dumps(ev(f"e{i}", f"2024-01-01T10:{i:02d}:00Z")) for i in range(3)
+        )
+    )
+    (bronze / "f2.json").write_text(
+        "\n".join(
+            json.dumps(ev(f"l{i}", f"2024-01-01T11:{30 + i:02d}:00Z"))
+            for i in range(2)
+        )
+    )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = flatten_events(
+            read_bronze_stream(spark, str(bronze), max_files_per_trigger=1)
+        ).select("visitor_key", "received_at")
+        sessions = streaming_sessionize_tws(stream, gap_minutes=30)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sessions_tws_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        rows = []
+        for _ in range(120):
+            rows = spark.sql("select * from sessions_tws_out").collect()
+            if rows or not q.isActive:
+                break
+            time.sleep(1)
+        q.stop()
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.visitor_key == "v1" and r.n_events == 3
+    assert r.session_start.minute == 0 and r.session_end.minute == 2

@@ -44,13 +44,32 @@ def _hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    hostile = "--hostile" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from wistia_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark("check-correctness")
+    if hostile:
+        # Driver-style session: plain builder, hostile timezone, none of
+        # the engine confs pre-applied. Every query callable must fix the
+        # session itself (apply_runtime_confs) — this catches
+        # order-dependent conf bugs the tuned get_spark session hides.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-correctness-hostile")
+            .master("local[16]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .getOrCreate()
+        )
+    else:
+        from wistia_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -17,6 +17,11 @@ offers three genuinely different engines for:
   Arbitrary Python session logic with explicit timeout-based state
   eviction; use only when built-ins can't express the semantics
   (e.g. sessions keyed by content of events, cross-field predicates).
+- :func:`streaming_sessionize_tws` — the same contract on Spark 4's
+  ``transformWithState`` (typed state handles in RocksDB, per-key
+  timers). Prefer it on clusters that ship ``google.protobuf`` (its
+  state-protocol dependency; this container doesn't, so its test
+  skips).
 """
 
 from __future__ import annotations
@@ -159,4 +164,99 @@ def streaming_sessionize(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_sessionize_tws(
+    stream: DataFrame,
+    *,
+    user: str = "visitor_key",
+    event_time: str = "received_at",
+    gap_minutes: int = 30,
+):
+    """Custom stateful sessionization on the ``transformWithState``
+    API (Spark 4) — the modern successor to ``applyInPandasWithState``
+    used by :func:`streaming_sessionize`, with the same emitted
+    contract: one row per CLOSED session.
+
+    Differences that matter at scale: state lives in named typed
+    handles (a ValueState here) inside the RocksDB state store —
+    incremental checkpointing and state far larger than executor
+    memory — and inactivity is modeled with explicit per-key TIMERS
+    instead of one GroupStateTimeout, so a processor can juggle many
+    independent deadlines per key. Requires
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` (the session factory leaves the
+    default HDFS provider for everything else; tests set it on the
+    stream's own session).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        f"{user} string, session_start timestamp, session_end timestamp, n_events long"
+    )
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                user: [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("session", "start long, end long, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_all: list[int] = []
+            for pdf in rows:
+                ts_all.extend(
+                    int(t.value // 1_000_000) for t in pd.to_datetime(pdf[event_time])
+                )
+            cur = tuple(self.state.get()) if self.state.exists() else None
+            closed: list[tuple[int, int, int]] = []
+            for t in sorted(ts_all):
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_ms:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                self.state.update(cur)
+                # one inactivity deadline per key: drop stale timers,
+                # arm a fresh one a gap past now
+                for old in self.handle.listTimers():
+                    self.handle.deleteTimer(old)
+                self.handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + gap_ms
+                )
+            if closed:
+                yield _emit(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.state.exists():
+                session = tuple(self.state.get())
+                self.state.clear()
+                yield _emit(key, [session])
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(user)).transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
     )
