@@ -113,6 +113,7 @@ HEADLINE = [
     "rank_set_suite",             # compound: topk/sets under one hash
     "behavioral_suite",           # compound: funnel/retention/mix
     "ingest_error_isolation",     # ST6 fault-injected fan-out
+    "corpus_curation_e2e",        # flagship #2: full curation pipeline
 ]
 
 

@@ -123,7 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
+    # curation e2e exercises MinHash pairs + star-contraction components
+    # end-to-end (same independent recursive-CTE oracle family as
+    # dedup_clusters, which moves just past the window boundary)
+    "corpus_curation_e2e",
     "decontaminate_ngrams",
     "similarity_cosine_topk",
     "similarity_ann_buckets",
@@ -141,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_e2e_gold",
     # ---- window boundary at 50 (everything below stays fully checked
     # by tools/check_correctness.py and pytest) ----
+    "dedup_clusters",
     "stratified_sample_docs",
     "sequence_packing",
     "multimodal_frame_sample",
@@ -4969,4 +4973,164 @@ def argmax_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(user_id, event_id)").alias("first_user"),
         F.max("event_id").alias("last_event_id"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship #2: the LLM corpus-curation pipeline end-to-end
+# --------------------------------------------------------------------------
+
+_CURATION_ORACLE = (
+    rf"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {2 * _DUP_SHIFT} AS doc_id, text || ' qq' AS text
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, text
+        FROM corpus
+        WHERE 0.4 * least(length(text) / 500.0, 1.0)
+            + 0.3 * (1.0 - least(
+                  (length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                   / length(text)) * 4.0, 1.0))
+            + 0.3 * least(
+                  (len([t for t in {_TOKS} if list_contains({{stop_en}}, t)])
+                   / len({_TOKS})) * 5.0, 1.0) >= 0.5
+    ),
+    s1 AS (
+        SELECT doc_id, text
+        FROM q
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                                   ORDER BY doc_id) = 1
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t FROM s1
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh])
+                for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT doc_id, doc_id FROM s1
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    assign AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    s2 AS (
+        SELECT s1.doc_id, s1.text
+        FROM s1 JOIN assign ON s1.doc_id = assign.doc_id
+        WHERE assign.doc_id = assign.cluster_id
+    )
+    SELECT CASE WHEN ('0x' || substr(md5('wistia-split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM s2
+    GROUP BY 1
+    """
+).replace("{stop_en}", _sql_stoplist("en"))
+
+
+@query("corpus_curation_e2e", oracle=_CURATION_ORACLE)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #2 — the LLM training-corpus curation pipeline
+    end-to-end under ONE differential hash (the training-data twin of
+    ``pipeline_e2e_gold``):
+
+    raw corpus (exact + near duplicates injected: an id-shifted copy
+    of every document, plus a one-token-appended near-copy)
+      → quality gate (composite heuristic score ≥ 0.5)
+      → exact dedup (min-id winner per normalized-text fingerprint)
+      → near-dup removal (MinHash bands → pair join → distributed
+        connected components → keep cluster minimum)
+      → deterministic train/test split
+      → per-split counts, id checksum, token totals.
+
+    If ANY stage drops/keeps the wrong documents — a quality-score
+    drift, an unstable dedup winner, a missed or phantom near-dup
+    pair, a split flip — the id checksum diverges. The oracle replays
+    the whole pipeline in SQL, closing the near-dup clusters with a
+    recursive CTE (an independent formulation of the engine's
+    star-contraction components, as in ``dedup_clusters``).
+
+    Scale notes: every stage is shuffle-bounded — the quality gate is
+    scan-local; exact dedup is one window on the fingerprint key;
+    MinHash banding joins signatures, never documents; the component
+    rounds are O(log n) equi-joins; the split is a pure expression.
+    The near-copies make stage 3 OBSERVABLE (exact dedup already
+    removed the identical copies, so surviving pairs are genuinely
+    near — jaccard ≈ n/(n+1) on bigram shingles)."""
+    from pyspark.sql import Window
+
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import dup_clusters as _clusters
+    from .functions.text import (
+        dataset_split as _split,
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copy = docs.select(
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text"
+    )
+    near_copy = docs.select(
+        (F.col("doc_id") + 2 * _DUP_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    corpus = docs.unionByName(exact_copy).unionByName(near_copy)
+
+    q = corpus.filter(quality_score("text", lang="en") >= 0.5)
+
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    s1 = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    pairs = minhash_near_dup_pairs(
+        s1, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    assign = _clusters(pairs, universe=s1.select("doc_id"))
+    keep = assign.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    s2 = s1.join(keep, "doc_id", "left_semi")
+
+    sp = _split(s2, "doc_id", test_permille=100)
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
     )
