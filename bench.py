@@ -114,6 +114,8 @@ HEADLINE = [
     "behavioral_suite",           # compound: funnel/retention/mix
     "ingest_error_isolation",     # ST6 fault-injected fan-out
     "corpus_curation_e2e",        # flagship #2: full curation pipeline
+    "weighted_sample_priority",   # DLT priority sampling, shuffle-free
+    "token_budget_selection",     # budgeted greedy subset, 2-phase
 ]
 
 

@@ -160,6 +160,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_pmi_bigrams",
     "value_histogram",
     "argmax_latest_state",
+    "weighted_sample_priority",
+    "token_budget_selection",
 )
 
 
@@ -5134,3 +5136,137 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "weighted_sample_priority",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_chars AS DOUBLE)
+           / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each row gets priority w/u for a
+    deterministic hash uniform u ∈ (0,1], and the top-k by priority is
+    the weighted sample (here w = n_chars: longer docs proportionally
+    likelier). Determinism: u derives from md5(id‖seed) exactly like
+    the rate sampler (functions/sampling.hash_bits60), and w/u is one
+    per-row IEEE division — identical doubles on both engines, so even
+    the priority VALUES hash-match. Plan: a scan-local projection into
+    TakeOrderedAndProject — no shuffle, no per-partition RNG, stable
+    under repartitioning (df.sample() is neither)."""
+    from .functions.sampling import hash_bits60
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash_bits60(F.col("doc_id"), seed="ws") + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("n_chars").cast("double") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+_BUDGET = 20_000  # token budget for the selection query
+
+
+_BUDGET_ORACLE = (
+    rf"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tok,
+               0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - least(
+                   (length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                    / length(text)) * 4.0, 1.0))
+             + 0.3 * least(
+                   (len([tk for tk in {_TOKS} if list_contains({{stop_en}}, tk)])
+                    / len({_TOKS})) * 5.0, 1.0) AS q
+        FROM documents
+        WHERE len({_TOKS}) > 0
+    ),
+    r AS (SELECT doc_id, n_tok, q / n_tok AS ratio FROM t),
+    c AS (
+        SELECT doc_id, n_tok, ratio,
+               SUM(n_tok) OVER (ORDER BY ratio DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM r
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, ratio
+    FROM c WHERE cum <= {_BUDGET}
+    """
+).replace("{stop_en}", _sql_stoplist("en"))
+
+
+@query("token_budget_selection", oracle=_BUDGET_ORACLE)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted subset selection: greedily take the best
+    quality-per-token documents until a token budget is exhausted (the
+    "best N-token slice of the corpus" curation step).
+
+    The ORACLE is the obvious formulation — one GLOBAL running-sum
+    window over (ratio DESC, doc_id). The ENGINE refuses that plan (a
+    global window is a single-partition sort — the 100 TB anti-
+    pattern) and computes the SAME selection in two bounded phases:
+
+    1. bin documents by floor(ratio·10⁴); aggregate token sums per bin
+       (partial-agg shuffle on the bin key); run the cumulative sum
+       over the ≤10⁴-row BIN table (a window over bins, not documents);
+    2. bins whose inclusive cumulative fits the budget are kept whole
+       (semi join); the single boundary bin gets a per-document window
+       PARTITIONED BY BIN with the leftover budget.
+
+    floor is monotone, so bin order refines ratio order and the two
+    formulations select identical documents — which is exactly what
+    the differential hash proves."""
+    from pyspark.sql import Window
+
+    from .functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        quality_score("text", lang="en").alias("q"),
+    ).filter(F.col("n_tok") > 0)
+    r = t.withColumn("ratio", F.col("q") / F.col("n_tok"))
+    binned = r.withColumn(
+        "bin", F.floor(F.col("ratio") * 10_000).cast("long")
+    )
+
+    bins = binned.groupBy("bin").agg(F.sum("n_tok").alias("btok"))
+    wb = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bins = bins.withColumn("cum", F.sum("btok").over(wb)).withColumn(
+        "cum_prev", F.col("cum") - F.col("btok")
+    )
+    full_bins = bins.filter(F.col("cum") <= _BUDGET).select("bin")
+    boundary = bins.filter(
+        (F.col("cum_prev") < _BUDGET) & (F.col("cum") > _BUDGET)
+    ).select("bin", (F.lit(_BUDGET) - F.col("cum_prev")).alias("remaining"))
+
+    kept_full = binned.join(full_bins, "bin", "left_semi")
+    wd = (
+        Window.partitionBy("bin")
+        .orderBy(F.col("ratio").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        binned.join(F.broadcast(boundary), "bin")
+        .withColumn("bcum", F.sum("n_tok").over(wd))
+        .filter(F.col("bcum") <= F.col("remaining"))
+        .drop("bcum", "remaining")
+    )
+    out = kept_full.unionByName(kept_boundary)
+    return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"), "ratio")
