@@ -64,3 +64,82 @@ def test_group_cap_binds_and_is_stable(spark, corpus):
     )
     ranks = {r["samp_rank"] for r in capped.where(F.col("grp") == "g0").collect()}
     assert ranks == set(range(1, 11))
+
+
+def test_priority_sample_invariant_under_repartitioning(spark, sf_dir):
+    """DLT priority sampling must pick the SAME top-k regardless of
+    physical layout (df.sample() would not)."""
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.functions.sampling import hash_bits60
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def topk(df):
+        u = (hash_bits60(F.col("doc_id"), seed="ws") + 1).cast("double") / float(
+            1 << 60
+        )
+        out = (
+            df.select("doc_id", (F.col("n_chars").cast("double") / u).alias("p"))
+            .orderBy(F.col("p").desc(), "doc_id")
+            .limit(25)
+        )
+        return [r.doc_id for r in out.collect()]
+
+    assert topk(docs) == topk(docs.repartition(17, "lang"))
+
+
+def test_priority_sample_weight_monotonicity(spark):
+    """With equal hash uniforms impossible, a row whose weight strictly
+    dominates every other on the same uniform must be selected: scaling
+    one doc's weight 1000x must pull it into the sample."""
+    from wistia_etl_pipeline_spark.functions.sampling import hash_bits60
+
+    rows = [(i, 100) for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, w long")
+    boosted = spark.createDataFrame(
+        [(i, 100_000 if i == 150 else 100) for i in range(200)],
+        "doc_id long, w long",
+    )
+
+    def sel(df):
+        u = (hash_bits60(F.col("doc_id"), seed="ws") + 1).cast("double") / float(
+            1 << 60
+        )
+        out = (
+            df.select("doc_id", (F.col("w").cast("double") / u).alias("p"))
+            .orderBy(F.col("p").desc(), "doc_id")
+            .limit(10)
+        )
+        return {r.doc_id for r in out.collect()}
+
+    assert 150 in sel(boosted) or 150 in sel(base)  # boost can only help
+    assert 150 in sel(boosted)
+
+
+def test_token_budget_selection_equals_naive_greedy(spark, sf_dir):
+    """The two-phase binned selection must equal the naive global
+    running-sum greedy exactly (the registry oracle proves this vs
+    DuckDB; this pins it Spark-vs-Spark so the invariant survives
+    refactors without a DuckDB run)."""
+    from pyspark.sql import Window
+
+    from wistia_etl_pipeline_spark import registry
+    from wistia_etl_pipeline_spark.session import load_table
+    from wistia_etl_pipeline_spark.functions.text import quality_score, token_count
+
+    two_phase = registry.queries()["token_budget_selection"](spark, sf_dir)
+    got = sorted(r.doc_id for r in two_phase.collect())
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        quality_score("text", lang="en").alias("q"),
+    ).filter(F.col("n_tok") > 0)
+    r = t.withColumn("ratio", F.col("q") / F.col("n_tok"))
+    w = Window.orderBy(F.col("ratio").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = r.withColumn("cum", F.sum("n_tok").over(w)).filter(F.col("cum") <= 20_000)
+    want = sorted(row.doc_id for row in naive.collect())
+    assert got == want

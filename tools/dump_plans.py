@@ -46,6 +46,8 @@ ANNOTATED = {
     "rank_set_suite": "compound suite: four branches union under one plan — the window top-k sorts inside its key exchange, the global top-k is TakeOrderedAndProject, INTERSECT/EXCEPT plan as LeftSemi/LeftAnti hash joins over distinct aggregates.",
     "behavioral_suite": "compound suite: funnel and event-mix are single-exchange conditional aggregates; retention self-joins the DEDUPED (user, day) grain on its own shuffle key — no event-level self-join in any branch.",
     "ingest_error_isolation": "ST6 fan-out: the poisoned media dies inside its fetch task and surfaces as an error row from the same mapInPandas stage; JSON parse + explode_outer stay JVM-side; one aggregate exchange.",
+    "weighted_sample_priority": "DLT priority sampling: hash-uniform + one division per row feed TakeOrderedAndProject — weighted sampling without replacement with NO shuffle and no RNG state.",
+    "token_budget_selection": "budgeted greedy selection without a global sort: bin histogram (partial agg), cumulative over the tiny BIN table, boundary bin resolved by a bin-partitioned window; the oracle's naive global running sum is the equivalence proof.",
 }
 
 
