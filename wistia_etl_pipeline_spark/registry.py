@@ -5121,6 +5121,12 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # Three downstream subtrees consume s1 (signature mining, the
+    # keep-list semi join, the final split/aggregate); without a
+    # materialization each recomputes the quality scan + dedup window
+    # (NOTES rule #7 — no ReusedExchange across different downstream
+    # plans). At 100 TB this would be a checkpoint to a table.
+    s1 = s1.localCheckpoint(eager=False)
 
     pairs = minhash_near_dup_pairs(
         s1, "doc_id", "text",
