@@ -162,3 +162,39 @@ def transport_factory_from_options(options: dict) -> ParquetEventsTransport:
     return ParquetEventsTransport(
         options["sf_dir"], int(options.get("per_page", PER_PAGE))
     )
+
+
+class WistiaApiFakeTransport:
+    """Serves the WHOLE Wistia v1 URL surface the jobs CLI hits —
+    metadata (``/v1/medias/{id}.json``) plus paginated events — from
+    the events parquet, so ``jobs.main_pipeline`` runs end-to-end with
+    its production URL builders and zero network."""
+
+    def __init__(self, sf_dir: str, per_page: int = PER_PAGE):
+        self.sf_dir = sf_dir
+        self.per_page = per_page
+        self._feed = ParquetWistiaFeedTransport(sf_dir, per_page)
+
+    def __call__(self, url: str) -> tuple[int, bytes]:
+        parsed = urlparse(url)
+        if "/medias/" in parsed.path:
+            media = parsed.path.rsplit("/", 1)[-1]
+            media = media[:-5] if media.endswith(".json") else media
+            meta = {
+                "hashed_id": media,
+                "name": media.upper(),
+                "duration": str(3600.0 * (1 + len(media) % 3)),
+                "created": "2024-01-01T00:00:00Z",
+                "updated": "2024-06-01T00:00:00Z",
+            }
+            return 200, json.dumps(meta).encode()
+        qs = parse_qs(parsed.query)
+        media = qs["media"][0]
+        page = int(qs.get("page", ["1"])[0])
+        return self._feed(url_for(media, page))
+
+
+def wistia_fake_transport_from_options(options: dict) -> WistiaApiFakeTransport:
+    return WistiaApiFakeTransport(
+        options["sf_dir"], int(options.get("per_page", PER_PAGE))
+    )

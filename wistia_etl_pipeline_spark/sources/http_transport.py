@@ -104,6 +104,17 @@ class HttpTransportFactory:
         return HttpTransport(token_env=self.token_env, timeout=self.timeout)
 
 
+def transport_from_options(options: dict) -> HttpTransport:
+    """``module:callable`` factory target (jobs CLI / DataSource option):
+    build the production transport from string options. The token stays
+    injected — an explicit option or the named environment variable."""
+    return HttpTransport(
+        token=options.get("token"),
+        token_env=options.get("token_env", "WISTIA_API_TOKEN"),
+        timeout=float(options.get("timeout", DEFAULT_TIMEOUT_SECONDS)),
+    )
+
+
 def wistia_events_url(media_id: str, page: int, per_page: int = 25) -> str:
     """F7 — the reference's events URL construction (bronze.py:111-114)."""
     return (
