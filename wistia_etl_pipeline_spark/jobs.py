@@ -18,8 +18,9 @@ Design decisions (vs the reference):
 - ONE job runs EP1→EP3 end-to-end per invocation (the reference's three
   hops exist because Glue/Redshift split them; in-engine there is no
   reason to lose partition pruning and crash consistency between hops).
-  ``--stage bronze|silver|gold|all`` restores the split when a scheduler
-  wants separate retries.
+  A scheduler that wants bounded work per tick sets ``--runs 1`` and
+  invokes on its own cadence — the watermark state under ``--root``
+  makes every invocation an incremental, idempotent resume.
 - All configuration arrives as arguments/environment — the credential is
   the transport's problem (env var, never a literal; the reference
   hardcodes a JDBC password, SURVEY.md §0 warning).
