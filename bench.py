@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_curation_e2e",        # flagship #2: full curation pipeline
     "weighted_sample_priority",   # DLT priority sampling, shuffle-free
     "token_budget_selection",     # budgeted greedy subset, 2-phase
+    "embedding_quantize_int8",    # int8 symmetric quantization digests
 ]
 
 

@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "argmax_latest_state",
     "weighted_sample_priority",
     "token_budget_selection",
+    "embedding_quantize_int8",
 )
 
 
@@ -5276,3 +5277,69 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kept_full.unionByName(kept_boundary)
     return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"), "ratio")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS absmax
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label,
+               [CAST(least(greatest(floor(CAST(x AS DOUBLE)
+                       * (CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END)),
+                     -127.0), 127.0) AS BIGINT) for x in embedding] AS qv
+        FROM s
+    )
+    SELECT vec_id, label,
+           CAST(len(qv) AS BIGINT) AS n_dims,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    4×-storage-compression step an embedding store applies before
+    ANN indexing at 100 TB. Per vector: scale = 127/absmax, element
+    q = clamp(floor(x·scale)). Everything is per-row IEEE arithmetic
+    over float32→double (exact) values, so the quantized integers are
+    bit-identical across engines and partitions — the oracle verifies
+    the full quantized content via exact integer (sum, min, max)
+    digests per vector. All higher-order functions (no UDF): the scan
+    stays in codegen, zero shuffles, and the absmax subtree is STAGED
+    as a projection column (inlining it into the transform lambda
+    re-evaluates it per element — measured ~30× blowups; skill-guide
+    gotcha)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.withColumn(
+        "absmax",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+        ),
+    )
+    quant = staged.withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, x -> CAST(least(greatest("
+            "floor(CAST(x AS DOUBLE) * (CASE WHEN absmax > 0"
+            " THEN 127.0 / absmax ELSE 0.0 END)), -127.0), 127.0) AS BIGINT))"
+        ),
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        F.size("qv").cast("long").alias("n_dims"),
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("q_sum"),
+        F.expr(
+            "aggregate(qv, CAST(127 AS BIGINT), (a, x) -> least(a, x))"
+        ).alias("q_min"),
+        F.expr(
+            "aggregate(qv, CAST(-127 AS BIGINT), (a, x) -> greatest(a, x))"
+        ).alias("q_max"),
+    )
