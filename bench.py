@@ -117,6 +117,8 @@ HEADLINE = [
     "weighted_sample_priority",   # DLT priority sampling, shuffle-free
     "token_budget_selection",     # budgeted greedy subset, 2-phase
     "embedding_quantize_int8",    # int8 symmetric quantization digests
+    "window_rank_functions",      # rank/dense/percent/cume/ntile surface
+    "text_sentence_stats",        # sentence segmentation digests
 ]
 
 

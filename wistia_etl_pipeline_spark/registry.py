@@ -163,6 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     "weighted_sample_priority",
     "token_budget_selection",
     "embedding_quantize_int8",
+    "window_rank_functions",
+    "text_sentence_stats",
 )
 
 
@@ -5342,4 +5344,92 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(qv, CAST(-127 AS BIGINT), (a, x) -> greatest(a, x))"
         ).alias("q_max"),
+    )
+
+
+@query(
+    "window_rank_functions",
+    oracle="""
+    SELECT event_id,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WHERE user_id % 23 = 0
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-function surface (rank / dense_rank /
+    percent_rank / cume_dist / ntile) in one per-key window. The order
+    key carries the event_id tiebreak, making every function
+    deterministic — and percent_rank/cume_dist emit per-row divisions
+    of exact integers (rank-1)/(n-1), bit-identical cross-engine.
+    ntile is only deterministic under a TOTAL order (ties would make
+    bucket boundaries engine-dependent); the explicit NULLS FIRST
+    matches Spark's ASC default (rule #10). One shuffle on the
+    partition key; the subset filter keeps it bench-cheap."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    return events.filter(F.col("user_id") % 23 == 0).select(
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "text_sentence_stats",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               [x for x in regexp_split_to_array(text, '[.!?]+')
+                  if len(trim(x)) > 0] AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           COALESCE(CAST(list_sum([len(trim(x)) for x in sents]) AS BIGINT),
+                    0) AS sum_sentence_chars,
+           COALESCE(CAST(list_max([len(trim(x)) for x in sents]) AS BIGINT),
+                    0) AS max_sentence_chars
+    FROM s
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats — split on terminal punctuation
+    runs, drop blank segments, emit per-doc sentence count and exact
+    character totals (the document-structure signal readability /
+    quality classifiers consume). Pure higher-order expressions over
+    one split: codegen scan, zero shuffles, no UDF. Counts are exact
+    integers; list_sum's HUGEINT is CAST per rule #9, and the empty-doc
+    case is pinned to 0 on both engines (DuckDB's list_max([]) is NULL
+    while Spark's 0-seeded aggregate is 0 — a latent divergence if
+    driver data ever carries a sentence-free document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.expr(
+        "filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"
+    )
+    staged = docs.select("doc_id", sents.alias("sents"))
+    lens = F.expr("transform(sents, x -> CAST(length(trim(x)) AS BIGINT))")
+    staged = staged.withColumn("lens", lens)
+    return staged.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.expr(
+            "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("sum_sentence_chars"),
+        F.expr(
+            "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> greatest(a, x))"
+        ).alias("max_sentence_chars"),
     )
