@@ -119,6 +119,8 @@ HEADLINE = [
     "embedding_quantize_int8",    # int8 symmetric quantization digests
     "window_rank_functions",      # rank/dense/percent/cume/ntile surface
     "text_sentence_stats",        # sentence segmentation digests
+    "window_value_functions",     # first/last/nth/lead/lag surface
+    "datetime_surface",           # trunc/extract/dow alignment
 ]
 
 

@@ -165,6 +165,8 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "window_rank_functions",
     "text_sentence_stats",
+    "window_value_functions",
+    "datetime_surface",
 )
 
 
@@ -5432,4 +5434,94 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> greatest(a, x))"
         ).alias("max_sentence_chars"),
+    )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT event_id,
+           FIRST_VALUE(event_id) OVER w AS first_id,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_id,
+           NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_id,
+           LEAD(event_id, 1) OVER w AS next_id,
+           LAG(event_id, 2) OVER w AS prev2_id
+    FROM events
+    WHERE user_id % 29 = 0
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window VALUE-function surface (first_value / last_value /
+    nth_value / lead / lag) over one per-user time order. last_value
+    and nth_value get an EXPLICIT unbounded-both-ways frame: the SQL
+    default frame ends at CURRENT ROW, which silently turns
+    last_value into "current value" — the classic window bug, same on
+    both engines, pinned here with the frame spelled out. Unique
+    (ts, event_id) tiebreak per rule #10; one shuffle."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.filter(F.col("user_id") % 29 == 0).select(
+        "event_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w_full).alias("last_id"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_id"),
+        F.lead("event_id", 1).over(w).alias("next_id"),
+        F.lag("event_id", 2).over(w).alias("prev2_id"),
+    )
+
+
+@query(
+    "datetime_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('week', ts) AS DATE)  AS week_start,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(EXTRACT(year FROM ts) AS BIGINT)   AS y,
+           CAST(EXTRACT(month FROM ts) AS BIGINT)  AS m,
+           CAST(EXTRACT(day FROM ts) AS BIGINT)    AS d,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT)   AS h,
+           CAST(EXTRACT(dow FROM ts) + 1 AS BIGINT) AS dow_sunday1,
+           CAST(EXTRACT(doy FROM ts) AS BIGINT)    AS doy,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS days_since_epoch_2024
+    FROM events
+    WHERE event_id % 13 = 0
+    """,
+)
+def datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F1/F2 datetime-function surface beyond parsing: truncation,
+    field extraction, day arithmetic. Two cross-engine conventions are
+    aligned EXPLICITLY and documented here rather than discovered in a
+    hash mismatch: DuckDB's EXTRACT(dow) is 0=Sunday while Spark's
+    dayofweek() is 1=Sunday (oracle adds 1); both engines truncate
+    'week' to Monday (ISO), so that one composes directly. datediff
+    vs date_diff('day') agree on calendar-day deltas under the UTC
+    session. All scan-local expressions; the modulo filter keeps it
+    bench-cheap."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.date_trunc("month", "ts").cast("date").alias("month_start"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.dayofweek("ts").cast("long").alias("dow_sunday1"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias(
+            "days_since_epoch_2024"
+        ),
     )
