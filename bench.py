@@ -121,6 +121,7 @@ HEADLINE = [
     "text_sentence_stats",        # sentence segmentation digests
     "window_value_functions",     # first/last/nth/lead/lag surface
     "datetime_surface",           # trunc/extract/dow alignment
+    "fuzzy_match_doc_titles",     # blocked edit-distance matching
 ]
 
 

@@ -167,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_sentence_stats",
     "window_value_functions",
     "datetime_surface",
+    "fuzzy_match_doc_titles",
 )
 
 
@@ -5524,4 +5525,80 @@ def datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).cast("long").alias(
             "days_since_epoch_2024"
         ),
+    )
+
+
+@query(
+    "fuzzy_match_doc_titles",
+    oracle=f"""
+    WITH titles AS (
+        SELECT doc_id AS id, substr(trim(text), 1, 24) AS title
+        FROM documents
+    ),
+    typos AS (
+        SELECT id + {_DUP_SHIFT} AS id,
+               substr(title, 1, 9) || '#' || substr(title, 11) AS title
+        FROM titles WHERE length(title) >= 12
+    ),
+    lb AS (
+        SELECT id, title, substr(title, 1, 6) AS pre, length(title) AS ln
+        FROM titles
+    ),
+    rb AS (
+        SELECT id, title, substr(title, 1, 6) AS pre, length(title) AS ln
+        FROM typos
+    )
+    SELECT l.id AS canonical_id, r.id AS candidate_id,
+           CAST(levenshtein(l.title, r.title) AS BIGINT) AS dist
+    FROM lb l
+    JOIN rb r ON l.pre = r.pre AND l.ln = r.ln
+    WHERE levenshtein(l.title, r.title) <= 2
+    """,
+)
+def fuzzy_match_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) record matching — the entity-resolution
+    join: typo'd document titles are matched back to their canonical
+    records. Candidates come from an EQUI join on a blocking key
+    (6-char prefix + exact length — a one-char substitution preserves
+    both), and only candidates pay the O(len²) levenshtein; nothing
+    ever compares all pairs (the same blocking discipline as every
+    dedup operator here). One mid-title substitution is injected per
+    document so the match set is observable; distances are exact
+    integers, identical cross-engine. The part table is NOT usable for
+    this (64 distinct names over 2000 rows — fuzzy pairs explode on
+    heavy duplication; titles derived from document text are
+    distinct), which is itself the operational lesson: block on a
+    high-cardinality key."""
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.trim(F.col("text")), 1, 24).alias("title"),
+    )
+    typos = (
+        titles.filter(F.length("title") >= 12)
+        .select(
+            (F.col("id") + _DUP_SHIFT).alias("id"),
+            F.concat(
+                F.substring("title", 1, 9), F.lit("#"), F.expr("substr(title, 11)")
+            ).alias("title"),
+        )
+    )
+
+    def blocked(df):
+        return df.select(
+            "id", "title",
+            F.substring("title", 1, 6).alias("pre"),
+            F.length("title").alias("ln"),
+        )
+
+    l, r = blocked(titles).alias("l"), blocked(typos).alias("r")
+    return (
+        l.join(r, (F.col("l.pre") == F.col("r.pre")) & (F.col("l.ln") == F.col("r.ln")))
+        .withColumn("dist", F.levenshtein(F.col("l.title"), F.col("r.title")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("l.id").alias("canonical_id"),
+            F.col("r.id").alias("candidate_id"),
+            F.col("dist").cast("long").alias("dist"),
+        )
     )
