@@ -104,3 +104,45 @@ def test_asof_nearest_single_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_matched_row_null_value_stays_null(spark):
+    """A matched right row whose value column is NULL must attach NULL —
+    not skip back/forward to an older row's non-null value (ADVICE r3:
+    per-column last(ignorenulls) broke this; the struct carry fixes it).
+    Mirrors DuckDB's native ASOF, which returns the matched row as-is."""
+    left = spark.createDataFrame(
+        [(1, 20, "e20"), (1, 40, "e40")], "k int, t int, name string"
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "name")
+    right = spark.createDataFrame(
+        [(1, 10, "s10", 1.0), (1, 30, None, None)],
+        "k int, t int, state string, pct double",
+    ).select(
+        "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "state", "pct"
+    )
+    for direction, expect in [
+        ("backward", {"e20": ("s10", 1.0), "e40": (None, None)}),
+        ("nearest", {"e20": ("s10", 1.0), "e40": (None, None)}),
+    ]:
+        got = {
+            r.name: (r.state, r.pct)
+            for r in asof_join(
+                left, right, on="k", left_time="t", right_time="t",
+                value_cols=["state", "pct"], direction=direction,
+            ).collect()
+        }
+        assert got == expect, direction
+
+
+def test_asof_forward_matched_null_value_stays_null(spark):
+    left = spark.createDataFrame([(1, 5, "e5")], "k int, t int, name string").select(
+        "k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "name"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, None), (1, 30, "s30")], "k int, t int, state string"
+    ).select("k", F.timestamp_micros(F.col("t") * 1_000_000).alias("t"), "state")
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["state"], direction="forward",
+    ).collect()
+    assert [(r.name, r.state) for r in out] == [("e5", None)]

@@ -259,3 +259,54 @@ def test_simple_stream_option_falls_back_to_driver_prefetch_reader(spark, sf_dir
     with pytest.raises(PySparkNotImplementedError):
         ds.streamReader(None)
     assert ds.simpleStreamReader(None) is not None
+
+
+def test_empty_media_ids_yields_idle_stream_partitions():
+    """An empty media_ids list is a valid (idle) stream: partitions()
+    must return a sentinel empty-range partition, not IndexError
+    (ADVICE r3)."""
+    from wistia_etl_pipeline_spark.sources.datasource import (
+        PartitionedPagedRestStreamReader,
+    )
+
+    reader = PartitionedPagedRestStreamReader(
+        {"media_ids": "[]", "transport": TRANSPORT, "sf_dir": "/nonexistent"}
+    )
+    assert reader.initialOffset() == {}
+    assert reader.latestOffset() == {}
+    parts = reader.partitions({}, {})
+    assert len(parts) == 1 and parts[0].hi <= parts[0].lo
+    assert list(reader.read(parts[0])) == []
+
+
+def test_bare_array_probe_catches_up_multiple_pages_per_batch():
+    """Bare-array feeds carry no envelope total, so latestOffset walks
+    the feed page-by-page. After a restart the probe memo rebuilds from
+    start_pages — the walk must advance up to max_pages per call so a
+    recovered stream catches up to the committed page in one batch
+    instead of one page per batch (ADVICE r3)."""
+    from wistia_etl_pipeline_spark.sources.datasource import (
+        PartitionedPagedRestStreamReader,
+    )
+
+    # 7 pages of 10 rows; simulate recovery where pages 1-5 are committed
+    reader = PartitionedPagedRestStreamReader(
+        {
+            "media_ids": '["m1"]',
+            "transport": "wistia_etl_pipeline_spark.sources.fake_api:"
+            "bare_array_transport_from_options",
+            "n_rows": "70",
+            "per_page": "10",
+            "max_pages": "100",
+        }
+    )
+    end = reader.latestOffset()
+    # one call reaches 1-past-the-last non-empty page, not start+1
+    assert end == {"m1": 8}
+    parts = reader.partitions({"m1": 6}, end)
+    got = [r for p in parts for r in reader.read(p)]
+    ids = sorted(i for r in got for i in
+                 (row["event_id"] for row in json.loads(r[2])))
+    assert ids == list(range(50, 70))  # exactly the uncommitted tail
+    # exhausted feed: next latestOffset reports no further progress
+    assert reader.latestOffset() == {"m1": 8}

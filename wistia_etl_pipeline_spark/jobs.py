@@ -8,10 +8,14 @@ library — so this module exposes the pipeline as plain ``spark-submit``
 mains:
 
     spark-submit --py-files wistia_etl_pipeline_spark.zip \
-      -m wistia_etl_pipeline_spark.jobs pipeline \
+      wistia_etl_pipeline_spark/jobs.py pipeline \
       --media-ids v08dlrgr7v,gskhw4w4lm \
       --root s3://bucket/wistia \
       --transport wistia_etl_pipeline_spark.sources.http_transport:transport_from_options
+
+(or, with pyspark on the PYTHONPATH, equivalently:
+``python -m wistia_etl_pipeline_spark.jobs pipeline ...`` —
+``spark-submit`` itself has no ``-m`` flag, it takes a script path).
 
 Design decisions (vs the reference):
 

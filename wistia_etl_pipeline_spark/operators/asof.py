@@ -90,16 +90,24 @@ def asof_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # Carry ONE struct per right row, not per-column lasts: a struct is
+        # non-null whenever the row is a right row, so the matched row's
+        # values stay attached even when some of them are NULL (per-column
+        # last(ignorenulls) would skip back to an older row's non-null
+        # value, diverging from DuckDB's native ASOF semantics).
+        matched = F.last(
+            F.when(
+                F.col("__is_left") == 0,
+                F.struct(
+                    F.col("__t").alias("__mt"),
+                    *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w)
         cols = ["*"]
-        cols += [
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__{suffix}_{c}")
-            for c in value_cols
-        ]
-        cols.append(
-            F.last(
-                F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
-            ).over(w).alias(f"__{suffix}_t")
-        )
+        cols += [matched[c].alias(f"__{suffix}_{c}") for c in value_cols]
+        cols.append(matched["__mt"].alias(f"__{suffix}_t"))
         return df.select(*cols)
 
     if direction in ("backward", "forward"):

@@ -213,33 +213,50 @@ class PartitionedPagedRestStreamReader(DataSourceStreamReader):
         starts = json.loads(self.options.get("start_pages", "{}"))
         return {m: int(starts.get(m, 1)) for m in self.media_ids}
 
-    def _probe_total_pages(self, media_id: str, next_page: int) -> int:
-        """Cheapest available end-of-feed probe: one envelope fetch.
-        Returns the 1-past-the-end page for the CURRENT feed state,
-        or ``next_page`` when the feed is exhausted/unknown."""
+    def _probe_one(self, media_id: str, page: int):
+        """One envelope fetch → (rows, total, per_page) or None on error."""
         if self._transport is None:
             self._transport = resolve_transport(self.options)
         url = (
-            f"fake://events/{media_id}?page={next_page}"
+            f"fake://events/{media_id}?page={page}"
             if "url_template" not in self.options
-            else self.options["url_template"].format(
-                media_id=media_id, page=next_page
-            )
+            else self.options["url_template"].format(media_id=media_id, page=page)
         )
         try:
             status, body = self._transport(url)
             if status >= 400:
-                return next_page
-            rows, total, per_page = page_shape(json.loads(body))
-            per_page = per_page or _config(self.options).per_page
-            if total is not None:
-                import math
-
-                return math.ceil(total / per_page) + 1
-            # bare-array feed: no total — advance iff the probe saw rows
-            return next_page + 1 if rows else next_page
+                return None
+            return page_shape(json.loads(body))
         except Exception:  # noqa: BLE001 — probe failure = no progress
+            return None
+
+    def _probe_total_pages(self, media_id: str, next_page: int) -> int:
+        """Cheapest available end-of-feed probe. Envelope feeds (the
+        Wistia shape) answer in ONE metadata-sized fetch: ``total``
+        yields the absolute 1-past-the-end page. Bare-array feeds carry
+        no ``total``, so the probe walks forward page-by-page until an
+        empty page — bounded by ``max_pages`` probes per call so a
+        restart that lost the probe memo (``_probe_from`` rebuilds from
+        ``start_pages``, not the committed offset — ``latestOffset``
+        cannot see it) catches back up to the committed page in
+        ``ceil(gap / max_pages)`` batches instead of one batch per page
+        (ADVICE r3). Returns ``next_page`` when exhausted/unknown."""
+        shape = self._probe_one(media_id, next_page)
+        if shape is None:
             return next_page
+        rows, total, per_page = shape
+        per_page = per_page or _config(self.options).per_page
+        if total is not None:
+            import math
+
+            return math.ceil(total / per_page) + 1
+        hi = next_page
+        budget = _config(self.options).max_pages
+        while rows and (hi - next_page) < budget:
+            hi += 1
+            shape = self._probe_one(media_id, hi)
+            rows = shape[0] if shape is not None else []
+        return hi
 
     def latestOffset(self) -> dict:
         """ABSOLUTE latest offset per media, derived from the feed's
@@ -275,8 +292,11 @@ class PartitionedPagedRestStreamReader(DataSourceStreamReader):
             while lo < hi:
                 parts.append(PageRangePartition(m, lo, min(lo + chunk, hi)))
                 lo += chunk
-        # zero-progress batch still needs ≥1 (empty) partition
-        return parts or [PageRangePartition(self.media_ids[0], 1, 1)]
+        # zero-progress batch still needs ≥1 (empty) partition; the
+        # sentinel's empty range makes read() yield nothing, and it
+        # must not index media_ids (empty media_ids is a valid, idle
+        # stream — ADVICE r3)
+        return parts or [PageRangePartition("", 1, 1)]
 
     def commit(self, end: dict) -> None:  # offsets live in Spark's log
         pass

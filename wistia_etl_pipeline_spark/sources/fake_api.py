@@ -156,6 +156,35 @@ class ParquetWistiaFeedTransport:
         return 200, json.dumps(body).encode()
 
 
+class BareArrayTransport:
+    """Envelope-less feed: each page is a PLAIN JSON ARRAY of rows
+    (``page_shape``'s other branch — no ``total``, no ``per_page``).
+    Serves ``n_rows`` synthetic rows per media; exercises the streaming
+    reader's page-walk probe, which cannot learn the feed end from a
+    single metadata fetch on this shape."""
+
+    def __init__(self, n_rows: int, per_page: int = PER_PAGE):
+        self.n_rows = n_rows
+        self.per_page = per_page
+
+    def __call__(self, url: str) -> tuple[int, bytes]:
+        parsed = urlparse(url)
+        media_id = parsed.path.lstrip("/")
+        page = int(parse_qs(parsed.query)["page"][0])
+        lo = (page - 1) * self.per_page
+        rows = [
+            {"event_id": i, "media": media_id}
+            for i in range(lo, min(lo + self.per_page, self.n_rows))
+        ]
+        return 200, json.dumps(rows).encode()
+
+
+def bare_array_transport_from_options(options: dict) -> BareArrayTransport:
+    return BareArrayTransport(
+        int(options.get("n_rows", 0)), int(options.get("per_page", PER_PAGE))
+    )
+
+
 def transport_factory_from_options(options: dict) -> ParquetEventsTransport:
     """DataSource-API entry point (``transport`` option target): build
     the parquet-backed transport from string options."""
