@@ -122,6 +122,8 @@ HEADLINE = [
     "window_value_functions",     # first/last/nth/lead/lag surface
     "datetime_surface",           # trunc/extract/dow alignment
     "fuzzy_match_doc_titles",     # blocked edit-distance matching
+    "tokenize_bpe_corpus",        # frozen-BPE vocabulary tokenization
+    "text_chunking_bpe",          # real-token (BPE) context chunking
 ]
 
 

@@ -79,84 +79,49 @@ def query(name: str, oracle: str | None = None):
 #: registration order after the listed ones; listing a name that isn't
 #: registered is a hard error (catches typos/renames).
 _PRIORITY: tuple[str, ...] = (
-    # flagship + the three r1/r2 driver hash-reds, fixed in r3
+    # ---- FIXED CORE (stays in-window every round): flagship, the
+    # r1/r2 hash-reds (kept as permanent regression sentinels), one
+    # representative per operator family ----
     "gold_daily_rollup",
     "sessionize_events",
     "rolling_7d_activity",
     "multimodal_decode_stats",
-    # divergence-axis canaries (see their docstrings)
-    "canary_sum_hugeint_uncast",
+    # null-ordering canary stays (cheap, guards rule #10); the hugeint
+    # canary RETIRED to 51+ in r4 — it proved the pandas-fetch axis in
+    # CORRECTNESS_r03 (the only red, by design) and its job is done
     "canary_window_nulls",
-    # SURVEY.md §2 core
     "gold_hours_watched",
     "silver_flatten_project",
     "silver_dedup_latest_wins",
     "watermark_incremental_filter",
     "scalar_surface",
     "merge_upsert_by_key",
-    "merge_upsert_composite_key",
     "merge_upsert_acid",
     "star_join_revenue",
-    "join_semi_anti_customers",
     "watermark_high_water_mark",
     "sql_pricing_summary",
-    "session_rollup_events",
-    # transaction-log lakehouse family (no driver row before r3)
     "txlog_append_ingest",
-    "txlog_incremental_read",
-    "txlog_partition_backfill",
-    "txlog_time_travel",
-    # distributed REST ingest family (no driver row before r3)
     "rest_fanout_ingest",
     "rest_datasource_ingest",
     "ingest_error_isolation",
-    # TPC-H representatives (≥3 shapes in-window; all 22 stay registered)
-    "min_cost_supplier_q2",
-    "customer_distribution_q13",
-    "shipmode_priority_q12",
-    # corpus statistics (no driver row before r3)
     "vocab_top_tokens",
-    "doc_token_commonness",
-    "doc_rare_terms",
-    # LLM training-data pipeline components
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # curation e2e exercises MinHash pairs + star-contraction components
-    # end-to-end (same independent recursive-CTE oracle family as
-    # dedup_clusters, which moves just past the window boundary)
     "corpus_curation_e2e",
-    "decontaminate_ngrams",
     "similarity_cosine_topk",
-    "similarity_ann_buckets",
-    "embedding_near_dup",
-    "similarity_ivf_topk",
     "text_stats",
-    "text_lang_id",
-    "text_quality_filter",
-    "doc_fingerprints",
-    "text_chunking",
-    # compound suites: evicted-from-window components, still differential
     "rank_set_suite",
     "behavioral_suite",
-    # the full bronze→silver→gold pipeline as one query
     "pipeline_e2e_gold",
-    # ---- window boundary at 50 (everything below stays fully checked
-    # by tools/check_correctness.py and pytest) ----
+    # ---- ROTATING SEGMENT (r4): never-driver-checked queries promoted
+    # per VERDICT r3 #1/#2 (COVERAGE.md ledger tracks per-query
+    # last-green rounds; evicted r3-green names sit below the boundary
+    # with their green on record) ----
     "dedup_clusters",
-    "stratified_sample_docs",
-    "sequence_packing",
-    "multimodal_frame_sample",
-    "text_repetition_stats",
-    "dataset_split",
-    "text_redact_pii",
-    "asof_join_last_state",
-    "asof_join_forward",
     "asof_join_nearest",
-    "range_join_errors_in_sessions",
+    "fuzzy_match_doc_titles",
+    "asof_join_forward",
     "scd2_media_state",
-    "gold_rollup_salted",
     "corpus_pmi_bigrams",
     "value_histogram",
     "argmax_latest_state",
@@ -164,10 +129,46 @@ _PRIORITY: tuple[str, ...] = (
     "token_budget_selection",
     "embedding_quantize_int8",
     "window_rank_functions",
-    "text_sentence_stats",
     "window_value_functions",
     "datetime_surface",
-    "fuzzy_match_doc_titles",
+    "text_sentence_stats",
+    "stratified_sample_docs",
+    "sequence_packing",
+    "multimodal_frame_sample",
+    "text_repetition_stats",
+    "forecast_revenue_q6",
+    "volume_shipping_q7",
+    "tokenize_bpe_corpus",
+    # ---- window boundary at 50 (everything below stays fully checked
+    # by tools/check_correctness.py and pytest; names with an r1-r3
+    # driver-green row keep it in the COVERAGE.md ledger) ----
+    "canary_sum_hugeint_uncast",
+    "join_semi_anti_customers",
+    "session_rollup_events",
+    "merge_upsert_composite_key",
+    "txlog_incremental_read",
+    "txlog_partition_backfill",
+    "txlog_time_travel",
+    "min_cost_supplier_q2",
+    "customer_distribution_q13",
+    "shipmode_priority_q12",
+    "doc_token_commonness",
+    "doc_rare_terms",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngrams",
+    "similarity_ann_buckets",
+    "embedding_near_dup",
+    "similarity_ivf_topk",
+    "text_lang_id",
+    "text_quality_filter",
+    "doc_fingerprints",
+    "text_chunking",
+    "dataset_split",
+    "text_redact_pii",
+    "asof_join_last_state",
+    "range_join_errors_in_sessions",
+    "gold_rollup_salted",
 )
 
 
@@ -5600,5 +5601,160 @@ def fuzzy_match_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.id").alias("canonical_id"),
             F.col("r.id").alias("candidate_id"),
             F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer (r4): frozen-merge tokenization verified byte-for-byte
+# cross-engine via a recursive-CTE replay of the merge rule
+# --------------------------------------------------------------------------
+
+def _bpe_oracle_corpus() -> str:
+    from .functions.bpe import frozen_merges, merge_steps_sql
+
+    words_cte = """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM documents,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(word)
+        WHERE word <> ''
+        GROUP BY word
+    """
+    return f"""
+    WITH RECURSIVE
+    {merge_steps_sql("SELECT word FROM corpus_words", frozen_merges())},
+    corpus_words AS ({words_cte})
+    SELECT w.word,
+           w.freq,
+           CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           array_to_string(f.toks, ' ') AS toks
+    FROM corpus_words w JOIN bpe_final f USING (word)
+    """
+
+
+@query("tokenize_bpe_corpus", oracle=_bpe_oracle_corpus())
+def tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus vocabulary (functions/bpe.py).
+
+    The engine splits the corpus into words (explode → hash-aggregate
+    with map-side combine; output is VOCABULARY-sized), then tokenizes
+    each UNIQUE word exactly once with the frozen merge table via
+    Arrow-batched ``mapInPandas`` — the scale path: Python cost grows
+    with the vocabulary, never the corpus, and per-occurrence costs are
+    a join back by word (corpus-stats family policy: no broadcast hint,
+    a real vocabulary scales with the corpus).
+
+    Correctness is the point of this entry: the oracle replays the
+    EXACT merge rule (leftmost occurrence of the best-ranked pair, one
+    merge per step) as a DuckDB recursive CTE over the same frozen
+    merge table, so every token string is compared byte-for-byte
+    cross-engine — far stronger than property checks. The reference has
+    no tokenizer; this fills the marked slot from NOTES_r3 (public BPE
+    algorithm, Sennrich et al. 2016, zero dependencies).
+    """
+    from .functions.bpe import WORD_SPLIT_RE, frozen_merges, tokenize_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return tokenize_words(words, frozen_merges()).select(
+        "word", "freq", "n_tokens", "toks"
+    )
+
+
+def _bpe_oracle_chunking() -> str:
+    from .functions.bpe import frozen_merges, merge_steps_sql
+
+    return f"""
+    WITH RECURSIVE
+    {merge_steps_sql("SELECT DISTINCT word FROM pos_words WHERE word <> ''",
+                     frozen_merges())},
+    split_docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^a-z0-9]+') AS ws
+        FROM documents
+    ),
+    pos_words AS (
+        SELECT doc_id, s.pos AS pos, s.word AS word
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ws) + 1),
+                       i -> struct_pack(pos := i, word := ws[i]))) AS s
+            FROM split_docs
+        )
+    ),
+    counted AS (
+        SELECT p.doc_id, p.pos, f.word,
+               CAST(len(f.toks) AS BIGINT) AS n_toks
+        FROM pos_words p JOIN bpe_final f USING (word)
+        WHERE p.word <> ''
+    ),
+    cum AS (
+        SELECT doc_id, n_toks,
+               CAST(SUM(n_toks) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS BIGINT) AS cum_toks
+        FROM counted
+    )
+    SELECT doc_id,
+           (cum_toks - n_toks) // 64 AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY doc_id, chunk_id
+    """
+
+
+@query("text_chunking_bpe", oracle=_bpe_oracle_chunking())
+def text_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-token context chunking: pack each document's words, in
+    order, into 64-BPE-token chunks (a word belongs to the chunk its
+    cumulative token count starts in — word-aligned packing, the layout
+    LLM pre-processing uses so no word straddles a boundary).
+
+    Shape at 100 TB: posexplode (per-row), tokenize UNIQUE words once
+    (vocabulary-sized mapInPandas), join back by word, ONE window
+    cumsum per doc (single shuffle on doc_id), then the chunk
+    aggregation reuses that partitioning. The whitespace-token variant
+    (``text_chunking``) stays registered; this is the frozen-BPE twin
+    with real subword counts (VERDICT r3 #3).
+    """
+    from pyspark.sql import Window
+
+    from .functions.bpe import WORD_SPLIT_RE, frozen_merges, tokenize_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), WORD_SPLIT_RE)).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    tokw = tokenize_words(pos.select("word").distinct(), frozen_merges()).select(
+        "word", F.col("n_tokens").alias("n_toks")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = (
+        pos.join(tokw, "word")
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+    )
+    return (
+        cum.withColumn(
+            "chunk_id", F.expr("(cum_toks - n_toks) div 64").cast("long")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
