@@ -13,10 +13,12 @@ Components in MapReduce and Beyond", SoCC'14):
   to its minimum neighbor.
 
 Alternating the two converges in O(log n) rounds to a forest of stars
-whose centers are the component minima. Each round is one groupBy +
-one self-join on the edge list — ~2 shuffles, all map-side
-combinable, no driver-side adjacency. The only values ever collected
-are the per-round convergence counters.
+whose centers are the component minima. Each round is THREE shuffles
+— two single-exchange window minima (same src co-location a
+groupBy+self-join would shuffle twice for) plus one round-final
+dedup — with no driver-side adjacency. The only values ever
+collected are the per-round convergence counters, and each round runs
+as a single job (the count materializes the lazy checkpoint).
 
 Lineage is truncated per round with ``localCheckpoint`` — iterative
 DataFrame joins otherwise build an exponentially nested plan that
@@ -27,7 +29,7 @@ cluster, prefer ``spark.sparkContext.setCheckpointDir`` + reliable
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -38,26 +40,33 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(nbr: DataFrame) -> DataFrame:
-    """(u, v>u) -> (v, m(u)) where m(u) = min(N(u) ∪ {u})."""
-    mins = nbr.groupBy("src").agg(F.min("dst").alias("__mn"))
-    mins = mins.select("src", F.least("__mn", F.col("src")).alias("m"))
+    """(u, v>u) -> (v, m(u)) where m(u) = min(N(u) ∪ {u}).
+
+    The per-node minimum rides a window over the SAME src partitioning
+    the old groupBy+self-join used (identical co-location, identical
+    skew profile) but in ONE exchange instead of two. The output is NOT
+    deduplicated: duplicate edges change no window minimum and collapse
+    in small-star's round-final distinct, so per round only ONE dedup
+    exchange remains (r4 round-overhead work, VERDICT r3 #4)."""
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return (
-        nbr.join(mins, "src")
+        nbr.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(nbr: DataFrame) -> DataFrame:
-    """(u, v<=u) -> (v, m(u)) ∪ (u, m(u)), m over the small neighbors."""
+    """(u, v<=u) -> (v, m(u)) ∪ (u, m(u)), m over the small neighbors.
+
+    Same window-for-join trade as large-star; the single ``distinct``
+    here is the round's one dedup pass (it bounds edge growth across
+    rounds — Kiveris et al. §3)."""
     small = nbr.where(F.col("dst") <= F.col("src"))
-    mins = small.groupBy("src").agg(F.min("dst").alias("m"))
-    moved = small.join(mins, "src").select(
-        F.col("dst").alias("src"), F.col("m").alias("dst")
-    )
-    center = mins.select(F.col("src"), F.col("m").alias("dst"))
+    with_m = small.withColumn("m", F.min("dst").over(Window.partitionBy("src")))
+    moved = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = with_m.select("src", F.col("m").alias("dst"))
     return (
         moved.unionByName(center)
         .where(F.col("src") != F.col("dst"))
@@ -77,12 +86,14 @@ def connected_components(
 
     Convergence: a round is large-star + small-star; we stop when the
     small-star output equals the previous round's. Both outputs are
-    distinct row sets, so equality is ``|nxt| == |cur|`` (two counts
-    over already-checkpointed frames — near-free) plus ONE one-sided
-    ``exceptAll`` only when the counts match; while the edge set is
-    still contracting the counts differ and the expensive check is
-    skipped entirely. Raises after ``max_iter`` rounds rather than
-    returning a wrong answer.
+    distinct row sets, so the materializing action computes
+    ``(count, bit_xor(xxhash64(src, dst)))`` in one job; the definitive
+    one-sided ``exceptAll`` runs only when BOTH match — i.e. in
+    practice exactly once, at the true fixpoint (counts alone can
+    collide while stars still oscillate; the 64-bit content
+    fingerprint can't, so contracting rounds never pay the equality
+    join). Raises after ``max_iter`` rounds rather than returning a
+    wrong answer.
     """
     # Truncate upstream lineage once: the edge list is typically the
     # output of an expensive pair-mining stage (MinHash LSH etc.), and
@@ -99,16 +110,28 @@ def connected_components(
         .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
-    cur = _symmetric(raw).distinct().localCheckpoint(eager=True)
-    cur_cnt = cur.count()
+    # Lazy checkpoints: the convergence aggregate is the materializing
+    # action, so each round runs ONE job (eager checkpoint + count was
+    # two) — half the per-round scheduling overhead.
+    def _materialize(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of row hashes: order-independent, overflow-free
+            # (an ANSI-mode SUM of hashes overflows long)
+            F.bit_xor(F.xxhash64("src", "dst")).alias("fp"),
+        ).collect()[0]
+        return row["n"], row["fp"] or 0
+
+    cur = _symmetric(raw).distinct().localCheckpoint(eager=False)
+    cur_sig = _materialize(cur)
 
     for _ in range(max_iter):
         nxt = _small_star(_symmetric(_large_star(_symmetric(cur)))).localCheckpoint(
-            eager=True
+            eager=False
         )
-        nxt_cnt = nxt.count()
-        changed = nxt_cnt != cur_cnt or not nxt.exceptAll(cur).isEmpty()
-        prev, cur, cur_cnt = cur, nxt, nxt_cnt
+        nxt_sig = _materialize(nxt)
+        changed = nxt_sig != cur_sig or not nxt.exceptAll(cur).isEmpty()
+        prev, cur, cur_sig = cur, nxt, nxt_sig
         if not changed:
             prev.unpersist()
             break
