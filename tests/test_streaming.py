@@ -295,3 +295,81 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         (r.visitor_key, str(r.sw.start), r.n_events) for r in batch.collect()
     }
     assert got_batch == got
+
+
+def test_rate_source_merge_exactly_once_across_crash_and_resume(spark, tmp_path):
+    """Broker-shaped exactly-once demo (VERDICT r3 #6): an unbounded
+    deterministic source (rate-micro-batch) drives the merge sink; the
+    sink CRASHES after writing batch 2 to the target but before the
+    offset commit — the worst-case failure point. On restart Spark
+    replays batch 2 (at-least-once delivery) and the key-merge collapses
+    the replay: the gold table ends exactly-once with no gap and no
+    duplicate, which is the D1+A7 contract the reference relies on and
+    the reason a Kafka deployment of this pipeline needs no broker-side
+    transactions."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.streaming.pipeline import merge_batch_sink
+
+    target = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    rows_per_batch = 10
+    sink = merge_batch_sink(target, ["event_key"])
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, batch_id):
+        sink(batch_df, batch_id)  # target write lands...
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            # ...then the "process" dies before the offset commit
+            raise RuntimeError("injected crash between sink write and commit")
+
+    def start():
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        shaped = src.select(
+            F.col("value").alias("event_key"),
+            F.col("timestamp").alias("received_at"),
+            (F.col("value") % 3).cast("string").alias("media_id"),
+        )
+        return (
+            shaped.writeStream.foreachBatch(crashing_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert crashed["done"], "injected crash did not fire"
+    # batch 2's rows ARE in the target (written before the crash) but
+    # its offset is uncommitted — the replay-overlap condition
+    assert spark.read.parquet(target).count() >= 3 * rows_per_batch
+
+    q2 = start()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q2.lastProgress
+        if p and p["batchId"] >= 6:
+            break
+        _time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = spark.read.parquet(target)
+    n = got.count()
+    assert n >= 6 * rows_per_batch
+    # exactly-once: every key once, no gap below the high-water mark
+    assert got.select("event_key").distinct().count() == n
+    assert got.agg(F.max("event_key")).collect()[0][0] == n - 1
+    assert n % rows_per_batch == 0
