@@ -1,0 +1,101 @@
+"""Scale-curve benchmark: empirical scaling exponents for the heaviest
+dedup / similarity / clustering queries (VERDICT r3 #7).
+
+Runs each query at every .scaledata SF (tools/gen_scaledata.py — one
+consistent generator family, so the curve is internally comparable),
+takes the median of N serial runs, fits the log-log slope between
+consecutive SFs and overall, and writes BENCH_SCALE.json. A blocked
+pair-mine that is secretly all-pairs shows up here as an exponent
+near 2; the shuffle-bounded designs should sit near 1 (plus a
+data-independent constant that DEFLATES the small-SF exponent — so
+slopes are also reported with the smallest SF excluded).
+
+Usage: python tools/bench_scale.py  (serial — do not run concurrently
+with other Spark sessions; NOTES r3: contention skews medians 2×+).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(ROOT, ".scaledata")
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "corpus_curation_e2e",
+    "fuzzy_match_doc_titles",
+    "token_budget_selection",
+    "similarity_ivf_topk",
+    "embedding_near_dup",
+]
+N_RUNS = 3
+
+
+def main() -> None:
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from wistia_etl_pipeline_spark.registry import queries
+    from wistia_etl_pipeline_spark.session import get_spark
+
+    sfs = sorted(
+        (float(d[2:]), os.path.join(SCALE_DIR, d))
+        for d in os.listdir(SCALE_DIR)
+        if d.startswith("sf")
+    )
+    spark = get_spark("bench-scale")
+    qs = queries()
+    # warm-up JVM/codegen on the smallest SF
+    qs[QUERIES[0]](spark, sfs[0][1]).write.format("noop").mode("overwrite").save()
+
+    medians: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    for sf, d in sfs:
+        for name in QUERIES:
+            ts = []
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            medians[name][f"{sf:g}"] = round(statistics.median(ts), 3)
+            print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
+
+    out: dict = {"sfs": [sf for sf, _ in sfs], "n_runs": N_RUNS, "queries": {}}
+    for name in QUERIES:
+        pts = [(sf, medians[name][f"{sf:g}"]) for sf, _ in sfs]
+        pairwise = [
+            round(
+                math.log(t2 / t1) / math.log(s2 / s1), 3
+            )
+            for (s1, t1), (s2, t2) in zip(pts, pts[1:])
+        ]
+        overall = round(
+            math.log(pts[-1][1] / pts[0][1]) / math.log(pts[-1][0] / pts[0][0]), 3
+        )
+        tail = (
+            round(
+                math.log(pts[-1][1] / pts[1][1]) / math.log(pts[-1][0] / pts[1][0]), 3
+            )
+            if len(pts) > 2
+            else None
+        )
+        out["queries"][name] = {
+            "median_sec_by_sf": medians[name],
+            "pairwise_exponents": pairwise,
+            "overall_exponent": overall,
+            "exponent_excl_smallest_sf": tail,
+        }
+    path = os.path.join(ROOT, "BENCH_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

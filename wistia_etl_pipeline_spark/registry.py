@@ -5541,35 +5541,76 @@ def datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                substr(title, 1, 9) || '#' || substr(title, 11) AS title
         FROM titles WHERE length(title) >= 12
     ),
-    lb AS (
-        SELECT id, title, substr(title, 1, 6) AS pre, length(title) AS ln
+    keyed AS (
+        SELECT id, title, length(title) AS ln,
+               [substr(title, 1, 6) || chr(1) || substr(title, 7, 6),
+                substr(title, 1, 6) || chr(1) || substr(title, 13, 6),
+                substr(title, 1, 6) || chr(1) || substr(title, 19, 6),
+                substr(title, 7, 6) || chr(1) || substr(title, 13, 6),
+                substr(title, 7, 6) || chr(1) || substr(title, 19, 6),
+                substr(title, 13, 6) || chr(1) || substr(title, 19, 6)] AS ks
         FROM titles
     ),
-    rb AS (
-        SELECT id, title, substr(title, 1, 6) AS pre, length(title) AS ln
+    keyed_t AS (
+        SELECT id, title, length(title) AS ln,
+               [substr(title, 1, 6) || chr(1) || substr(title, 7, 6),
+                substr(title, 1, 6) || chr(1) || substr(title, 13, 6),
+                substr(title, 1, 6) || chr(1) || substr(title, 19, 6),
+                substr(title, 7, 6) || chr(1) || substr(title, 13, 6),
+                substr(title, 7, 6) || chr(1) || substr(title, 19, 6),
+                substr(title, 13, 6) || chr(1) || substr(title, 19, 6)] AS ks
         FROM typos
+    ),
+    lb AS (
+        SELECT id, title, ln, s.si AS si, s.seg AS seg
+        FROM (SELECT id, title, ln,
+                     unnest(list_transform(range(1, 7),
+                            i -> struct_pack(si := i, seg := ks[i]))) AS s
+              FROM keyed)
+    ),
+    rb AS (
+        SELECT id, title, ln, s.si AS si, s.seg AS seg
+        FROM (SELECT id, title, ln,
+                     unnest(list_transform(range(1, 7),
+                            i -> struct_pack(si := i, seg := ks[i]))) AS s
+              FROM keyed_t)
+    ),
+    cand AS (
+        SELECT DISTINCT l.id AS canonical_id, l.title AS lt,
+                        r.id AS candidate_id, r.title AS rt
+        FROM lb l
+        JOIN rb r ON l.si = r.si AND l.seg = r.seg AND l.ln = r.ln
     )
-    SELECT l.id AS canonical_id, r.id AS candidate_id,
-           CAST(levenshtein(l.title, r.title) AS BIGINT) AS dist
-    FROM lb l
-    JOIN rb r ON l.pre = r.pre AND l.ln = r.ln
-    WHERE levenshtein(l.title, r.title) <= 2
+    SELECT canonical_id, candidate_id,
+           CAST(levenshtein(lt, rt) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(lt, rt) <= 2
     """,
 )
 def fuzzy_match_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance) record matching — the entity-resolution
     join: typo'd document titles are matched back to their canonical
-    records. Candidates come from an EQUI join on a blocking key
-    (6-char prefix + exact length — a one-char substitution preserves
-    both), and only candidates pay the O(len²) levenshtein; nothing
-    ever compares all pairs (the same blocking discipline as every
-    dedup operator here). One mid-title substitution is injected per
-    document so the match set is observable; distances are exact
-    integers, identical cross-engine. The part table is NOT usable for
-    this (64 distinct names over 2000 rows — fuzzy pairs explode on
-    heavy duplication; titles derived from document text are
-    distinct), which is itself the operational lesson: block on a
-    high-cardinality key."""
+    records. Candidates come from an EQUI join on a MULTI-INDEX
+    pigeonhole key: the title is cut into four aligned 6-char
+    segments; two equal-length titles within 2 substitutions leave at
+    least TWO segments untouched, so they agree on at least one of the
+    C(4,2)=6 segment PAIRS — the blocking key is (pair index, 12 chars
+    of content, length). Only candidates pay the O(len²) levenshtein;
+    nothing ever compares all pairs, and a candidate pair reached via
+    several keys is deduplicated before the distance filter.
+
+    Scale history (measure, don't guess — BENCH_SCALE.json): r3
+    blocked on (6-char prefix, length) after rejecting low-cardinality
+    part names; the r4 scale curve showed THAT key is also bounded on
+    this corpus (~31 first words ⇒ candidates quadratic: 2.5 s → 55 s
+    from sf0.1 → sf0.5, exponent ≈1.9). Single 8-char segments helped
+    by a constant (~5×) but block cardinality still saturates at the
+    corpus's entropy. Pairing segments SQUARES the key cardinality —
+    candidates ∝ n²/K² — which is the standard remedy when the data's
+    entropy, not the algorithm, bounds K; on real-entropy titles
+    segment keys are near-unique and the join is linear. The pigeonhole
+    guarantee covers the substitution model (equal length); distances
+    are exact integers, identical cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     titles = docs.select(
         F.col("doc_id").alias("id"),
@@ -5585,23 +5626,40 @@ def fuzzy_match_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    import itertools
+
+    seg = [F.substring("title", 1 + 6 * i, 6) for i in range(4)]
+    pair_keys = [
+        F.concat_ws("\x01", seg[i], seg[j])
+        for i, j in itertools.combinations(range(4), 2)
+    ]
+
     def blocked(df):
         return df.select(
-            "id", "title",
-            F.substring("title", 1, 6).alias("pre"),
-            F.length("title").alias("ln"),
+            "id", "title", F.length("title").alias("ln"),
+            F.posexplode(F.array(*pair_keys)).alias("si", "seg"),
         )
 
     l, r = blocked(titles).alias("l"), blocked(typos).alias("r")
-    return (
-        l.join(r, (F.col("l.pre") == F.col("r.pre")) & (F.col("l.ln") == F.col("r.ln")))
-        .withColumn("dist", F.levenshtein(F.col("l.title"), F.col("r.title")))
-        .filter(F.col("dist") <= 2)
+    cand = (
+        l.join(
+            r,
+            (F.col("l.si") == F.col("r.si"))
+            & (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.ln") == F.col("r.ln")),
+        )
         .select(
             F.col("l.id").alias("canonical_id"),
+            F.col("l.title").alias("lt"),
             F.col("r.id").alias("candidate_id"),
-            F.col("dist").cast("long").alias("dist"),
+            F.col("r.title").alias("rt"),
         )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("lt", "rt"))
+        .filter(F.col("dist") <= 2)
+        .select("canonical_id", "candidate_id", F.col("dist").cast("long").alias("dist"))
     )
 
 
@@ -5757,4 +5815,122 @@ def text_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows + higher-order array-function surface (r4)
+# --------------------------------------------------------------------------
+
+@query(
+    "hopping_window_activity",
+    oracle="""
+    WITH hops AS (
+        SELECT event_type, value,
+               (epoch_us(ts) // 21600000000) * 21600000000
+                 - i * 21600000000 AS start_us
+        FROM events, unnest([0, 1, 2, 3]) AS u(i)
+        WHERE event_id % 7 = 0
+    )
+    SELECT event_type,
+           make_timestamp(start_us) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values
+    FROM hops
+    GROUP BY event_type, start_us
+    """,
+)
+def hopping_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (overlapping/sliding) time windows — 1-day windows
+    advancing every 6 hours, the rolling-dashboard aggregation the
+    tumbling ST5 window can't express (each event lands in FOUR
+    windows). Spark's ``window(ts, '1 day', '6 hours')`` plans this as
+    an Expand (4 rows per event) + one hash aggregate — partial
+    aggregation still combines map-side, so the shuffle carries
+    window-grain partials, not raw events. The oracle derives the same
+    4 epoch-aligned window starts arithmetically (Spark aligns hops to
+    the 1970 epoch; 6 h = 21 600 000 000 µs). The modulo filter keeps
+    the row budget bench-friendly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") % 7 == 0)
+        .groupBy(
+            "event_type",
+            F.window("ts", "1 day", "6 hours").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("value").alias("n_values"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            F.col("n_events"),
+            F.col("n_values"),
+        )
+    )
+
+
+@query(
+    "array_hof_surface",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS ts
+        FROM documents
+        WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ts, t -> length(t) > 4)) AS BIGINT)
+               AS n_long,
+           CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT)
+               AS total_chars,
+           array_to_string(list_sort(ts)[1:5], ' ') AS sorted_head,
+           len(list_filter(ts, t -> length(t) >= 6)) > 0 AS has_long6,
+           CAST(list_sum(list_transform(range(1, len(ts) + 1),
+                i -> CASE WHEN ts[i] = ts[len(ts) - i + 1]
+                          THEN 1 ELSE 0 END)) AS BIGINT)
+               AS mirror_hits
+    FROM toks
+    """,
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / transform+aggregate /
+    sort+slice / exists / zip_with — the engine's entire lambda surface
+    in one scan-local projection (no Python anywhere: these compile to
+    codegen'd expressions, the reason HOFs beat UDFs at 100 TB).
+    ``mirror_hits`` zips the token array with its own reverse —
+    position-wise self-comparison without a positional self-join.
+    DuckDB's list lambdas mirror each call (list_filter / list_sort /
+    scalar range comprehension for the zip; rule #8 sibling)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.size(F.filter(ts, lambda t: F.length(t) > 4)).cast("long").alias(
+                "n_long"
+            ),
+            F.aggregate(
+                ts, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("total_chars"),
+            F.array_join(F.slice(F.sort_array(ts), 1, 5), " ").alias("sorted_head"),
+            F.exists(ts, lambda t: F.length(t) >= 6).alias("has_long6"),
+            F.zip_with(
+                ts,
+                F.reverse(ts),
+                lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+            )
+            .alias("__z")
+            .cast("array<long>")
+            .alias("__z2"),
+        )
+        .withColumn(
+            "mirror_hits",
+            F.aggregate("__z2", F.lit(0).cast("long"), lambda acc, x: acc + x),
+        )
+        .drop("__z2")
     )
