@@ -124,6 +124,9 @@ HEADLINE = [
     "fuzzy_match_doc_titles",     # blocked edit-distance matching
     "tokenize_bpe_corpus",        # frozen-BPE vocabulary tokenization
     "text_chunking_bpe",          # real-token (BPE) context chunking
+    "hopping_window_activity",    # 1-day windows hopping every 6 h
+    "array_hof_surface",          # higher-order array lambda surface
+    "kmeans_embedding_clusters",  # exact-integer Lloyd's clustering
 ]
 
 

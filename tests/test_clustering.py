@@ -1,0 +1,94 @@
+"""Integer-grid k-means (functions/clustering.py): rule-for-rule parity
+with a pure-Python replica, truncating-division semantics, empty-cluster
+carry. Cross-engine byte-equality of the full assignment is covered by
+the kmeans_embedding_clusters registry oracle."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from wistia_etl_pipeline_spark.functions.clustering import (
+    GRID,
+    _trunc_div,
+    kmeans_int_grid,
+)
+
+
+def _reference_kmeans(vecs, k, n_assign):
+    q = [[math.floor(float(x) * GRID) for x in v] for v in vecs]
+    cents = [list(q[i]) for i in range(k)]
+
+    def best(v):
+        scored = [
+            (sum((a - b) * (a - b) for a, b in zip(v, c)), cid)
+            for cid, c in enumerate(cents)
+        ]
+        return min(scored)
+
+    assign = None
+    for step in range(n_assign):
+        assign = [best(v) for v in q]
+        if step == n_assign - 1:
+            break
+        new = []
+        for cid in range(k):
+            members = [q[i] for i, (_, c) in enumerate(assign) if c == cid]
+            if not members:
+                new.append(cents[cid])
+            else:
+                new.append(
+                    [
+                        _trunc_div(sum(m[d] for m in members), len(members))
+                        for d in range(len(q[0]))
+                    ]
+                )
+        cents = new
+    return [(c, d) for d, c in assign]
+
+
+def test_trunc_div_matches_sql_semantics():
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3  # DuckDB // truncates; Python // floors
+    assert _trunc_div(-8, 2) == -4
+    assert _trunc_div(0, 5) == 0
+
+
+def test_kmeans_matches_reference_multi_iteration(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [
+        [rnd.uniform(-1, 1) for _ in range(8)] for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    for n_assign in (1, 2, 4):
+        got = {
+            r.vec_id: (r.cluster_id, r.dist2)
+            for r in kmeans_int_grid(
+                df, "embedding", "vec_id", k=4, n_assign=n_assign
+            ).collect()
+        }
+        exp = _reference_kmeans(vecs, 4, n_assign)
+        assert got == {i: exp[i] for i in range(len(vecs))}, n_assign
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # two far groups, k=3: centroid 2 starts inside group A and loses
+    # every member to centroid 0 after the first update — it must keep
+    # its old centroid rather than crash or drift
+    vecs = (
+        [[0.0, 0.001 * i] for i in range(3)]
+        + [[0.9, 0.9 + 0.001 * i] for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    got = kmeans_int_grid(df, "embedding", "vec_id", k=3, n_assign=3)
+    exp = _reference_kmeans(vecs, 3, 3)
+    assert {
+        r.vec_id: (r.cluster_id, r.dist2) for r in got.collect()
+    } == {i: exp[i] for i in range(len(vecs))}

@@ -5934,3 +5934,94 @@ def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__z2")
     )
+
+
+# --------------------------------------------------------------------------
+# K-means semantic clustering (r4): exact-integer Lloyd's, oracle replays
+# both assignment passes and the centroid update verbatim
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+def _kmeans_oracle() -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q ORDER BY vec_id LIMIT {_KMEANS_K}
+    ),
+    d1 AS (
+        SELECT v.vec_id, v.qv, c.cid, {d2} AS dist2
+        FROM q v CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT cid, s.i AS i, SUM(s.v) AS sv, COUNT(*) AS cnt
+        FROM a1, unnest(list_transform(range(1, len(qv) + 1),
+                        i -> struct_pack(i := i, v := qv[i]))) AS u(s)
+        GROUP BY cid, s.i
+    ),
+    dims AS (
+        SELECT i FROM unnest(range(1, 65)) AS d(i)
+    ),
+    c1 AS (
+        SELECT c0.cid,
+               list(COALESCE(s.sv // s.cnt, c0.cv[dims.i])
+                    ORDER BY dims.i) AS cv
+        FROM c0 CROSS JOIN dims
+        LEFT JOIN sums s ON s.cid = c0.cid AND s.i = dims.i
+        GROUP BY c0.cid
+    ),
+    d2 AS (
+        SELECT v.vec_id, c.cid, {d2} AS dist2
+        FROM q v CROSS JOIN c1 c
+    )
+    SELECT vec_id, cid AS cluster_id, dist2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+    """
+
+
+@query("kmeans_embedding_clusters", oracle=_kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus: Lloyd's k-means on
+    the exact integer grid (functions/clustering.py) — the curation
+    step behind cluster-balanced sampling, semantic dedup buckets, and
+    IVF list training. k=8, two assignment passes with one centroid
+    update between them, pinned so the oracle can UNROLL the identical
+    computation: quantize → cross join k centroids → argmin by
+    (dist2, cid) → truncating-integer-mean update (DuckDB ``//``
+    semantics, mirrored by ``_trunc_div``) with empty clusters keeping
+    their centroid → final argmin. Every intermediate is an exact
+    integer, so the full assignment — not a summary — hash-matches.
+
+    Scale shape: assignment is scan-local codegen (k zip_with folds
+    over broadcast LITERAL centroids — no join, no shuffle); each
+    update is one explode + map-side-combined hash aggregate whose
+    k×dims output is all that ever reaches the driver. More iterations
+    (engine supports any ``n_assign``) repeat the same two operators;
+    the oracle pins 2 to keep the SQL bounded — the differential check
+    covers init, both assignment rules, and the update rule, which is
+    every moving part an iteration has."""
+    from .functions.clustering import kmeans_int_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_int_grid(emb, "embedding", "vec_id", k=_KMEANS_K, n_assign=2)
