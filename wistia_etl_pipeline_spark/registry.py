@@ -135,7 +135,10 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_sample_docs",
     "sequence_packing",
     "multimodal_frame_sample",
-    "text_repetition_stats",
+    # J2's only query — core §2 row, restored to the fixed window after
+    # the first rotation draft left it out (extensions rotate; core
+    # reference rows do not)
+    "merge_upsert_composite_key",
     "forecast_revenue_q6",
     "volume_shipping_q7",
     "tokenize_bpe_corpus",
@@ -145,7 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "canary_sum_hugeint_uncast",
     "join_semi_anti_customers",
     "session_rollup_events",
-    "merge_upsert_composite_key",
+    "text_repetition_stats",
     "txlog_incremental_read",
     "txlog_partition_backfill",
     "txlog_time_travel",
