@@ -92,3 +92,50 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert {
         r.vec_id: (r.cluster_id, r.dist2) for r in got.collect()
     } == {i: exp[i] for i in range(len(vecs))}
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted near-identical vectors must be dropped in favor of the
+    smallest id; well-separated vectors must all survive."""
+    from wistia_etl_pipeline_spark.functions.clustering import (
+        semantic_dedup_int_grid,
+    )
+
+    # ids 0/1 are the first-k-by-id centroid seeds (one per cluster);
+    # the planted dups come after, so they land in the seeds' clusters
+    vecs = [
+        (0, [1.0] + [0.0] * 7),
+        (1, [0.0, 1.0] + [0.0] * 6),
+        (2, [0.999, 0.001] + [0.0] * 6),   # near-dup of 0 -> dropped
+        (3, [0.002, 0.998] + [0.0] * 6),   # near-dup of 1 -> dropped
+        (4, [-1.0] + [0.0] * 7),           # anti-parallel to 0 -> kept
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs]
+    )
+    out = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup_int_grid(
+            df, "embedding", "vec_id", k=2, tau2_num=9025, tau2_den=10000
+        ).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_semantic_dedup_invariant_under_repartitioning(spark, sf_dir):
+    from wistia_etl_pipeline_spark.functions.clustering import (
+        semantic_dedup_int_grid,
+    )
+    from wistia_etl_pipeline_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(k=8, grid=4000, tau2_num=81, tau2_den=400)
+    a = semantic_dedup_int_grid(emb, "embedding", "vec_id", **kw)
+    b = semantic_dedup_int_grid(
+        emb.repartition(13), "embedding", "vec_id", **kw
+    )
+    rows_a = sorted((r.vec_id, r.cluster_id, r.is_kept) for r in a.collect())
+    rows_b = sorted((r.vec_id, r.cluster_id, r.is_kept) for r in b.collect())
+    assert rows_a == rows_b
+    assert any(not kept for _, _, kept in rows_a)  # the rule fires
+    assert any(kept for _, _, kept in rows_a)

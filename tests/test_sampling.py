@@ -143,3 +143,70 @@ def test_token_budget_selection_equals_naive_greedy(spark, sf_dir):
     naive = r.withColumn("cum", F.sum("n_tok").over(w)).filter(F.col("cum") <= 20_000)
     want = sorted(row.doc_id for row in naive.collect())
     assert got == want
+
+
+def test_mixture_epochs_whole_counts_exact(spark, corpus):
+    """Integer epochs replicate exactly; epoch 0 strata vanish."""
+    from wistia_etl_pipeline_spark.functions.sampling import mixture_epochs
+
+    out = mixture_epochs(
+        corpus, "grp", {"g0": 2.0, "g1": 0.0}, "doc_id", default_epochs=1.0
+    )
+    per = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["grp"]: r["n"] for r in corpus.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per["g0"] == 2 * base["g0"]
+    assert "g1" not in per
+    for g in ("g2", "g3", "g4", "g5", "g6"):
+        assert per[g] == base[g]
+
+
+def test_mixture_epochs_fractional_rate_and_epoch_index(spark, corpus):
+    from wistia_etl_pipeline_spark.functions.sampling import mixture_epochs
+
+    out = mixture_epochs(
+        corpus, "grp", {"g%d" % i: 1.5 for i in range(7)}, "doc_id", seed="m"
+    )
+    n_docs = corpus.count()
+    n_rows = out.count()
+    assert 1.35 * n_docs < n_rows < 1.65 * n_docs  # ~1.5 epochs realized
+    # every doc appears with contiguous 1..reps epoch indices
+    spans = out.groupBy("doc_id").agg(
+        F.min("epoch_i").alias("lo"),
+        F.max("epoch_i").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bad = spans.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n"))
+    ).count()
+    assert bad == 0
+
+
+def test_mixture_epochs_invariant_under_repartitioning(spark, corpus):
+    from wistia_etl_pipeline_spark.functions.sampling import mixture_epochs
+
+    e = {"g%d" % i: 2.25 for i in range(7)}
+    a = mixture_epochs(corpus, "grp", e, "doc_id", seed="m")
+    b = mixture_epochs(corpus.repartition(11, "grp"), "grp", e, "doc_id", seed="m")
+    assert sorted((r["doc_id"], r["epoch_i"]) for r in a.collect()) == sorted(
+        (r["doc_id"], r["epoch_i"]) for r in b.collect()
+    )
+
+
+def test_mixture_epochs_sub_one_equals_rate_sampling(spark, corpus):
+    """epochs < 1 must select exactly the stratified_sample membership
+    (same hash, same threshold) — the documented degeneration."""
+    from wistia_etl_pipeline_spark.functions.sampling import (
+        mixture_epochs,
+        stratified_sample,
+    )
+
+    e = {"g%d" % i: 0.3 for i in range(7)}
+    rates = {k: 0.3 for k in e}
+    mixed = mixture_epochs(corpus, "grp", e, "doc_id", seed="s9")
+    sampled = stratified_sample(corpus, "grp", rates, "doc_id", seed="s9")
+    assert sorted(r["doc_id"] for r in mixed.collect()) == sorted(
+        r["doc_id"] for r in sampled.collect()
+    )
+    assert mixed.filter(F.col("epoch_i") != 1).count() == 0

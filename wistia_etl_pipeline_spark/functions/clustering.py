@@ -46,13 +46,21 @@ def _trunc_div(a: int, b: int) -> int:
     return q
 
 
-def quantize(df: DataFrame, vec_col: str, out_col: str = "qv") -> DataFrame:
-    """array<float> -> array<bigint> on the fixed-point grid."""
+def quantize(
+    df: DataFrame, vec_col: str, out_col: str = "qv", *, grid: int = GRID
+) -> DataFrame:
+    """array<float> -> array<bigint> on the fixed-point grid.
+
+    ``grid`` trades precision for BIGINT headroom: pairwise cosine
+    thresholds square a dot product, so they need
+    (grid² · dims)² · τ-denominator ≤ 2⁶³ — see
+    :func:`semantic_dedup_int_grid`, which runs at grid=4000 for
+    exactly that reason, while distance-only users keep the default."""
     return df.withColumn(
         out_col,
         F.expr(
             f"transform({vec_col}, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {GRID}) AS BIGINT))"
+            f"CAST(floor(CAST(x AS DOUBLE) * {grid}) AS BIGINT))"
         ),
     )
 
@@ -85,6 +93,86 @@ def assign(df: DataFrame, qv_col: str, centroids: list[list[int]]) -> DataFrame:
         .withColumn("cluster_id", F.col("__best.cid"))
         .withColumn("dist2", F.col("__best.d"))
         .drop("__best")
+    )
+
+
+def semantic_dedup_int_grid(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    grid: int = 4000,
+    tau2_num: int = 2401,
+    tau2_den: int = 2500,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster the embedding corpus, then drop any item
+    whose cosine similarity to a SMALLER-ID item in the same cluster
+    reaches τ. Returns one row per input: (id, cluster_id, is_kept).
+
+    Exactly replayable cross-engine, like the k-means sibling above:
+    one assignment pass against the first-k-by-id centroids, then an
+    integer cosine test — cos(a,b) ≥ τ ⟺ dot > 0 AND
+    dot²·tau2_den ≥ tau2_num·‖a‖²·‖b‖² — entirely in BIGINTs. The
+    defaults pin τ² = 2401/2500 (τ = 0.98) on the 4000-grid: with
+    64-dim unit vectors ‖q‖² ≈ grid², so dot²·tau2_den ≤ 6.4e17 < 2⁶³.
+    The keep rule "survives iff no τ-neighbor with a smaller id" is
+    order-free (a plain EXISTS, not a sweep), so the kept set is
+    independent of partitioning and engine.
+
+    Scale shape: the only join is the within-cluster self-equi-join on
+    cluster_id — candidate pairs are Σ|c|², bounded by sizing k with
+    the corpus (SemDeDup runs k ∝ √n; the cluster id is the blocking
+    key exactly as the LSH bucket is for embedding_near_dup). The
+    assignment pass is scan-local codegen over k literal centroids —
+    no join, no shuffle."""
+    q = quantize(df.select(id_col, vec_col), vec_col, grid=grid)
+    q = q.withColumn(
+        "__n2",
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    init = q.orderBy(id_col).limit(k).collect()  # k rows — model-sized
+    centroids = [list(r["qv"]) for r in init]
+    assigned = assign(q, "qv", centroids).select(
+        F.col(id_col).alias("__vid"), "qv", "__n2", "cluster_id"
+    )
+    left = assigned.alias("l")
+    right = assigned.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.qv"), F.col("r.qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("l.cluster_id") == F.col("r.cluster_id"))
+            & (F.col("l.__vid") < F.col("r.__vid")),
+            "inner",
+        )
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                F.col("__dot") * F.col("__dot") * F.lit(tau2_den).cast("long")
+                >= F.lit(tau2_num).cast("long") * F.col("l.__n2") * F.col("r.__n2")
+            )
+        )
+        .select(F.col("r.__vid").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["__vid"] == dropped["__dup"], "left")
+        .select(
+            F.col("__vid").alias(id_col),
+            "cluster_id",
+            F.col("__dup").isNull().alias("is_kept"),
+        )
     )
 
 

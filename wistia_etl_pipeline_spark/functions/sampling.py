@@ -61,6 +61,55 @@ def stratified_sample(
     return df.where(u < thr)
 
 
+def mixture_epochs(
+    df: DataFrame,
+    stratum_col: str,
+    epochs: dict[str, float],
+    id_col: str,
+    *,
+    seed: str = "",
+    default_epochs: float = 1.0,
+    epoch_col: str = "epoch_i",
+) -> DataFrame:
+    """Materialize a training-mixture schedule: replicate each row
+    ``epochs[stratum]`` times, fractional parts resolved per-row by the
+    deterministic hash draw.
+
+    This is the data-mixing step of LLM corpus assembly (weighting
+    sources/languages by epochs, e.g. "books ×2.25, web ×0.5"): a row
+    with e = 2.25 appears twice always, three times iff
+    hash(id‖seed) < floor(0.25·2^60) — so in expectation the stratum
+    contributes exactly e epochs, the realized set is identical across
+    engines/partitionings/re-runs, and e < 1 degenerates to rate
+    sampling (``stratified_sample`` is the whole=0 special case).
+
+    Shape at 100 TB: a scan-local ``explode(sequence(1, reps))`` — no
+    shuffle, no state; output volume is the Σe·|stratum| the schedule
+    asks for. ``epoch_col`` (1-based replica index) lets downstream
+    shuffles (e.g. sequence packing) treat replicas as distinct rows.
+    """
+    u = hash_bits60(F.col(id_col), seed=seed)
+    whole: Column = F.lit(int(default_epochs))
+    frac_thr: Column = F.lit(threshold(default_epochs - int(default_epochs)))
+    for value, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {e} for {value!r}")
+        whole = F.when(F.col(stratum_col) == value, F.lit(int(e))).otherwise(whole)
+        frac_thr = F.when(
+            F.col(stratum_col) == value, F.lit(threshold(e - int(e)))
+        ).otherwise(frac_thr)
+    reps = (whole + F.when(u < frac_thr, F.lit(1)).otherwise(F.lit(0))).cast("long")
+    return (
+        df.withColumn("__reps", reps)
+        .where(F.col("__reps") >= 1)  # sequence() needs start <= stop
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__reps"))),
+        )
+        .drop("__reps")
+    )
+
+
 def group_capped_sample(
     df: DataFrame,
     group_col: str,

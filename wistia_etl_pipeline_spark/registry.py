@@ -6028,3 +6028,234 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_int_grid(emb, "embedding", "vec_id", k=_KMEANS_K, n_assign=2)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup), training-mixture epochs, TF-IDF keywords (r4)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_GRID = 4000
+_SEMDEDUP_K = 8
+# tau^2 = 81/400 -> tau = 0.45. A production dedup threshold is 0.95+,
+# but this corpus has NO true near-dups (max pairwise cosine ≈ 0.51 at
+# sf0.01), so a realistic tau would leave the drop rule untested by the
+# differential check; 0.45 sits inside the observed within-cluster
+# similarity range, so both fates (kept AND dropped) appear in the
+# output and the hash covers the whole rule, not just the happy path.
+_SEMDEDUP_T2 = (81, 400)
+
+
+def _semantic_dedup_oracle() -> str:
+    t2n, t2d = _SEMDEDUP_T2
+    cdist = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_SEMDEDUP_GRID}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    qn AS (
+        SELECT vec_id, qv,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+        FROM q
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+    ),
+    a AS (
+        SELECT vec_id, qv, n2, cid FROM (
+            SELECT v.vec_id, v.qv, v.n2, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id ORDER BY {cdist}, c.cid) AS rn
+            FROM qn v CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    p AS (
+        SELECT DISTINCT b_id FROM (
+            SELECT r.vec_id AS b_id,
+                   CAST(list_sum(list_transform(range(1, len(l.qv) + 1),
+                        i -> l.qv[i] * r.qv[i])) AS BIGINT) AS dot,
+                   l.n2 AS ln2, r.n2 AS rn2
+            FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        ) WHERE dot > 0 AND dot * dot * {t2d} >= {t2n} * ln2 * rn2
+    )
+    SELECT a.vec_id, a.cid AS cluster_id, (p.b_id IS NULL) AS is_kept
+    FROM a LEFT JOIN p ON a.vec_id = p.b_id
+    """
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, public arXiv:2303.09540): the
+    embedding-space twin of MinHash near-dup — cluster the corpus,
+    then inside each cluster drop every vector with a τ-close
+    smaller-id neighbor. One row per vector with its cluster and fate,
+    so the differential check covers the assignment AND the keep rule.
+
+    Exactness: assignment + cosine test run on the integer grid
+    (functions/clustering.semantic_dedup_int_grid) — cos ≥ τ becomes
+    dot > 0 AND dot²·400 ≥ 81·‖a‖²·‖b‖², all BIGINT, so the kept
+    set is bit-identical across engines (no float cosine anywhere;
+    grid=4000 sized so the squared dot stays under 2⁶³). τ = 0.45 is
+    pinned BELOW a production dedup threshold on purpose: the comment
+    at _SEMDEDUP_T2 records why (this corpus has no τ≥0.95 pairs, and
+    a rule the data never fires is a rule the hash never checks).
+
+    Scale shape: the cluster id is the blocking key — the only join is
+    the within-cluster self-equi-join (Σ|c|² candidate pairs, bounded
+    by sizing k ∝ √n as SemDeDup does); assignment is scan-local
+    codegen over k literal centroids. Compare embedding_near_dup
+    (LSH-bucket blocking, data-independent) — same discipline, trained
+    vs untrained blocking."""
+    from .functions.clustering import semantic_dedup_int_grid
+
+    t2n, t2d = _SEMDEDUP_T2
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_int_grid(
+        emb,
+        "embedding",
+        "vec_id",
+        k=_SEMDEDUP_K,
+        grid=_SEMDEDUP_GRID,
+        tau2_num=t2n,
+        tau2_den=t2d,
+    )
+
+
+_MIX_EPOCHS = {"en": 0.5, "de": 2.25, "es": 1.0, "fr": 1.75, "zh": 3.0}
+_MIX_SEED = "mx1"
+
+
+def _mixture_oracle() -> str:
+    from .functions.sampling import threshold
+
+    whole_cases = " ".join(
+        f"WHEN '{lang}' THEN {int(e)}" for lang, e in _MIX_EPOCHS.items()
+    )
+    frac_cases = " ".join(
+        f"WHEN '{lang}' THEN {threshold(e - int(e))}"
+        for lang, e in _MIX_EPOCHS.items()
+    )
+    return f"""
+    WITH reps AS (
+        SELECT doc_id, lang,
+               (CASE lang {whole_cases} ELSE 1 END)
+               + (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                             || ':{_MIX_SEED}'), 1, 15))::BIGINT
+                            < (CASE lang {frac_cases} ELSE 0 END)
+                       THEN 1 ELSE 0 END) AS n_reps
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(u.e AS BIGINT) AS epoch_i
+    FROM reps, unnest(generate_series(1, n_reps)) AS u(e)
+    """
+
+
+@query("dataset_mixture_epochs", oracle=_mixture_oracle())
+def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture materialization: replicate each document
+    ``epochs[lang]`` times (en ×0.5, de ×2.25, es ×1.0, fr ×1.75,
+    zh ×3.0) — the data-mixing step that turns curation weights into a
+    physical training set. Fractional epochs resolve per-row via the
+    md5 hash draw (functions/sampling.mixture_epochs), so the realized
+    replica set is deterministic across engines, partitionings and
+    re-runs: e = 2.25 rows appear twice always, three times iff
+    hash(id‖seed) < 0.25·2^60; e = 0.5 degenerates to rate sampling.
+
+    Shape at 100 TB: pure scan-local explode(sequence(1, reps)) — zero
+    shuffle, zero state; output volume is exactly the Σe·|stratum| the
+    schedule asks for. epoch_i keeps replicas distinct for downstream
+    packing/shuffling. Oracle replays the hash draw and the replication
+    with generate_series — row-for-row identical."""
+    from .functions.sampling import mixture_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_epochs(
+        docs.select("doc_id", "lang"),
+        "lang",
+        _MIX_EPOCHS,
+        "doc_id",
+        seed=_MIX_SEED,
+    ).select("doc_id", "lang", F.col("epoch_i").cast("long").alias("epoch_i"))
+
+
+_TFIDF_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+        WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY tok
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+           CAST(df_docs AS BIGINT) AS df_docs,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT t.doc_id, t.tok, t.tf, d.df_docs,
+               (t.tf * 1000000) // d.df_docs AS score_micro,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY (t.tf * 1000000) // d.df_docs DESC, t.tok
+               ) AS rk
+        FROM tf t JOIN dfreq d USING (tok)
+    ) WHERE rk <= 3
+"""
+
+
+@query("doc_tfidf_keywords", oracle=_TFIDF_SQL)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf with a
+    RATIONAL idf — score = tf/df scaled to exact micro-units
+    ((tf·10⁶) div df) instead of tf·log(N/df), because an exact-integer
+    score is the only ranking that hash-matches cross-engine
+    (determinism rule #2; same trade doc_token_commonness makes for
+    unigram log-probability). Ties break on the token text so top-3 is
+    deterministic.
+
+    Shape at 100 TB: token-exploded corpus → two hash aggregates (tf
+    keyed on (doc, token); df keyed on token, COUNT(DISTINCT doc)
+    partial-aggregated as usual) → equi shuffle join on the token key
+    (no broadcast hint: a corpus vocabulary scales with the corpus) →
+    per-doc window top-k. The window partitions on doc_id — millions
+    of small partitions, never a global sort."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(
+        F.count_distinct(F.col("doc_id")).alias("df_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "tok")
+        .withColumn(
+            "score_micro",
+            F.expr("(tf * CAST(1000000 AS BIGINT)) div df_docs"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score_micro").desc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return scored.select("doc_id", "tok", "tf", "df_docs", "score_micro", "rk")
