@@ -127,6 +127,9 @@ HEADLINE = [
     "hopping_window_activity",    # 1-day windows hopping every 6 h
     "array_hof_surface",          # higher-order array lambda surface
     "kmeans_embedding_clusters",  # exact-integer Lloyd's clustering
+    "semantic_dedup",             # SemDeDup cluster-blocked drop rule
+    "dataset_mixture_epochs",     # training-mixture replication
+    "doc_tfidf_keywords",         # rational-idf keyword extraction
 ]
 
 

@@ -428,3 +428,31 @@ def test_canary_window_nulls_single_exchange(spark, sf_dir):
     it exists to isolate a rendering axis, not to cost anything."""
     plan = _plan(spark, sf_dir, "canary_window_nulls")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mixture_epochs_is_shuffle_free(spark, sf_dir):
+    # replication is a scan-local explode(sequence) — any Exchange here
+    # means the mixing step added a corpus-sized shuffle it never needs
+    plan = _plan(spark, sf_dir, "dataset_mixture_epochs")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode actually happens
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf_dir):
+    # the within-cluster self-join must plan as a hash/merge equi join
+    # on cluster_id — a nested-loop fallback is the all-pairs scan the
+    # blocking key exists to prevent
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_has_no_broadcast_hint_on_vocab(spark, sf_dir):
+    # the df (vocabulary) side scales with the corpus — strategy must
+    # come from stats/AQE, never a forced broadcast (same policy as the
+    # SF-scaled star-join sides)
+    df = entry.queries()["doc_tfidf_keywords"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
