@@ -139,3 +139,36 @@ def test_semantic_dedup_invariant_under_repartitioning(spark, sf_dir):
     assert rows_a == rows_b
     assert any(not kept for _, _, kept in rows_a)  # the rule fires
     assert any(kept for _, _, kept in rows_a)
+
+
+def test_arrow_assignment_matches_jvm_expression(spark):
+    """The Arrow numpy kernel and the pure-JVM literal-expression form
+    must produce identical (cluster_id, dist2) — including ties (both
+    break toward the smaller centroid id)."""
+    import random
+
+    from wistia_etl_pipeline_spark.functions.clustering import (
+        assign,
+        assign_expr,
+        quantize,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(16)])
+        for i in range(80)
+    ]
+    # planted exact tie: equidistant from centroids 0 and 1
+    rows.append(Row(vec_id=900, embedding=rows[0].embedding))
+    df = spark.createDataFrame(rows)
+    q = quantize(df, "embedding", grid=1000)
+    cents = [list(r["qv"]) for r in q.orderBy("vec_id").limit(4).collect()]
+    a = {
+        (r.vec_id, r.cluster_id, r.dist2)
+        for r in assign(q, "qv", cents).select("vec_id", "cluster_id", "dist2").collect()
+    }
+    b = {
+        (r.vec_id, r.cluster_id, r.dist2)
+        for r in assign_expr(q, "qv", cents).select("vec_id", "cluster_id", "dist2").collect()
+    }
+    assert a == b

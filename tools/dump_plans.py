@@ -48,6 +48,9 @@ ANNOTATED = {
     "ingest_error_isolation": "ST6 fan-out: the poisoned media dies inside its fetch task and surfaces as an error row from the same mapInPandas stage; JSON parse + explode_outer stay JVM-side; one aggregate exchange.",
     "weighted_sample_priority": "DLT priority sampling: hash-uniform + one division per row feed TakeOrderedAndProject — weighted sampling without replacement with NO shuffle and no RNG state.",
     "token_budget_selection": "budgeted greedy selection without a global sort: bin histogram (partial agg), cumulative over the tiny BIN table, boundary bin resolved by a bin-partitioned window; the oracle's naive global running sum is the equivalence proof.",
+    "semantic_dedup": "SemDeDup: assignment is scan-local codegen over k literal centroids (no join); the only joins are the within-cluster equi self-join on cluster_id and the left-anti-shaped kept flag — never all-pairs, never BNLJ.",
+    "dataset_mixture_epochs": "training-mixture replication: one Generate (explode of sequence(1, reps)) over the scan — zero exchanges; replica counts are hash-derived per row, so the plan has no state and no RNG.",
+    "doc_tfidf_keywords": "TF-IDF keywords: explode feeds two hash aggregates (tf, df) that equi-join on the token key with NO broadcast hint (vocabulary scales with the corpus); the per-doc top-3 sorts inside the doc_id window exchange only.",
 }
 
 

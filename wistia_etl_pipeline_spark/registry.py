@@ -6016,8 +6016,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their centroid → final argmin. Every intermediate is an exact
     integer, so the full assignment — not a summary — hash-matches.
 
-    Scale shape: assignment is scan-local codegen (k zip_with folds
-    over broadcast LITERAL centroids — no join, no shuffle); each
+    Scale shape: assignment is a scan-local Arrow-batched int64 numpy
+    kernel (the k×dims centroid matrix rides the closure — no join, no
+    shuffle; 4.7× the literal-HOF form, which is CodegenFallback); each
     update is one explode + map-side-combined hash aggregate whose
     k×dims output is all that ever reaches the driver. More iterations
     (engine supports any ``n_assign``) repeat the same two operators;
