@@ -34,6 +34,8 @@ QUERIES = [
     "token_budget_selection",
     "similarity_ivf_topk",
     "embedding_near_dup",
+    "semantic_dedup",
+    "kmeans_embedding_clusters",
 ]
 N_RUNS = 3
 
