@@ -120,7 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "asof_join_nearest",
     "fuzzy_match_doc_titles",
-    "asof_join_forward",
+    # the round's flagship new operator takes the slot of the
+    # family-redundant second as-of direction (nearest — the hardest —
+    # stays; forward keeps its local greens in the ledger)
+    "semantic_dedup",
     "scd2_media_state",
     "corpus_pmi_bigrams",
     "value_histogram",
