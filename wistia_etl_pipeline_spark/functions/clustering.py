@@ -264,7 +264,13 @@ def kmeans_int_grid(
     with ``cluster_id`` and ``dist2`` from the FINAL assignment.
     ``n_assign`` counts assignment passes (updates run between them:
     n_assign=2 ≡ assign → update → assign)."""
-    q = quantize(df.select(id_col, vec_col), vec_col)
+    from pyspark import StorageLevel
+
+    # read n_assign+1 times (init probe, every assignment/update pass) —
+    # persist so the scan+quantize runs once, not once per pass
+    q = quantize(df.select(id_col, vec_col), vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     init = q.orderBy(id_col).limit(k).collect()
     centroids = [list(r["qv"]) for r in init]
     dims = len(centroids[0])
