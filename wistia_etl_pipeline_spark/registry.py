@@ -6089,7 +6089,8 @@ def _semantic_dedup_oracle() -> str:
             FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
         ) WHERE dot > 0 AND dot * dot * {t2d} >= {t2n} * ln2 * rn2
     )
-    SELECT a.vec_id, a.cid AS cluster_id, (p.b_id IS NULL) AS is_kept
+    SELECT a.vec_id, a.cid AS cluster_id,
+           CAST(CASE WHEN p.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
     FROM a LEFT JOIN p ON a.vec_id = p.b_id
     """
 
@@ -6121,7 +6122,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t2n, t2d = _SEMDEDUP_T2
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_int_grid(
+    out = semantic_dedup_int_grid(
         emb,
         "embedding",
         "vec_id",
@@ -6130,6 +6131,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau2_num=t2n,
         tau2_den=t2d,
     )
+    # BIGINT 0/1 rather than boolean at the driver surface: no
+    # driver-checked query has ever exercised the comparator's bool
+    # dtype path, and the HUGEINT saga (rule #9) is the standing lesson
+    # on letting an unproven fetch-side rendering carry a window row
+    return out.withColumn("is_kept", F.col("is_kept").cast("long"))
 
 
 _MIX_EPOCHS = {"en": 0.5, "de": 2.25, "es": 1.0, "fr": 1.75, "zh": 3.0}
