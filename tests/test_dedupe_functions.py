@@ -146,3 +146,54 @@ def test_simhash_pairs_rejects_lossy_config():
 
     with pytest.raises(ValueError, match="lossy"):
         simhash_near_dup_pairs(None, "doc_id", "text", n_bands=4, max_hamming=4)
+
+
+def test_incremental_minhash_flags_history_dups(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import minhash_new_vs_history
+
+    history = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="pack my box with five dozen liquor jugs"),
+        ]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=11, text="a completely different incoming document text"),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_dup_matches, r.is_new)
+        for r in minhash_new_vs_history(
+            history, incoming, "doc_id", "text", shingle_k=2
+        ).collect()
+    }
+    assert out == {10: (1, 0), 11: (0, 1)}
+
+
+def test_incremental_minhash_never_mines_history_pairs(spark):
+    """History containing exact dups of ITSELF must not affect incoming
+    verdicts (the incremental contract: history-vs-history is out of
+    scope) — and every incoming doc appears exactly once."""
+    from wistia_etl_pipeline_spark.functions.dedupe import minhash_new_vs_history
+
+    history = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same historical text repeated verbatim"),
+            Row(doc_id=2, text="same historical text repeated verbatim"),
+        ]
+    )
+    incoming = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="same historical text repeated verbatim"),
+            Row(doc_id=11, text="fresh text unrelated to anything before"),
+        ]
+    )
+    rows = minhash_new_vs_history(
+        history, incoming, "doc_id", "text", shingle_k=2
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [10, 11]
+    by_id = {r.doc_id: (r.n_dup_matches, r.is_new) for r in rows}
+    assert by_id[10] == (2, 0)  # matched BOTH history copies, counted per doc
+    assert by_id[11] == (0, 1)

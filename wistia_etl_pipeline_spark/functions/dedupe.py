@@ -96,23 +96,34 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
 
 
-def minhash_near_dup_pairs(
+def _staged_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 1,
-    jaccard_threshold: float | None = 0.8,
-) -> DataFrame:
-    """Near-duplicate pairs (a_id < b_id) via MinHash banding.
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+):
+    """(shingle frame, exploded band-key frame) for a corpus — the
+    shared front half of every MinHash consumer.
 
-    Plan shape: per-doc signature (narrow, no shuffle) → explode band
-    keys (×bands) → self-join on (band, key) → distinct pairs →
-    optional exact-Jaccard verification. The self-join never sees two
-    docs that share no band — that's the whole scale trick.
-    """
+    Staged projections: norm → sh → sig are each computed ONCE per row.
+    Building sig directly from the text Column would inline the whole
+    tokenize subtree into all num_hashes transform bodies
+    (CollapseProject only keeps stages for multi-use attributes) —
+    measured ~30× slower.
+
+    Both derived frames are persisted because BOTH are read twice:
+    the band join's two sides have different downstream projections
+    (no ReusedExchange — NOTES rule #7), and the verification joins
+    read the shingle frame for each candidate side. Without the caches
+    the tokenizer runs 3× and the 16-hash signature 2× over the
+    corpus; with them, once each. MEMORY_AND_DISK: a 100 TB corpus's
+    shingle cache won't fit RAM — spilled blocks are still far cheaper
+    than recomputation."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
 
     def _salted(i: int):
@@ -120,22 +131,6 @@ def minhash_near_dup_pairs(
         return lambda s: F.md5(F.concat(s, salt))
 
     df = fan_out(df, id_col)
-
-    # Staged projections: norm → sh → sig are each computed ONCE per row.
-    # Building sig directly from the text Column would inline the whole
-    # tokenize subtree into all num_hashes transform bodies (CollapseProject
-    # only keeps stages for multi-use attributes) — measured ~30× slower.
-    #
-    # Both derived frames are persisted because BOTH are read twice:
-    # the band self-join's two sides have different downstream
-    # projections (no ReusedExchange — NOTES rule #7), and the
-    # verification joins read the shingle frame for each candidate
-    # side. Without the caches the tokenizer runs 3× and the 16-hash
-    # signature 2× over the corpus; with them, once each.
-    # MEMORY_AND_DISK: a 100 TB corpus's shingle cache won't fit RAM —
-    # spilled blocks are still far cheaper than recomputation.
-    from pyspark import StorageLevel
-
     staged_sh = (
         df.select(F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__norm"))
         .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
@@ -156,6 +151,96 @@ def minhash_near_dup_pairs(
             ).alias("band", "key"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return staged_sh, banded
+
+
+def minhash_new_vs_history(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental corpus dedup: which INCOMING docs are new relative
+    to an already-curated HISTORY. Returns one row per incoming doc:
+    (id, n_dup_matches, is_new) — is_new = 1 iff no history doc shares
+    a band AND verifies at the Jaccard threshold.
+
+    This is the shape a 100 TB curation pipeline actually runs day to
+    day: history-vs-history pairs are NEVER re-mined — history
+    contributes only its banded signature index (in production that
+    index is a persisted table, e.g. a txlog partition per band; here
+    it is derived in-plan from the history frame so the oracle can
+    replay it). Cost per batch is |incoming| signatures + an equi join
+    of incoming band keys against the index + Jaccard verification of
+    the candidates only. Matches are counted per distinct history doc,
+    so re-banding collisions can't double-count."""
+    hist_sh, hist_banded = _staged_bands(
+        history, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    inc_sh, inc_banded = _staged_bands(
+        incoming, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    cands = (
+        inc_banded.alias("i")
+        .join(
+            hist_banded.alias("h"),
+            (F.col("i.band") == F.col("h.band"))
+            & (F.col("i.key") == F.col("h.key")),
+        )
+        .select(F.col("i.doc").alias("inc_id"), F.col("h.doc").alias("hist_id"))
+        .dropDuplicates(["inc_id", "hist_id"])
+    )
+    verified = (
+        cands.join(inc_sh.select(F.col("doc").alias("inc_id"), F.col("sh").alias("i_sh")), "inc_id")
+        .join(hist_sh.select(F.col("doc").alias("hist_id"), F.col("sh").alias("h_sh")), "hist_id")
+        .filter(F.round(jaccard(F.col("i_sh"), F.col("h_sh")), 6) >= jaccard_threshold)
+        .groupBy("inc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_matches"))
+    )
+    return (
+        incoming.select(F.col(id_col).alias("inc_id"))
+        .join(verified, "inc_id", "left")
+        .select(
+            F.col("inc_id").alias(id_col),
+            F.coalesce(F.col("n_dup_matches"), F.lit(0)).cast("long").alias(
+                "n_dup_matches"
+            ),
+            F.when(F.col("n_dup_matches").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_new"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 1,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id) via MinHash banding.
+
+    Plan shape: per-doc signature (narrow, no shuffle) → explode band
+    keys (×bands) → self-join on (band, key) → distinct pairs →
+    optional exact-Jaccard verification. The self-join never sees two
+    docs that share no band — that's the whole scale trick.
+    """
+    staged_sh, banded = _staged_bands(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
     )
     left = banded.alias("l")
     right = banded.alias("r")

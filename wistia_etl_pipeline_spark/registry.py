@@ -6269,3 +6269,95 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
     )
     return scored.select("doc_id", "tok", "tf", "df_docs", "score_micro", "rk")
+
+
+_INC_MINHASH_SQL = rf"""
+    WITH hist AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 1
+    ),
+    h_base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t FROM hist)
+    ),
+    i_base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t FROM inc)
+    ),
+    h_banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM (SELECT doc_id, sh,
+                     [list_min([md5(s || ':' || i) for s in sh])
+                      for i in range(0, 16)] AS sig
+              FROM h_base WHERE len(sh) > 0), range(0, 4) t(b)
+    ),
+    i_banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM (SELECT doc_id, sh,
+                     [list_min([md5(s || ':' || i) for s in sh])
+                      for i in range(0, 16)] AS sig
+              FROM i_base WHERE len(sh) > 0), range(0, 4) t(b)
+    ),
+    cands AS (
+        SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id,
+               i.sh AS i_sh, h.sh AS h_sh
+        FROM i_banded i JOIN h_banded h ON i.b = h.b AND i.key = h.key
+    ),
+    verified AS (
+        SELECT inc_id, COUNT(*) AS n
+        FROM cands
+        WHERE ROUND(len(list_intersect(i_sh, h_sh))
+                    / len(list_distinct(i_sh || h_sh)), 6) >= 0.8
+        GROUP BY inc_id
+    )
+    SELECT inc.doc_id,
+           CAST(COALESCE(v.n, 0) AS BIGINT) AS n_dup_matches,
+           CAST(CASE WHEN v.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM inc LEFT JOIN verified v ON inc.doc_id = v.inc_id
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INC_MINHASH_SQL)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the day-2 shape of every curation
+    pipeline: an incoming batch (20% of the corpus as genuinely new
+    docs, plus exact copies of every 10th historical doc) is checked
+    against the ALREADY-CURATED history via MinHash banding, and
+    history-vs-history pairs are never re-mined. History contributes
+    only its banded signature index (in production a persisted table;
+    derived in-plan here so DuckDB can replay it); per-batch cost is
+    |incoming| signatures + one equi band join + Jaccard verification
+    of candidates only. One row per incoming doc with its verified
+    match count and fate — both fates present by construction.
+
+    Same 16-hash / 4-band / bigram-shingle / τ=0.8 model as
+    dedup_minhash_lsh, so the two queries share the oracle idiom and
+    the blocking guarantees (functions/dedupe.py scale notes)."""
+    from .functions.dedupe import minhash_new_vs_history
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    incoming = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text"
+            )
+        )
+    )
+    return minhash_new_vs_history(
+        history, incoming, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    )
