@@ -373,3 +373,46 @@ def test_rate_source_merge_exactly_once_across_crash_and_resume(spark, tmp_path)
     assert got.select("event_key").distinct().count() == n
     assert got.agg(F.max("event_key")).collect()[0][0] == n - 1
     assert n % rows_per_batch == 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes it, so the
+    store cannot grow with the stream — the correct primitive when
+    replays arrive within a bounded lateness window (exact global
+    dropDuplicates state grows forever). A replay of e1 inside the
+    window must be suppressed; a fresh key far past the watermark
+    must still pass."""
+    from pyspark.sql import functions as F
+
+    bronze = tmp_path / "bronze"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(bronze / "f1.json", [
+        _event("e1", "2024-01-01T10:00:00Z"),
+        _event("e1", "2024-01-01T10:20:00Z"),  # replay, inside 1h window
+        _event("e2", "2024-01-01T11:00:00Z"),
+    ])
+    _write_jsonl(bronze / "f2.json", [
+        _event("e1", "2024-01-01T10:40:00Z"),  # later replay, same batch window
+        _event("e3", "2024-01-02T09:00:00Z"),  # next day, state long expired
+    ])
+
+    stream = read_bronze_stream(spark, str(bronze))
+    deduped = (
+        stream.select("event_key", F.col("received_at").cast("timestamp").alias("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_key"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    keys = sorted(r.event_key for r in rows)
+    assert keys == ["e1", "e2", "e3"]
