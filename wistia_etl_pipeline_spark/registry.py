@@ -6361,3 +6361,82 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, incoming, "doc_id", "text",
         num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
     )
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("table_profile_events", oracle=_profile_oracle())
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the event stream: per-column
+    nonnull/null/distinct counts for all six columns, ONE scan
+    (functions/profiling.py) — the gate an ingest pipeline runs before
+    promoting a bronze batch. Exact BIGINTs only, so the profile
+    itself is hash-comparable: a profile diff is a data diff.
+
+    Shape at 100 TB: single hash aggregate with map-side partials;
+    multi-distinct plans via Expand (×6 rows into the aggregate) but
+    still one scan and one exchange. The long-form stack runs on the
+    ONE aggregated row, not on data. (The oracle's UNION ALL of
+    per-column scans is the naive 6-pass twin — the differential
+    check doubles as the one-pass ≡ six-pass equivalence proof.)"""
+    from .functions.profiling import profile_columns
+
+    events = load_table(spark, sf_dir, "events")
+    return profile_columns(events, _PROFILE_COLS)
+
+
+@query(
+    "cluster_prototypes",
+    oracle=f"""
+    WITH a AS ({_kmeans_oracle()}),
+    r AS (
+        SELECT cluster_id, vec_id, dist2,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY dist2, vec_id) AS rn
+        FROM a
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(dist2) AS BIGINT) AS min_dist2,
+           CAST(MIN(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS medoid_id
+    FROM r GROUP BY cluster_id
+    """,
+)
+def cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster census + prototype selection over the k-means
+    assignment: per cluster, its size and the medoid (the member
+    closest to the centroid; ties break to the smaller id via the
+    (dist2, id) struct-order argmin — max_by/min_by semantics both
+    engines share). The inspection/labeling step after any clustering
+    run: k rows summarize the whole corpus partition.
+
+    Composes the kmeans_embedding_clusters plan (same two assignment
+    passes — the oracle literally wraps that query's SQL) with one
+    more k-bounded hash aggregate; nothing after the assignment scales
+    with the corpus."""
+    from .functions.clustering import kmeans_int_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_int_grid(emb, "embedding", "vec_id", k=_KMEANS_K, n_assign=2)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("dist2").alias("min_dist2"),
+        F.min_by(F.col("vec_id"), F.struct(F.col("dist2"), F.col("vec_id"))).alias(
+            "medoid_id"
+        ),
+    )
