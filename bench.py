@@ -130,6 +130,9 @@ HEADLINE = [
     "semantic_dedup",             # SemDeDup cluster-blocked drop rule
     "dataset_mixture_epochs",     # training-mixture replication
     "doc_tfidf_keywords",         # rational-idf keyword extraction
+    "dedup_incremental_minhash",  # incoming-vs-history band join
+    "table_profile_events",       # one-pass per-column profiling
+    "cluster_prototypes",         # k-bounded census + medoid argmin
 ]
 
 
@@ -154,6 +157,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    # NOTE (measured r4): persisted intermediates are plan-keyed, so
+    # rounds 2..n can cache-hit round 1's frames for persist-heavy
+    # queries — medians are therefore warm-cache figures. Clearing the
+    # cache per query was tried and rejected: it cools every round but
+    # breaks comparability with the r1-r3 artifact series (same
+    # methodology kept; cold-cache deltas live in NOTES_r4).
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
