@@ -126,12 +126,18 @@ def assign(df: DataFrame, qv_col: str, centroids: list[list[int]]) -> DataFrame:
 
     C = np.asarray(centroids, dtype=np.int64)
 
+    cc = np.einsum("kj,kj->k", C, C)  # ‖c‖² per centroid, exact int64
+
     @pandas_udf("struct<cid: long, d: long>")
     def _assign_np(qv: pd.Series) -> pd.DataFrame:
         if len(qv) == 0:
             return pd.DataFrame({"cid": [], "d": []}, dtype="int64")
         M = np.stack(qv.to_numpy()).astype(np.int64)  # n × dims, exact
-        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # n × k
+        # ‖q-c‖² = ‖q‖² + ‖c‖² - 2 q·c via one exact int64 matmul —
+        # never materializes the n × k × dims difference tensor (at
+        # k ∝ corpus that 3-D broadcast is batch×k×dims×8 bytes)
+        qq = np.einsum("ij,ij->i", M, M)
+        d = qq[:, None] + cc[None, :] - 2 * (M @ C.T)  # n × k
         cid = d.argmin(axis=1)  # first min ⇒ smaller cid wins ties
         return pd.DataFrame(
             {"cid": cid.astype(np.int64), "d": d[np.arange(len(cid)), cid]}
@@ -171,7 +177,8 @@ def semantic_dedup_int_grid(
     vec_col: str,
     id_col: str,
     *,
-    k: int = 8,
+    k: int | None = None,
+    target_cluster_size: int = 250,
     grid: int = 4000,
     tau2_num: int = 2401,
     tau2_den: int = 2500,
@@ -192,13 +199,22 @@ def semantic_dedup_int_grid(
     independent of partitioning and engine.
 
     Scale shape: the only join is the within-cluster self-equi-join on
-    cluster_id — candidate pairs are Σ|c|², bounded by sizing k with
-    the corpus (SemDeDup runs k ∝ √n; the cluster id is the blocking
-    key exactly as the LSH bucket is for embedding_near_dup). The
-    assignment pass is a scan-local Arrow-batched kernel (centroids
-    ride the closure) — no join, no shuffle; the pair-stream dot
-    product is the same Arrow path (:func:`dot_int_pandas`)."""
+    cluster_id — candidate pairs are Σ|c|², which is quadratic if k is
+    FIXED (the r4 scale curve measured exactly that: 23 → 101 s from
+    sf0.5 to sf1 under k=8). Default is therefore ADAPTIVE:
+    k = max(8, ⌈n / target_cluster_size⌉), which bounds cluster sizes
+    so the pair join is linear in n; the cluster id is the blocking
+    key exactly as the LSH bucket is for embedding_near_dup. The
+    assignment pass is a scan-local Arrow-batched matmul (centroids
+    ride the closure — n·k flops, vectorized; at true 100 TB scale
+    you'd train a hierarchical coarse quantizer so k stays model-sized
+    while clusters stay bounded, which only swaps the centroid source)
+    — no join, no shuffle; the pair-stream dot product is the same
+    Arrow path (:func:`dot_int_pandas`)."""
     q = quantize(df.select(id_col, vec_col), vec_col, grid=grid)
+    if k is None:
+        n = q.count()
+        k = max(8, (n + target_cluster_size - 1) // target_cluster_size)
     q = q.withColumn(
         "__n2",
         F.aggregate(

@@ -6039,7 +6039,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_GRID = 4000
-_SEMDEDUP_K = 8
+#: adaptive-k target cluster size: k = max(8, ceil(n / this)) bounds
+#: cluster sizes so the within-cluster pair join stays LINEAR in the
+#: corpus (fixed k measured quadratic on the r4 scale curve)
+_SEMDEDUP_TCS = 250
 # tau^2 = 81/400 -> tau = 0.45. A production dedup threshold is 0.95+,
 # but this corpus has NO true near-dups (max pairwise cosine ≈ 0.51 at
 # sf0.01), so a realistic tau would leave the drop rule untested by the
@@ -6051,6 +6054,7 @@ _SEMDEDUP_T2 = (81, 400)
 
 def _semantic_dedup_oracle() -> str:
     t2n, t2d = _SEMDEDUP_T2
+    tcs = _SEMDEDUP_TCS
     cdist = (
         "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
         " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
@@ -6067,10 +6071,15 @@ def _semantic_dedup_oracle() -> str:
                CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
         FROM q
     ),
+    kk AS (
+        SELECT GREATEST(8, (COUNT(*) + {tcs} - 1) // {tcs}) AS k FROM q
+    ),
     c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-               qv AS cv
-        FROM q ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+        SELECT cid, cv FROM (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                   qv AS cv
+            FROM q
+        ) c, kk WHERE c.cid < kk.k
     ),
     a AS (
         SELECT vec_id, qv, n2, cid FROM (
@@ -6126,7 +6135,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         "embedding",
         "vec_id",
-        k=_SEMDEDUP_K,
+        k=None,  # adaptive: max(8, ceil(n / target)) — linear pair join
+        target_cluster_size=_SEMDEDUP_TCS,
         grid=_SEMDEDUP_GRID,
         tau2_num=t2n,
         tau2_den=t2d,
