@@ -65,6 +65,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, d).write.format("noop").mode("overwrite").save()
                 ts.append(time.perf_counter() - t0)
+                # exponents need INDEPENDENT measurements: persisted
+                # intermediates accumulated across 10 queries × 3 SFs
+                # in one JVM were measured distorting the sf1 numbers
+                # ~2× via GC pressure (GCLocker retry warnings) —
+                # every sample here is deliberately cold-cache
+                spark.catalog.clearCache()
             medians[name][f"{sf:g}"] = round(statistics.median(ts), 3)
             print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
 
