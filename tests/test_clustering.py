@@ -172,3 +172,66 @@ def test_arrow_assignment_matches_jvm_expression(spark):
         for r in assign_expr(q, "qv", cents).select("vec_id", "cluster_id", "dist2").collect()
     }
     assert a == b
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Full-rule parity vs a pure-Python replica (quantize → adaptive-k
+    → first-k centroids → argmin assignment → integer cosine test →
+    smaller-id keep rule) on random vectors — guards every kernel
+    refactor the way _reference_kmeans guards Lloyd's."""
+    import random
+
+    from wistia_etl_pipeline_spark.functions.clustering import (
+        semantic_dedup_int_grid,
+    )
+
+    rnd = random.Random(23)
+    vecs = []
+    for i in range(120):
+        v = [rnd.uniform(-1, 1) for _ in range(8)]
+        vecs.append(v)
+        if i % 9 == 0:  # plant near-dups at a later id
+            vecs.append([x * 1.001 for x in v])
+    grid, t2n, t2d = 1000, 9025, 10000
+    tcs = 30  # small target so adaptive k > 8 kicks in (n=134 -> k=8? ceil(134/30)=5 -> max(8,5)=8; use 10)
+    tcs = 10  # ceil(134/10)=14 clusters
+
+    q = [[math.floor(float(x) * grid) for x in v] for v in vecs]
+    n = len(q)
+    k = max(8, (n + tcs - 1) // tcs)
+    cents = [q[i] for i in range(k)]  # ids are 0..n-1 in order
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assign_ref = [
+        min((d2(v, c), cid) for cid, c in enumerate(cents))[1] for v in q
+    ]
+    n2 = [sum(x * x for x in v) for v in q]
+
+    def close(i, j):
+        dot = sum(a * b for a, b in zip(q[i], q[j]))
+        return dot > 0 and dot * dot * t2d >= t2n * n2[i] * n2[j]
+
+    expected = {}
+    for j in range(n):
+        dup = any(
+            assign_ref[i] == assign_ref[j] and close(i, j) for i in range(j)
+        )
+        expected[j] = (assign_ref[j], not dup)
+
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [R(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    got = {
+        r.vec_id: (r.cluster_id, r.is_kept)
+        for r in semantic_dedup_int_grid(
+            df, "embedding", "vec_id",
+            k=None, target_cluster_size=tcs, grid=grid,
+            tau2_num=t2n, tau2_den=t2d,
+        ).collect()
+    }
+    assert got == expected
+    assert any(not kept for _, kept in expected.values())  # dups planted
