@@ -133,6 +133,7 @@ HEADLINE = [
     "dedup_incremental_minhash",  # incoming-vs-history band join
     "table_profile_events",       # one-pass per-column profiling
     "cluster_prototypes",         # k-bounded census + medoid argmin
+    "embedding_random_projection",  # integer JL projection matmul
 ]
 
 

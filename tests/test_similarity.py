@@ -160,3 +160,34 @@ def test_embedding_near_dup_recall_at_higher_plane_count(spark):
     injected = {(i, i + 1000) for i in range(60)}
     assert injected <= p8
     assert injected <= p16  # higher plane count keeps every true dup
+
+
+def test_random_projection_exact_and_invariant(spark, sf_dir):
+    """Integer JL projection: exact per-component parity with a numpy
+    replica, and invariance under repartitioning."""
+    import math
+
+    import numpy as np
+
+    from wistia_etl_pipeline_spark.functions.similarity import (
+        deterministic_planes_int,
+        random_projection_int,
+    )
+    from wistia_etl_pipeline_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = emb.select("vec_id", "embedding").collect()
+    P = np.asarray(deterministic_planes_int(16, 64, grid=1000), dtype=np.int64)
+    expected = {}
+    for r in rows:
+        q = np.array([math.floor(float(x) * 1000) for x in r.embedding], dtype=np.int64)
+        expected[r.vec_id] = list(q @ P.T)
+
+    out = random_projection_int(emb, "embedding", "vec_id").collect()
+    got = {r.vec_id: list(r.proj) for r in out}
+    assert got == expected
+
+    out2 = random_projection_int(
+        emb.repartition(7), "embedding", "vec_id"
+    ).collect()
+    assert {r.vec_id: list(r.proj) for r in out2} == expected

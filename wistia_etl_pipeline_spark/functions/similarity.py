@@ -29,6 +29,8 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -327,3 +329,65 @@ def ivf_topk(
         id_col=id_col,
         k=k,
     )
+
+
+def deterministic_planes_int(
+    n_planes: int, dim: int, *, grid: int = 1000, salt: str = "wistia-rp"
+) -> list[list[int]]:
+    """Integer-grid projection planes: :func:`deterministic_planes`
+    floor-quantized to ``grid`` units. Exactness is the point — with
+    integer planes AND integer-quantized vectors, every projected
+    component is an exact BIGINT, so the projection is bit-identical
+    across engines/partitionings and can be hash-verified (float
+    projections differ in last-bit fold order and cannot)."""
+    import math
+
+    return [
+        [int(math.floor(c * grid)) for c in row]
+        for row in deterministic_planes(n_planes, dim, salt=salt)
+    ]
+
+
+def random_projection_int(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_planes: int = 16,
+    dim: int = 64,
+    vec_grid: int = 1000,
+    plane_grid: int = 1000,
+    salt: str = "wistia-rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to ``n_planes``
+    dimensions on the exact integer grid — the dimensionality-reduction
+    step that makes downstream ANN / clustering cheaper (a 64-d corpus
+    searched in 16-d shrinks every distance computation and index 4×,
+    at a distortion bound JL quantifies). Appends ``proj``
+    (array<bigint>, exact): proj[j] = Σᵢ ⌊vᵢ·vec_grid⌋·⌊pⱼᵢ·plane_grid⌋.
+
+    Scale shape: scan-local Arrow matmul — the n_planes×dim int64
+    plane matrix rides the closure; no join, no shuffle, output row
+    width DROPS from dim to n_planes. Overflow headroom: |component| ≤
+    dim·vec_grid·plane_grid ≈ 6.4e7 ≪ 2⁶³ at the defaults."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(
+        deterministic_planes_int(n_planes, dim, grid=plane_grid, salt=salt),
+        dtype=np.int64,
+    )
+
+    @pandas_udf("array<long>")
+    def _project(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack(qv.to_numpy()).astype(np.int64)
+        return pd.Series(list(M @ P.T))
+
+    quant = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {vec_grid}) AS BIGINT))"
+    )
+    return df.select(
+        F.col(id_col), quant.alias("__qv")
+    ).select(F.col(id_col), _project("__qv").alias("proj"))

@@ -6450,3 +6450,59 @@ def cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "medoid_id"
         ),
     )
+
+
+_RP_PLANES = 16
+_RP_GRID = 1000
+
+
+def _rp_oracle() -> str:
+    from .functions.similarity import deterministic_planes_int
+
+    planes = deterministic_planes_int(_RP_PLANES, 64, grid=_RP_GRID)
+    values = ", ".join(
+        f"({j}, [{', '.join(str(c) for c in row)}])"
+        for j, row in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_RP_GRID}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    p(j, pv) AS (VALUES {values})
+    SELECT q.vec_id,
+           CAST(p.j AS INTEGER) AS plane_idx,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> q.qv[i] * p.pv[i])) AS BIGINT) AS component
+    FROM q CROSS JOIN p
+    """
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d → 16-d on the exact
+    integer grid (functions/similarity.random_projection_int): the
+    dimensionality-reduction step that shrinks downstream ANN/cluster
+    distance work 4×. Planes are md5-derived and floor-quantized to
+    integers, vectors likewise, so EVERY projected component is an
+    exact BIGINT — the output here is the full exploded (vector, plane,
+    component) grid, hash-verified component-for-component (float
+    projections could never be: fold order differs across engines).
+
+    Shape at 100 TB: scan-local Arrow matmul (plane matrix rides the
+    closure), no join, no shuffle; row width drops dim → n_planes.
+    The oracle replays the identical integer planes as a VALUES
+    literal and cross-joins them — its 16× row blowup is the naive
+    twin of the engine's single matmul."""
+    from .functions.similarity import random_projection_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection_int(
+        emb, "embedding", "vec_id",
+        n_planes=_RP_PLANES, dim=64, vec_grid=_RP_GRID, plane_grid=_RP_GRID,
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("plane_idx", "component")
+    )
