@@ -416,3 +416,106 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     keys = sorted(r.event_key for r in rows)
     assert keys == ["e1", "e2", "e3"]
+
+
+def test_streaming_incremental_curation_against_txlog_history(spark, tmp_path):
+    """The day-2 curation pipeline in streaming form: each micro-batch
+    of incoming documents is (1) deduped WITHIN the batch by exact
+    content (min-id wins), (2) checked against the ACCUMULATED txlog
+    history via MinHash banding (minhash_new_vs_history — history
+    contributes only its signature index, never re-mined), and (3) only
+    genuinely new docs are appended to the history table. A duplicate
+    arriving in a later batch must not re-enter the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        minhash_new_vs_history,
+    )
+    from wistia_etl_pipeline_spark.functions.text import fingerprint_md5
+    from wistia_etl_pipeline_spark.sources.txlog import TxLogTable
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = TxLogTable(str(tmp_path / "history"))
+
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "pack my box with five dozen liquor jugs right now"
+    t_c = "sphinx of black quartz judge my vow this evening"
+    t_d = "a wholly new document that matches nothing else here"
+    (src / "batch1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": t_a},
+                {"doc_id": 2, "text": t_b},
+                {"doc_id": 3, "text": t_a},  # in-batch exact dup of 1
+            ]
+        )
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def curate(batch_df, batch_id):
+        # (1) in-batch exact dedup, min-id wins (deterministic)
+        batch = (
+            batch_df.withColumn("__fp", fingerprint_md5(F.col("text")))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("__fp")
+                    .orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "text")
+        )
+        # (2) against accumulated history
+        hist = table.read(batch_df.sparkSession)
+        if hist is None:
+            fresh = batch
+        else:
+            verdict = minhash_new_vs_history(
+                hist, batch, "doc_id", "text", shingle_k=2
+            )
+            fresh = batch.join(
+                verdict.filter(F.col("is_new") == 1).select("doc_id"), "doc_id"
+            )
+        # (3) append only the new docs
+        if fresh.limit(1).count() > 0:
+            table.append(fresh)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .writeStream.foreachBatch(curate)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    first = {r.doc_id for r in table.read(spark).collect()}
+    assert first == {1, 2}  # 3 deduped in-batch
+
+    (src / "batch2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": t_b},  # dup of history doc 2
+                {"doc_id": 11, "text": t_c},  # new
+                {"doc_id": 12, "text": t_d},  # new
+            ]
+        )
+    )
+    run_stream()
+    final = {r.doc_id: r.text for r in table.read(spark).collect()}
+    assert set(final) == {1, 2, 11, 12}  # 10 blocked by history dedup
+    # history grew append-only: version count advanced, nothing rewritten
+    assert len(table.versions()) == 2
