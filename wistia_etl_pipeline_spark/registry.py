@@ -132,7 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "token_budget_selection",
     "embedding_quantize_int8",
     "window_rank_functions",
-    "window_value_functions",
+    # the round's incremental-dedup family takes the slot of the
+    # second window surface (rank stays; value fns keep local greens)
+    "dedup_incremental_minhash",
     "datetime_surface",
     "text_sentence_stats",
     "stratified_sample_docs",
