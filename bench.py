@@ -134,6 +134,7 @@ HEADLINE = [
     "table_profile_events",       # one-pass per-column profiling
     "cluster_prototypes",         # k-bounded census + medoid argmin
     "embedding_random_projection",  # integer JL projection matmul
+    "source_dup_profile",         # per-source dup-rate report
 ]
 
 

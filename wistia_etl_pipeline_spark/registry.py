@@ -6508,3 +6508,48 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("proj").alias("plane_idx", "component")
     )
+
+
+@query(
+    "source_dup_profile",
+    oracle=rf"""
+    WITH fp AS (
+        SELECT source, md5({_NORM}) AS fp FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 1000000) // COUNT(*)
+                AS BIGINT) AS dup_rate_micro
+    FROM fp GROUP BY source
+    """,
+)
+def source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate diagnostics — the curation report that
+    decides which crawl/source gets down-weighted or dropped: per
+    source, document count, distinct normalized-content count, and the
+    exact-integer duplicate rate ((n−u)·10⁶ div n). Rates in micro
+    units keep the ranking hash-comparable (rule #2: no float division
+    in a verified column).
+
+    Shape at 100 TB: one hash aggregate keyed on source with
+    COUNT(DISTINCT md5) planned via partial aggregation of the
+    (source, fp) grain — no joins, no windows; output is
+    source-cardinality-bounded."""
+    from .functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fp")).alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate_micro",
+            F.expr(
+                "((n_docs - n_unique) * CAST(1000000 AS BIGINT)) div n_docs"
+            ),
+        )
+    )
