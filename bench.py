@@ -135,6 +135,7 @@ HEADLINE = [
     "cluster_prototypes",         # k-bounded census + medoid argmin
     "embedding_random_projection",  # integer JL projection matmul
     "source_dup_profile",         # per-source dup-rate report
+    "sketch_count_min_tokens",    # mergeable CMS heavy-hitters
 ]
 
 

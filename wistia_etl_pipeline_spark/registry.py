@@ -6553,3 +6553,121 @@ def source_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CMS_DEPTH = 4
+# width 16 on a ~31-token vocabulary FORCES bucket collisions
+# (pigeonhole), so the overcount path — the whole point of a CMS —
+# is exercised and verified by the data; a rule the data never fires
+# is a rule the hash never checks (the semantic-dedup τ lesson).
+# Production widths are orders of magnitude larger; depth/width are
+# free parameters of the same plan.
+_CMS_WIDTH = 16
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    return rf"""
+    WITH tok AS (
+        SELECT tok FROM documents, unnest({_TOKS}) AS u(tok)
+        WHERE length(trim(text)) > 0
+    ),
+    keyed AS (
+        SELECT tok, d.j,
+               ('0x' || substr(md5(tok || ':cms' || d.j), 1, 15))::BIGINT
+                   % {_CMS_WIDTH} AS bucket
+        FROM tok, (SELECT unnest([{rows}]) AS j) d
+    ),
+    cms AS (
+        SELECT j, bucket, COUNT(*) AS c FROM keyed GROUP BY j, bucket
+    ),
+    exact AS (
+        SELECT tok, COUNT(*) AS exact_n FROM tok GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT 20
+    ),
+    probes AS (
+        SELECT e.tok, e.exact_n, d.j,
+               ('0x' || substr(md5(e.tok || ':cms' || d.j), 1, 15))::BIGINT
+                   % {_CMS_WIDTH} AS bucket
+        FROM exact e, (SELECT unnest([{rows}]) AS j) d
+    )
+    SELECT p.tok, CAST(MIN(p.exact_n) AS BIGINT) AS exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - MIN(p.exact_n) AS BIGINT) AS overcount
+    FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.tok
+    """
+
+
+@query("sketch_count_min_tokens", oracle=_cms_oracle())
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (depth 4 × width 1024,
+    md5-salted rows) probed at the exact top-20 tokens — the mergeable
+    frequency sketch behind heavy-hitter monitoring at stream scale.
+    Deterministic hashing makes the ESTIMATES themselves exactly
+    replayable cross-engine, so the differential check verifies the
+    whole structure, not just an error bound; `overcount` =
+    estimate − exact is ≥ 0 by the CMS one-sided guarantee (min over
+    rows can only overcount collisions) and is nonzero here by
+    construction — width 16 against a ~31-token vocabulary pigeonholes
+    collisions into every row (see _CMS_WIDTH).
+
+    Shape at 100 TB: the sketch build is explode → one hash aggregate
+    keyed on (row, bucket) whose OUTPUT is depth×width rows regardless
+    of corpus size — partial counts combine map-side, and two sketches
+    merge by adding cells (the groupBy IS the merge). The probe side
+    joins 20×4 keys against the 4096-row sketch — broadcast-sized by
+    construction."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    salts = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    keyed = tok.crossJoin(F.broadcast(salts)).select(
+        "tok",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit(":cms"), F.col("j"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cms = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(20)
+    )
+    probes = exact.crossJoin(F.broadcast(salts)).select(
+        "tok",
+        "exact_n",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit(":cms"), F.col("j"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("c").alias("cms_estimate"),
+            (F.min("c") - F.min("exact_n")).alias("overcount"),
+        )
+    )
