@@ -136,6 +136,7 @@ HEADLINE = [
     "embedding_random_projection",  # integer JL projection matmul
     "source_dup_profile",         # per-source dup-rate report
     "sketch_count_min_tokens",    # mergeable CMS heavy-hitters
+    "cdc_shared_passages",        # content-defined chunk passage dedup
 ]
 
 

@@ -197,3 +197,84 @@ def test_incremental_minhash_never_mines_history_pairs(spark):
     by_id = {r.doc_id: (r.n_dup_matches, r.is_new) for r in rows}
     assert by_id[10] == (2, 0)  # matched BOTH history copies, counted per doc
     assert by_id[11] == (0, 1)
+
+
+def test_cdc_chunks_cover_document_and_align_on_content(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import cdc_chunks
+
+    passage = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t="PREFIX words differ here " + passage),
+            Row(i=2, t="totally other opening " + passage + " trailing bits"),
+            Row(i=3, t="unrelated gibberish qqq www eee rrr ttt"),
+        ]
+    )
+    chunks = cdc_chunks(df, "i", "t").collect()
+    # chunks tile the document: token counts add back up per doc
+    per_doc = {}
+    fps = {1: set(), 2: set(), 3: set()}
+    for r in chunks:
+        per_doc[r.i] = per_doc.get(r.i, 0) + r.n_tok
+        fps[r.i].add(r.fp)
+    assert per_doc[1] == 4 + len(passage.split())
+    assert per_doc[3] == 7
+    # content-defined boundaries: the shared passage yields common
+    # interior chunks despite different prefix/suffix offsets ...
+    assert fps[1] & fps[2]
+    # ... while the unrelated doc shares nothing with either
+    assert not (fps[3] & (fps[1] | fps[2]))
+
+
+def test_cdc_shared_passage_stats_fates_and_zeros(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        cdc_shared_passage_stats,
+    )
+
+    dup = "same exact duplicated text body flows along here nicely today"
+    df = spark.createDataFrame(
+        [
+            Row(i=1, t=dup),
+            Row(i=2, t=dup),
+            Row(i=3, t="lonely singular document body unlike anything else"),
+            Row(i=4, t="   "),
+        ]
+    )
+    got = {r.i: r for r in cdc_shared_passage_stats(df, "i", "t").collect()}
+    assert len(got) == 4
+    # exact duplicates share every chunk (and the token mass matches)
+    assert got[1].n_shared_chunks == got[1].n_chunks > 0
+    assert got[1].shared_tokens == len(dup.split())
+    assert (got[2].n_chunks, got[2].n_shared_chunks) == (
+        got[1].n_chunks,
+        got[1].n_shared_chunks,
+    )
+    # the unique doc has chunks but none shared
+    assert got[3].n_chunks > 0 and got[3].n_shared_chunks == 0
+    assert got[3].shared_tokens == 0
+    # blank doc → zero row, not a missing row
+    assert (got[4].n_chunks, got[4].n_shared_chunks, got[4].shared_tokens) == (0, 0, 0)
+
+
+def test_cdc_stats_repartition_invariant(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        cdc_shared_passage_stats,
+    )
+
+    rows = [
+        Row(i=n, t=f"doc {n % 5} body with words w{n % 7} w{n % 3} tail piece")
+        for n in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, cdc_shared_passage_stats(df, "i", "t").collect()))
+    b = sorted(
+        map(
+            tuple,
+            cdc_shared_passage_stats(df.repartition(13), "i", "t").collect(),
+        )
+    )
+    assert a == b

@@ -483,3 +483,118 @@ def with_simhash_pandas(df: DataFrame, text_col: str) -> DataFrame:
         f"{c} {t}" for c, t in df.dtypes if c != text_col
     ) + ", simhash long"
     return df.mapInPandas(run, schema)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    divisor: int = 8,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking: split each document at token positions
+    where an md5-derived hash of the token is ``0 mod divisor`` (a
+    boundary closes the chunk AFTER that token), yielding chunks of
+    ~``divisor`` tokens on average whose boundaries depend only on
+    CONTENT, never on position. That is the property that makes chunk
+    fingerprints usable for shared-passage detection: a passage pasted
+    into two different documents produces the SAME interior chunks in
+    both, regardless of where it starts (a fixed-stride splitter would
+    misalign them). This is the passage-level member of the dedup
+    family — exact (whole doc) / MinHash-SimHash (whole doc, fuzzy) /
+    CDC chunks (sub-document, exact passages), the word-level analogue
+    of the suffix-array substring dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better").
+
+    Returns one row per (id, chunk_id) with the chunk fingerprint
+    ``fp`` (md5 of the space-joined tokens) and token count ``n_tok``.
+
+    Shape at 100 TB: explode → ONE per-document window (cumulative
+    boundary count; partitioned by doc id, never global) → one hash
+    aggregate on (doc, chunk). Everything is keyed by doc id or a
+    128-bit fingerprint — uniform, skew-free shuffles; nothing is ever
+    all-pairs and no state outlives a document.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit(":" + salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % divisor
+    )
+    flagged = tok.withColumn("is_boundary", (bucket == 0).cast("int"))
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("is_boundary").over(w), F.lit(0)).cast("long")
+    )
+    return assigned.groupBy(F.col("__id").alias(id_col), "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    )
+
+
+def cdc_shared_passage_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    divisor: int = 8,
+) -> DataFrame:
+    """Per-document shared-passage profile over :func:`cdc_chunks`:
+    for every document, how many chunks it has and how many of them
+    (and how many tokens' worth) also occur verbatim in at least one
+    OTHER document. The per-source/per-doc rate is the curation signal
+    for boilerplate and template text that whole-doc dedup cannot see.
+
+    Sharing means the chunk fingerprint appears in ≥2 DISTINCT
+    documents; a chunk repeated only within one document is not
+    shared. Documents with no tokens get zero counts.
+
+    Shape at 100 TB: the chunk table groups by fp (count_distinct of
+    doc ids, partial-aggregated map-side), the shared set joins back
+    on fp (128-bit uniform key), and the final rollup is one hash
+    aggregate on doc id. No broadcast hints: the shared-fp side scales
+    with the corpus, so AQE decides.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, divisor=divisor)
+    shared = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("fp", F.lit(1).alias("__sh"))
+    )
+    marked = chunks.join(shared, "fp", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__sh").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_chunks"),
+        F.sum(F.when(F.col("__sh").isNotNull(), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("shared_tokens"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .fillna(0, subset=["n_chunks", "n_shared_chunks", "shared_tokens"])
+    )

@@ -6671,3 +6671,80 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.min("exact_n")).alias("overcount"),
         )
     )
+
+
+_CDC_DIVISOR = 8
+
+_CDC_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM t
+    ),
+    b AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN ('0x' || substr(md5(tok || ':cdc'), 1, 15))::BIGINT
+                         % {_CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS is_b
+        FROM tok
+    ),
+    c AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(is_b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM b
+    ),
+    ch AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+               COUNT(*) AS n_tok
+        FROM c GROUP BY doc_id, chunk_id
+    ),
+    sh AS (SELECT fp FROM ch GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    per_doc AS (
+        SELECT ch.doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN sh.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+               SUM(CASE WHEN sh.fp IS NOT NULL THEN ch.n_tok ELSE 0 END) AS sh_tok
+        FROM ch LEFT JOIN sh ON sh.fp = ch.fp
+        GROUP BY ch.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared_chunks,
+           CAST(COALESCE(p.sh_tok, 0) AS BIGINT) AS shared_tokens
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@query("cdc_shared_passages", oracle=_CDC_ORACLE)
+def cdc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document passage dedup via content-defined chunking
+    (functions/dedupe.cdc_chunks): documents split at tokens whose
+    md5-hash is 0 mod 8 (content-defined ⇒ a passage pasted into two
+    different documents yields the SAME interior chunks wherever it
+    sits — the word-level analogue of Lee et al. 2021's suffix-array
+    substring dedup), then per document: chunk count, chunks shared
+    verbatim with ≥1 OTHER document, and the token mass of those
+    shared chunks — the boilerplate/template signal whole-doc dedup
+    cannot see. Exact duplicate documents share every chunk; on this
+    corpus short chunks from the bounded vocabulary also recur, so
+    both the shared and unshared paths fire and ride the hash.
+
+    Shape at 100 TB: explode → one PER-DOCUMENT window (cumulative
+    boundary count — partitioned by doc_id, never global) → hash agg
+    on (doc, chunk) → hash agg on the 128-bit fp (uniform, skew-free)
+    → fp-keyed flag join (corpus-scaled: no broadcast hint, AQE
+    decides) → doc-keyed rollup. Nothing is all-pairs; no state
+    crosses document boundaries except the fp aggregate itself."""
+    from .functions.dedupe import cdc_shared_passage_stats, fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    return cdc_shared_passage_stats(
+        docs, "doc_id", "text", divisor=_CDC_DIVISOR
+    )
