@@ -137,6 +137,7 @@ HEADLINE = [
     "source_dup_profile",         # per-source dup-rate report
     "sketch_count_min_tokens",    # mergeable CMS heavy-hitters
     "cdc_shared_passages",        # content-defined chunk passage dedup
+    "decontaminate_bloom_prefilter",  # scan-side bloom join pruning
 ]
 
 

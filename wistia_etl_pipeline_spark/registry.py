@@ -6748,3 +6748,56 @@ def cdc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_shared_passage_stats(
         docs, "doc_id", "text", divisor=_CDC_DIVISOR
     )
+
+
+@query("decontaminate_bloom_prefilter", oracle=_DECONTAM_ORACLE)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a broadcast Bloom-filter
+    prefilter (functions/bloom.py) — the explicit form of Spark's
+    runtime bloom-filter join pruning: the benchmark shingle set is
+    folded into a 16384-bit md5-hashed bitmap (k=3) that rides into
+    the training-side scan as a literal, rejecting most non-benchmark
+    shingles BEFORE the semi-join shuffle; survivors (true hits +
+    Bloom false positives) then pass the exact semi join, which
+    removes the false positives. The ORACLE is the plain exact semi
+    join with no Bloom anywhere (decontaminate_ngrams' oracle
+    verbatim), so the hash match is a differential proof that the
+    prefilter composition is semantics-preserving — Bloom filters
+    have no false negatives, and the exact join mops up the rest.
+
+    Shape at 100 TB: the bitmap build collects at most ``bits``
+    distinct positions (sketch-sized, data-independent — the IVF
+    centroid collect budget); the bit test is pure codegen
+    (element_at on a literal + shiftright + mask, no UDF); the
+    training scan's shuffle volume drops to the candidate set. bits
+    is a free parameter sized to the benchmark's shingle cardinality
+    (10 bits/element ≈ 1% FP at k=3); it is fixed here so both
+    engines replay identical bitmaps."""
+    from .functions.bloom import bloom_prefilter, build_bitmap
+    from .functions.dedupe import fan_out, shingles
+    from .functions.text import normalize_text
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(shingles(normalize_text(F.col("text")), k=4))
+        ).alias("s"),
+    )
+    bench = sh.filter(F.col("source") == "src0").select("s").distinct()
+    words = build_bitmap(bench, "s", bits=16384, k=3)
+    train = sh.filter(F.col("source") != "src0")
+    candidates = bloom_prefilter(train, "s", words, k=3)
+    hits = (
+        candidates.join(bench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .fillna(0, subset=["contaminated"])
+    )
