@@ -138,6 +138,7 @@ HEADLINE = [
     "sketch_count_min_tokens",    # mergeable CMS heavy-hitters
     "cdc_shared_passages",        # content-defined chunk passage dedup
     "decontaminate_bloom_prefilter",  # scan-side bloom join pruning
+    "fk_integrity_audit",         # bidirectional FK audit, one join/pair
 ]
 
 

@@ -47,3 +47,31 @@ def test_cogroup_asof_matches_pandas(spark):
     ).collect()
     by_hour = {r["__lt"].hour: r["cp_value"] for r in out}
     assert by_hour == {0: 10.0, 1: 10.0, 2: 10.0, 3: 30.0, 4: 30.0, 5: 30.0}
+
+
+def test_fk_audit_orphans_and_childless(spark):
+    from pyspark.sql import Row
+    from wistia_etl_pipeline_spark.functions.profiling import fk_audit
+
+    child = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=2), Row(k=99)]  # 99 is an orphan
+    )
+    parent = spark.createDataFrame(
+        [Row(p=1), Row(p=2), Row(p=3)]  # 3 is childless
+    )
+    got = fk_audit(child, "k", parent, "p", "child.k->parent").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.relation, r.n_child, r.n_orphans, r.n_parents, r.n_childless) == (
+        "child.k->parent", 4, 1, 3, 1
+    )
+
+
+def test_fk_audit_empty_child(spark):
+    from pyspark.sql import Row
+    from wistia_etl_pipeline_spark.functions.profiling import fk_audit
+
+    child = spark.createDataFrame([], "k long")
+    parent = spark.createDataFrame([Row(p=1), Row(p=2)])
+    r = fk_audit(child, "k", parent, "p", "rel").collect()[0]
+    assert (r.n_child, r.n_orphans, r.n_parents, r.n_childless) == (0, 0, 2, 2)

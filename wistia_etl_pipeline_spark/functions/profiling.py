@@ -42,3 +42,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stacked}) AS "
         "(column_name, n_nonnull, n_null, n_distinct)"
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Bidirectional referential-integrity audit for one foreign-key
+    relation: child rows whose key has no parent (orphans — FK
+    violations) AND parent rows with no child (childless — coverage
+    gaps; not a violation, but the signal for dead dimension rows and
+    broken ingest feeds). One row out:
+    (relation, n_child, n_orphans, n_parents, n_childless).
+
+    Shape at 100 TB: each side collapses to per-key counts FIRST
+    (map-side partial aggregation), so the full-outer join matches
+    key-cardinality-sized inputs, not row-sized ones — the orphan and
+    childless sides come out of the SAME join, one pass per table,
+    instead of the naive two anti-joins that scan each table twice.
+    """
+    c = child.groupBy(F.col(child_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n_c")
+    )
+    p = parent.groupBy(F.col(parent_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__n_p")
+    )
+    j = c.join(p, "__k", "full_outer")
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        F.coalesce(F.sum("__n_c"), F.lit(0)).cast("long").alias("n_child"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n_p").isNull(), F.col("__n_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_orphans"),
+        F.coalesce(F.sum("__n_p"), F.lit(0)).cast("long").alias("n_parents"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n_c").isNull(), F.col("__n_p"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_childless"),
+    )

