@@ -139,6 +139,8 @@ HEADLINE = [
     "cdc_shared_passages",        # content-defined chunk passage dedup
     "decontaminate_bloom_prefilter",  # scan-side bloom join pruning
     "fk_integrity_audit",         # bidirectional FK audit, one join/pair
+    "event_transition_matrix",    # per-user Markov transition counts
+    "pagerank_dup_graph",         # exact-integer PageRank, 3 rounds
 ]
 
 

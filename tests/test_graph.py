@@ -81,3 +81,57 @@ def test_cc_no_driver_adjacency(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     out = connected_components(df)
     assert out.where(F.col("node") == 1).count() == 1
+
+
+def _pagerank_python(edges, nodes, iterations=3, scale=1_000_000):
+    """Pure-Python replica of the exact-integer PageRank rule."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    base = (scale * 15) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += (85 * r[s]) // (100 * deg[s])
+        r = {n: base + inflow.get(n, 0) for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replica(spark):
+    from pyspark.sql import Row
+    from wistia_etl_pipeline_spark.functions.graph import pagerank
+
+    # star (hub 0 — leaves 1..4) plus an isolated pair and a dangler
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    nodes = [0, 1, 2, 3, 4, 10, 11, 99]  # 99 has no edges
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    ndf = spark.createDataFrame([Row(id=n) for n in nodes])
+    got = {
+        r.id: r.rank
+        for r in pagerank(edf, ndf, iterations=3).collect()
+    }
+    assert got == _pagerank_python(edges, nodes)
+    # structural sanity: the hub outranks its leaves; the isolated
+    # node holds exactly the base rank
+    assert got[0] > got[1] == got[2] == got[3] == got[4]
+    assert got[99] == (1_000_000 * 15) // 100
+
+
+def test_pagerank_dangling_mass_retires(spark):
+    from pyspark.sql import Row
+    from wistia_etl_pipeline_spark.functions.graph import pagerank
+
+    # directed chain 1 -> 2 -> 3; node 3 is dangling (no out-edges)
+    edf = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    ndf = spark.createDataFrame([Row(id=n) for n in (1, 2, 3)])
+    got = {r.id: r.rank for r in pagerank(edf, ndf, iterations=2).collect()}
+    assert got == _pagerank_python(
+        [(1, 2), (2, 3)], [1, 2, 3], iterations=2
+    )
+    # source node decays to base; downstream accumulates
+    assert got[1] == (1_000_000 * 15) // 100
+    assert got[3] > got[2] > got[1]

@@ -6858,3 +6858,158 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_TRANSITION_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for
+    every ordered pair of consecutive events in a user's timeline
+    (ordered by ts with event_id as the unique tiebreak — rule: every
+    window order must be total), the transition count and the number
+    of distinct users making it. This is the sequence-analytics
+    building block behind next-action prediction features and funnel
+    discovery (which transitions exist at all, vs the fixed funnel
+    query's assumed order).
+
+    Shape at 100 TB: one PER-USER window (lead over ts — partitioned
+    by user_id, never global) then one hash aggregate on the
+    |event_types|² grain with map-side partials; output is
+    vocabulary-squared-bounded, independent of corpus size. The
+    count_distinct plans via Expand — one pass, one exchange."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_PR_SCALE = 1_000_000
+_PR_BASE = (_PR_SCALE * 15) // 100
+
+_PAGERANK_ORACLE = rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, {_PR_SCALE}::BIGINT AS r FROM corpus),
+    r1 AS (
+        SELECT c.doc_id, {_PR_BASE} + COALESCE(s.inflow, 0) AS r
+        FROM corpus c LEFT JOIN (
+            SELECT e.dst, SUM((85 * r0.r) // (100 * deg.d)) AS inflow
+            FROM edges e JOIN r0 ON r0.doc_id = e.src
+                         JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = c.doc_id
+    ),
+    r2 AS (
+        SELECT c.doc_id, {_PR_BASE} + COALESCE(s.inflow, 0) AS r
+        FROM corpus c LEFT JOIN (
+            SELECT e.dst, SUM((85 * r1.r) // (100 * deg.d)) AS inflow
+            FROM edges e JOIN r1 ON r1.doc_id = e.src
+                         JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = c.doc_id
+    ),
+    r3 AS (
+        SELECT c.doc_id, {_PR_BASE} + COALESCE(s.inflow, 0) AS r
+        FROM corpus c LEFT JOIN (
+            SELECT e.dst, SUM((85 * r2.r) // (100 * deg.d)) AS inflow
+            FROM edges e JOIN r2 ON r2.doc_id = e.src
+                         JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = c.doc_id
+    )
+    SELECT doc_id, CAST(r AS BIGINT) AS rank FROM r3
+"""
+
+
+@query("pagerank_dup_graph", oracle=_PAGERANK_ORACLE)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (functions/graph.pagerank, 3 rounds,
+    damping 85/100, scale 10⁶) over the SAME symmetrized MinHash
+    near-dup graph that dedup_clusters resolves into components —
+    link analysis answering the question components can't: WITHIN a
+    duplicate cluster, which member is most central (highest-degree
+    canonical candidate)? Hub members of exact-dup cliques score above
+    their leaves, isolated near-dup pairs sit at the two-node
+    fixpoint, and nodes with no edges rest at the base rank — all
+    three regimes present in the injected-dup corpus and all riding
+    the hash, per-node, exactly.
+
+    Shape at 100 TB: degree is one hash aggregate; each of the FIXED
+    3 rounds is one src-keyed equi join (edge frame persisted once,
+    reused every round) + one dst-keyed hash aggregate — the
+    Pregel-style round as two bounded shuffles, no driver state, no
+    data-dependent round count. Integer floor-div keeps every rank
+    engine-replayable; the oracle unrolls the three rounds as CTEs
+    over the identical banded-MinHash edge set."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import pagerank
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    nodes = corpus.select("doc_id")
+    return pagerank(
+        edges, nodes, id_col="doc_id", iterations=3, scale=_PR_SCALE
+    )
