@@ -141,6 +141,7 @@ HEADLINE = [
     "fk_integrity_audit",         # bidirectional FK audit, one join/pair
     "event_transition_matrix",    # per-user Markov transition counts
     "pagerank_dup_graph",         # exact-integer PageRank, 3 rounds
+    "txlog_snapshot_diff",        # row-level CDC across a commit chain
 ]
 
 

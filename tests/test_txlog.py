@@ -528,3 +528,40 @@ def test_racing_append_and_merge_serialize(spark, tmp_path):
     # boundary per key pair (serializability: each merge saw a snapshot)
     assert {k for k, _ in base} == set(range(5))
     assert all(v >= 1 for _, v in base)
+
+
+def test_snapshot_diff_classifies_all_fates(spark):
+    from pyspark.sql import Row
+    from wistia_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v=10, x="a"),   # unchanged
+            Row(k=2, v=20, x="b"),   # changed (v)
+            Row(k=3, v=30, x=None),  # changed (x: NULL -> value)
+            Row(k=4, v=40, x="d"),   # removed
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v=10, x="a"),
+            Row(k=2, v=21, x="b"),
+            Row(k=3, v=30, x="c"),
+            Row(k=5, v=50, x="e"),   # added
+        ]
+    )
+    got = {
+        r.k: r
+        for r in snapshot_diff(old, new, ["k"], ["v", "x"]).collect()
+    }
+    assert {k: r.status for k, r in got.items()} == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+    # old/new column carry-through, NULL on the absent side
+    assert (got[2].old_v, got[2].new_v) == (20, 21)
+    assert (got[4].new_v, got[4].new_x) == (None, None)
+    assert (got[5].old_v, got[5].old_x) == (None, None)

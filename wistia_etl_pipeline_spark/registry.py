@@ -7013,3 +7013,95 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, nodes, id_col="doc_id", iterations=3, scale=_PR_SCALE
     )
+
+
+_DIFF_V1_END = "2024-01-08 00:00:00"
+_DIFF_STAGE_END = "2024-01-09 00:00:00"
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    WITH v1 AS (
+        SELECT user_id, event_type, event_id, ts, value FROM events
+        WHERE ts < TIMESTAMP '{_DIFF_V1_END}'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) = 1
+    ), stage AS (
+        SELECT user_id, event_type, event_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '{_DIFF_V1_END}'
+          AND ts < TIMESTAMP '{_DIFF_STAGE_END}'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) = 1
+    ), merged AS (
+        SELECT * FROM v1 t
+        WHERE NOT EXISTS (SELECT 1 FROM stage s
+                          WHERE s.user_id = t.user_id
+                            AND s.event_type = t.event_type)
+        UNION ALL
+        SELECT * FROM stage
+    ), v2 AS (SELECT * FROM merged WHERE value >= 10.0)
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.event_type, b.event_type) AS event_type,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.event_id <> b.event_id THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.event_id AS old_event_id,
+           b.event_id AS new_event_id
+    FROM v1 a FULL OUTER JOIN v2 b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+"""
+
+
+@query("txlog_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def txlog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL SNAPSHOT DIFF across a txlog commit chain
+    (operators/diff.snapshot_diff over sources/txlog.py versions):
+    commit v1 (overwrite: latest (user, event_type) state before
+    Jan 8), merge a one-day stage slice, then delete-by-overwrite
+    (drop rows with value < 10) — and diff the FIRST version against
+    the HEAD, classifying every key as added / removed / changed /
+    unchanged. This is the logical CDC read a rewrite-heavy history
+    needs when file-level read_changes refuses (rewrites restate the
+    snapshot); the windows are sized so ALL FOUR statuses fire at
+    every test SF (added is the rarest — keys first active on Jan 8).
+
+    Shape at 100 TB: both snapshots are already key-grain (the table
+    is merge-maintained), so the diff is ONE full-outer join on the
+    key — key-cardinality-sized sides, one shuffle each — and a pure
+    projection for the classification. The oracle replays the whole
+    commit chain set-theoretically (merge = anti-join ∪ stage, delete
+    = filter), so the hash verifies the txlog's version isolation AND
+    the diff logic in one check."""
+    import tempfile
+
+    from .operators.dedup import dedup_latest_wins
+    from .operators.diff import snapshot_diff
+    from .sources.txlog import TxLogTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    v1_end = F.to_timestamp(F.lit(_DIFF_V1_END))
+    stage_end = F.to_timestamp(F.lit(_DIFF_STAGE_END))
+    v1_state = dedup_latest_wins(
+        events.filter(F.col("ts") < v1_end), ["user_id", "event_type"], order
+    )
+    stage = dedup_latest_wins(
+        events.filter((F.col("ts") >= v1_end) & (F.col("ts") < stage_end)),
+        ["user_id", "event_type"],
+        order,
+    )
+    table = TxLogTable(tempfile.mkdtemp(prefix="wistia_diff_") + "/tbl")
+    v_base = table.overwrite(v1_state)
+    table.merge(spark, stage, ["user_id", "event_type"])
+    merged = table.read(spark)
+    table.overwrite(merged.filter(F.col("value") >= 10.0))
+    v_head = table.current_version()
+
+    old = table.read(spark, version=v_base)
+    new = table.read(spark, version=v_head)
+    return snapshot_diff(
+        old, new, ["user_id", "event_type"], ["event_id"]
+    )
