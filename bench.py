@@ -142,6 +142,7 @@ HEADLINE = [
     "event_transition_matrix",    # per-user Markov transition counts
     "pagerank_dup_graph",         # exact-integer PageRank, 3 rounds
     "txlog_snapshot_diff",        # row-level CDC across a commit chain
+    "pareto_doc_frontier",        # skyline via value-bounded window
 ]
 
 

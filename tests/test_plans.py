@@ -456,3 +456,20 @@ def test_tfidf_has_no_broadcast_hint_on_vocab(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_windows_only_the_aggregated_points(spark, sf_dir):
+    """The skyline's only window must run over the (n_chars → max
+    n_tok) aggregate — value-cardinality-bounded — never the raw
+    corpus, and the winners must flow back via a semi join (no
+    dominance self-join / BNL anywhere)."""
+    df = entry.queries()["pareto_doc_frontier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    # the window's input is the aggregated points: a partial/final
+    # aggregate pair sits below it (max per n_chars), and the raw
+    # doc-grain frame reaches the output only through a semi join
+    assert "partial_max" in plan or "max(" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

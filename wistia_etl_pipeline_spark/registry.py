@@ -7105,3 +7105,66 @@ def txlog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["user_id", "event_type"], ["event_id"]
     )
+
+
+_PARETO_ORACLE = rf"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_distinct(regexp_split_to_array({_NORM}, '\s+')))
+                    AS BIGINT) AS n_tok
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT a.doc_id, a.n_chars, a.n_tok
+    FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.n_chars <= a.n_chars AND b.n_tok >= a.n_tok
+          AND (b.n_chars < a.n_chars OR b.n_tok > a.n_tok)
+    )
+"""
+
+
+@query("pareto_doc_frontier", oracle=_PARETO_ORACLE)
+def pareto_doc_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query: documents for which no other
+    document is at least as good in BOTH dimensions (fewer-or-equal
+    chars, more-or-equal distinct tokens) and strictly better in one —
+    the "most vocabulary per byte" frontier a curation pass uses to
+    pick exemplars without collapsing two objectives into one weight.
+    Identical points co-occupy the frontier (standard skyline tie
+    rule); empty documents are excluded on both engines.
+
+    Shape at 100 TB: the naive skyline is O(n²) dominance — the
+    ORACLE is exactly that NOT EXISTS form, so the hash match proves
+    the engine's linear plan equivalent. The engine first collapses
+    to one (n_chars → max n_tok) point per distinct chars value (hash
+    agg, map-side partials), runs the dominance sweep as a running
+    max over that VALUE-CARDINALITY-bounded table (the only window;
+    bounded by |distinct lengths|, not corpus size), and equi-joins
+    winners back to docs on (n_chars, n_tok). Nothing corpus-sized is
+    ever windowed or paired."""
+    from pyspark.sql import Window
+    from .functions.dedupe import fan_out
+    from .functions.text import normalize_text, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    s = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokens(normalize_text(F.col("text")))))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    g = s.groupBy("n_chars").agg(F.max("n_tok").alias("n_tok"))
+    w = (
+        Window.orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        g.withColumn("__m", F.max("n_tok").over(w))
+        .filter(F.col("__m").isNull() | (F.col("__m") < F.col("n_tok")))
+        .select("n_chars", "n_tok")
+    )
+    return s.join(frontier, ["n_chars", "n_tok"], "left_semi").select(
+        "doc_id", "n_chars", "n_tok"
+    )
