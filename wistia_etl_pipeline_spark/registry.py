@@ -104,9 +104,16 @@ _PRIORITY: tuple[str, ...] = (
     "rest_fanout_ingest",
     "rest_datasource_ingest",
     "ingest_error_isolation",
-    "vocab_top_tokens",
+    # late-r4 swaps #3/#4: the session's two strongest new families
+    # take the slots of (a) the corpus-stats second rep (vocab top-k —
+    # PMI bigrams stays in-window for the family) and (b) the
+    # standalone MinHash miner (the SAME miner runs inside
+    # corpus_curation_e2e, dedup_clusters, and
+    # dedup_incremental_minhash, all in-window); both evictees keep
+    # their r3 driver greens in the COVERAGE.md ledger
+    "cdc_shared_passages",
     "dedup_exact_documents",
-    "dedup_minhash_lsh",
+    "pagerank_dup_graph",
     "corpus_curation_e2e",
     "similarity_cosine_topk",
     "text_stats",
