@@ -143,6 +143,7 @@ HEADLINE = [
     "pagerank_dup_graph",         # exact-integer PageRank, 3 rounds
     "txlog_snapshot_diff",        # row-level CDC across a commit chain
     "pareto_doc_frontier",        # skyline via value-bounded window
+    "ssjoin_prefix_filter",       # exact Jaccard join, prefix filtering
 ]
 
 

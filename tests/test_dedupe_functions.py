@@ -278,3 +278,68 @@ def test_cdc_stats_repartition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_prefix_filtered_jaccard_matches_brute_force(spark):
+    import itertools
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # queries (q=True) vs corpus: mixed sizes, near-dups, disjoint sets
+    rows = [
+        Row(i=1, q=True, t="alpha beta gamma delta epsilon"),
+        Row(i=2, q=True, t="one two three four five six seven eight nine ten"),
+        Row(i=3, q=True, t="zz yy xx"),
+        Row(i=10, q=False, t="alpha beta gamma delta epsilon"),          # J=1 w/ 1
+        Row(i=11, q=False, t="alpha beta gamma delta zeta"),             # J=4/6 w/ 1
+        Row(i=12, q=False, t="one two three four five six seven eight nine"),  # J=9/10 w/ 2
+        Row(i=13, q=False, t="totally different words entirely here"),
+        Row(i=14, q=False, t="zz yy xx"),                                # J=1 w/ 3
+    ]
+    df = spark.createDataFrame(rows)
+    for num, den in [(1, 2), (4, 5), (9, 10)]:
+        got = sorted(
+            (r.q_id, r.c_id, r.inter, r.uni)
+            for r in prefix_filtered_jaccard_pairs(
+                df, "i", "t", "q", tau_num=num, tau_den=den
+            ).collect()
+        )
+        sets = {r.i: set(r.t.split()) for r in rows}
+        expect = []
+        for a, b in itertools.product([1, 2, 3], [10, 11, 12, 13, 14]):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if den * inter >= num * uni:
+                expect.append((a, b, inter, uni))
+        assert got == sorted(expect), (num, den)
+
+
+def test_prefix_filtered_jaccard_repartition_invariant(spark):
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = [
+        Row(i=n, q=(n % 4 == 0), t=f"w{n % 6} w{(n + 1) % 6} w{(n + 2) % 6} common tail")
+        for n in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    a = sorted(
+        map(
+            tuple,
+            prefix_filtered_jaccard_pairs(
+                df, "i", "t", "q", tau_num=3, tau_den=5
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            prefix_filtered_jaccard_pairs(
+                df.repartition(17), "i", "t", "q", tau_num=3, tau_den=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

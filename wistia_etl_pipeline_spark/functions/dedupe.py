@@ -598,3 +598,107 @@ def cdc_shared_passage_stats(
         .join(per_doc, id_col, "left")
         .fillna(0, subset=["n_chunks", "n_shared_chunks", "shared_tokens"])
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_query_col: str,
+    *,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Exact set-similarity R-S join with PREFIX FILTERING (SSJoin /
+    PPJoin family, Chaudhuri et al. 2006 / Bayardo et al. 2007):
+    find every (query, corpus) pair whose token-set Jaccard is
+    ≥ tau_num/tau_den — exactly, not probabilistically (the MinHash
+    miner trades recall for speed; this one trades nothing and still
+    never goes all-pairs).
+
+    The filter: order every document's distinct tokens by GLOBAL
+    rarity (document frequency asc, token asc — one shared order), and
+    keep only each document's first ``n − ⌈τ·n⌉ + 1`` tokens as its
+    prefix. Two sets with Jaccard ≥ τ must share a prefix token under
+    a common order (pigeonhole: at most ``prefix−1`` of the required
+    overlap can hide outside it), so the candidate join on prefix
+    tokens loses nothing — and because prefixes hold each document's
+    RAREST tokens, candidate blocks are the smallest possible ones.
+    A size filter (τ·n_q ≤ n_c ≤ n_q/τ) prunes further; survivors are
+    verified with exact intersection arithmetic (all integer:
+    tau_den·|∩| ≥ tau_num·|∪|).
+
+    Returns (q_id, c_id, inter, uni) for verified pairs.
+
+    Shape at 100 TB: df is one hash aggregate; the rarity order needs
+    no global rank — (df, token) itself is the order key, so the only
+    windows are PER-DOCUMENT row_numbers; the candidate join is an
+    equi join on rare tokens (small blocks by construction). Exact
+    verification touches candidates only. Nothing is ever all-pairs
+    unless the DATA's true match set is (the simhash lesson: an exact
+    pair-miner is lower-bounded by its output).
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(is_query_col).alias("__q"),
+            F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias(
+                "__toks"
+            ),
+        )
+        .withColumn("__n", F.size("__toks").cast("long"))
+    )
+    tok = base.select(
+        "__id", "__q", "__n", F.explode("__toks").alias("__tok")
+    )
+    dfreq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    prefix = (
+        tok.join(dfreq, "__tok")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col("__n")
+            - F.expr(f"({tau_num} * __n + {tau_den - 1}) div {tau_den}")
+            + F.lit(1)
+        )
+        .select("__id", "__q", "__n", "__tok")
+    )
+    q = prefix.filter(F.col("__q")).select(
+        F.col("__id").alias("q_id"), F.col("__n").alias("q_n"), "__tok"
+    )
+    c = prefix.filter(~F.col("__q")).select(
+        F.col("__id").alias("c_id"), F.col("__n").alias("c_n"), "__tok"
+    )
+    cand = (
+        q.join(c, "__tok")
+        .filter(
+            (F.lit(tau_den) * F.col("c_n") >= F.lit(tau_num) * F.col("q_n"))
+            & (F.lit(tau_den) * F.col("q_n") >= F.lit(tau_num) * F.col("c_n"))
+        )
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qa = base.select(
+        F.col("__id").alias("q_id"), F.col("__toks").alias("__qt"),
+        F.col("__n").alias("q_n"),
+    )
+    ca = base.select(
+        F.col("__id").alias("c_id"), F.col("__toks").alias("__ct"),
+        F.col("__n").alias("c_n"),
+    )
+    verified = (
+        cand.join(qa, "q_id")
+        .join(ca, "c_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__qt", "__ct")).cast("long")
+        )
+        .withColumn("uni", (F.col("q_n") + F.col("c_n") - F.col("inter")))
+        .filter(
+            F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("uni")
+        )
+    )
+    return verified.select("q_id", "c_id", "inter", "uni")

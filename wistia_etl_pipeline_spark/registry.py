@@ -7175,3 +7175,128 @@ def pareto_doc_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(frontier, ["n_chars", "n_tok"], "left_semi").select(
         "doc_id", "n_chars", "n_tok"
     )
+
+
+_SSJ_NUM, _SSJ_DEN = 19, 20
+
+_SSJOIN_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    n AS (SELECT doc_id, source, toks, len(toks) AS n FROM t),
+    tok AS (SELECT doc_id, source, n, unnest(toks) AS tok FROM n),
+    df AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT tok.doc_id, tok.source, tok.n, tok.tok,
+               row_number() OVER (
+                   PARTITION BY tok.doc_id ORDER BY df.df, tok.tok
+               ) AS rk
+        FROM tok JOIN df ON df.tok = tok.tok
+    ),
+    prefix AS (
+        SELECT doc_id, source, n, tok FROM ranked
+        WHERE rk <= n - (({_SSJ_NUM} * n + {_SSJ_DEN - 1}) // {_SSJ_DEN}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT q.doc_id AS q_id, c.doc_id AS c_id
+        FROM prefix q JOIN prefix c ON q.tok = c.tok
+        WHERE q.source = 'src0' AND c.source <> 'src0'
+          AND {_SSJ_DEN} * c.n >= {_SSJ_NUM} * q.n
+          AND {_SSJ_DEN} * q.n >= {_SSJ_NUM} * c.n
+    ),
+    verified AS (
+        SELECT cand.q_id, cand.c_id,
+               len(list_intersect(x.toks, y.toks)) AS inter,
+               x.n + y.n - len(list_intersect(x.toks, y.toks)) AS uni
+        FROM cand
+        JOIN n x ON x.doc_id = cand.q_id
+        JOIN n y ON y.doc_id = cand.c_id
+        WHERE {_SSJ_DEN} * len(list_intersect(x.toks, y.toks))
+              >= {_SSJ_NUM} * (x.n + y.n - len(list_intersect(x.toks, y.toks)))
+    ),
+    scored AS (
+        SELECT q_id, c_id, (inter * 1000000) // uni AS score_micro,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY (inter * 1000000) // uni DESC, c_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY q_id) AS n_matches
+        FROM verified
+    )
+    SELECT d.doc_id AS q_id,
+           CAST(COALESCE(s.n_matches, 0) AS BIGINT) AS n_matches,
+           s.c_id AS best_match_id,
+           CAST(s.score_micro AS BIGINT) AS best_score_micro
+    FROM (SELECT doc_id FROM documents
+          WHERE source = 'src0' AND length(trim(text)) > 0) d
+    LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s ON s.q_id = d.doc_id
+"""
+
+
+@query("ssjoin_prefix_filter", oracle=_SSJOIN_ORACLE)
+def ssjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity search with prefix filtering
+    (functions/dedupe.prefix_filtered_jaccard_pairs — the SSJoin /
+    PPJoin technique): every benchmark document (source src0) matched
+    against the rest of the corpus at token-set Jaccard ≥ 19/20,
+    rolled up per query as (match count, best match, integer-micro
+    best score). Complements the dedup family's other members: MinHash
+    is probabilistic recall, SimHash is hamming-bounded, this one is
+    EXACT — candidates are generated only from each document's
+    ``n − ⌈τ·n⌉ + 1`` globally-RAREST tokens (a pair at ≥ τ must share
+    one: pigeonhole under the common rarity order), then verified with
+    integer intersection arithmetic. Queries with zero matches emit a
+    zero row, so both fates ride the hash.
+
+    Shape at 100 TB: document frequency is one hash aggregate; rarity
+    needs NO global rank ((df, token) is itself the order), so the
+    only windows are per-document row_numbers and a per-query top-1;
+    the candidate join blocks on rare tokens — the smallest blocks the
+    data allows — plus a size-ratio prune. The oracle replays every
+    stage; prefix lengths use the identical integer ceil on both
+    engines."""
+    from pyspark.sql import Window
+    from .functions.dedupe import fan_out, prefix_filtered_jaccard_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = prefix_filtered_jaccard_pairs(
+        docs.withColumn("is_q", F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        "is_q",
+        tau_num=_SSJ_NUM,
+        tau_den=_SSJ_DEN,
+    )
+    scored = pairs.withColumn(
+        "score_micro",
+        F.expr("(inter * CAST(1000000 AS BIGINT)) div uni"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_micro").desc(), F.col("c_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_matches", F.count(F.lit(1)).over(Window.partitionBy("q_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("c_id").alias("best_match_id"),
+            F.col("score_micro").cast("long").alias("best_score_micro"),
+        )
+    )
+    queries_all = (
+        docs.filter(
+            (F.col("source") == "src0")
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select(F.col("doc_id").alias("q_id"))
+    )
+    return (
+        queries_all.join(best, "q_id", "left")
+        .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)))
+    )
