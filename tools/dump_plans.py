@@ -51,6 +51,14 @@ ANNOTATED = {
     "semantic_dedup": "SemDeDup: assignment is scan-local codegen over k literal centroids (no join); the only joins are the within-cluster equi self-join on cluster_id and the left-anti-shaped kept flag — never all-pairs, never BNLJ.",
     "dataset_mixture_epochs": "training-mixture replication: one Generate (explode of sequence(1, reps)) over the scan — zero exchanges; replica counts are hash-derived per row, so the plan has no state and no RNG.",
     "doc_tfidf_keywords": "TF-IDF keywords: explode feeds two hash aggregates (tf, df) that equi-join on the token key with NO broadcast hint (vocabulary scales with the corpus); the per-doc top-3 sorts inside the doc_id window exchange only.",
+    "cdc_shared_passages": "CDC passage dedup: the only window is PER-DOCUMENT (cumulative boundary count); chunk and fp aggregates hash on 128-bit keys; the shared-fp flag join is fp-keyed with no broadcast hint — nothing all-pairs.",
+    "decontaminate_bloom_prefilter": "bloom prefilter: the k bit-tests (element_at on a literal bitmap + shiftright) sit IN the scan-side Filter before the shingle exchange; survivors still pass the exact LeftSemi join — the oracle is the bloom-free plain join.",
+    "pagerank_dup_graph": "PageRank: the banded pair-mine feeds a persisted edge+degree frame (InMemoryTableScan in every round); each of 3 fixed rounds is one src-keyed hash join + one dst-keyed aggregate — no driver state, no iteration-dependent plan growth.",
+    "txlog_snapshot_diff": "snapshot diff: both versions read file-pinned manifests; ONE full-outer SortMergeJoin on the (user, event_type) key grain; classification is pure projection above it.",
+    "pareto_doc_frontier": "skyline: the raw corpus only feeds a hash aggregate (max tokens per distinct length); the single Window runs over that value-cardinality-bounded point table; winners return via LeftSemi — the naive O(n²) dominance exists only in the oracle.",
+    "ssjoin_prefix_filter": "prefix-filtered SSJoin: per-document row_number windows cut prefixes under the global (df, token) rarity order (no global rank/sort); the candidate join blocks on rare tokens with a size-ratio residual; exact verification touches candidates only.",
+    "event_transition_matrix": "transition matrix: one per-user lead window, then a hash aggregate whose output is |event_types|²-bounded; count_distinct plans via Expand under the same single exchange.",
+    "fk_integrity_audit": "FK audit: per relation both tables collapse to per-key counts (partial_count below the exchange) before ONE full-outer join; orphans and childless derive from the same join — the oracle's two anti-joins per relation exist only there.",
 }
 
 
