@@ -21,11 +21,17 @@ Design for 100 TB:
   ~1% false positives with k=3). The build-side collect is bounded by
   ``bits`` distinct positions — the same O(1)-in-data collect budget
   as IVF centroids, never corpus-sized.
-- Hashing is md5-derived (deterministic, engine- and version-stable),
-  so a DuckDB oracle can replay membership bit-for-bit and persisted
-  bitmaps stay valid across Spark upgrades.
-- The bit test is pure codegen: ``element_at`` on a literal array +
-  ``shiftright`` + mask — no UDF, no HOF lambda, no shuffle.
+- Hashing is xxhash64 (JVM-native, one call per probe): the bitmap is
+  engine-internal — correctness never depends on replaying it, because
+  the exact join downstream defines the result — so the md5
+  cross-engine discipline used everywhere else would only buy a 3×
+  slower probe (measured; see ``bucket_expr``). Bitmaps are rebuilt
+  per run, never persisted.
+- The bit test is pure codegen: one-char ``substring`` of a hex-string
+  literal + ``conv`` + ``shiftright`` + mask — no UDF, no HOF lambda,
+  no shuffle, and the bitmap is a SINGLE literal node (an array-literal
+  bitmap pays ~1 s of analysis per plan build at 2048 elements — the
+  literal-tree tax).
 """
 
 from __future__ import annotations
@@ -34,13 +40,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def bucket_expr(col: Column, j: int, *, bits: int, salt: str = "bf") -> Column:
-    """md5-derived bit position for hash function ``j`` (0-based)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(col, F.lit(f":{salt}{j}"))), 1, 15), 16, 10
-        ).cast("long")
-        % bits
-    )
+    """xxhash64-derived bit position for hash function ``j`` (0-based).
+
+    xxhash64, not md5: the bitmap never crosses engines (the oracle of
+    any query composing this prefilter is the bloom-FREE exact join),
+    so the md5 cross-engine-replay discipline buys nothing here — and
+    the probe runs per scan row, where the md5 → hex → substring →
+    conv chain measured ~3× the cost of one JVM xxhash64 call. Build
+    and probe share this function, so consistency within a query is
+    structural. Do NOT persist these bitmaps across Spark upgrades
+    (xxhash64 is seed-stable in practice but not a documented
+    cross-version contract; rebuild per run — they are sketch-sized).
+    """
+    return F.pmod(F.xxhash64(col, F.lit(j), F.lit(salt)), F.lit(bits))
 
 
 def build_bitmap(
@@ -50,15 +62,21 @@ def build_bitmap(
     bits: int = 16384,
     k: int = 3,
     salt: str = "bf",
-) -> list[int]:
+) -> str:
     """Aggregate the build side's k bit positions and return the bitmap
-    as ``bits/64`` signed 64-bit words (Spark long array literal form).
+    as a HEX STRING of ``bits/4`` characters — one nibble per 4 buckets,
+    bucket ``b`` at character ``b div 4``, bit ``b mod 4`` (LSB-first
+    within the nibble).
 
+    A string literal is ONE expression node however large the bitmap
+    is; the first (array-literal) form of this module cost ~1 s of
+    analysis per plan build at 2048 array elements — the literal-tree
+    tax measured for clustering centroids applies to bitmaps too.
     The collect is bounded by ``bits`` DISTINCT positions regardless of
     build-side row count — sketch-sized, not data-sized.
     """
-    if bits % 64:
-        raise ValueError("bits must be a multiple of 64")
+    if bits % 4:
+        raise ValueError("bits must be a multiple of 4")
     pos = df.select(
         F.explode(
             F.array(
@@ -66,32 +84,34 @@ def build_bitmap(
             )
         ).alias("p")
     ).distinct()
-    words = [0] * (bits // 64)
+    nibbles = [0] * (bits // 4)
     for r in pos.collect():
-        words[r.p // 64] |= 1 << (r.p % 64)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        nibbles[r.p // 4] |= 1 << (r.p % 4)
+    return "".join(format(n, "x") for n in nibbles)
 
 
 def bloom_prefilter(
     df: DataFrame,
     key_col: str,
-    words: list[int],
+    bitmap_hex: str,
     *,
     k: int = 3,
     salt: str = "bf",
 ) -> DataFrame:
     """Keep only rows whose ``key_col`` passes all k bit-tests against
-    the bitmap literal. May keep false positives (remove them with the
-    exact join downstream); never drops a true member."""
-    bits = len(words) * 64
-    staged = df.withColumn("__bf", F.lit(words))
+    the hex-string bitmap literal (per-probe: one-char substring →
+    conv → shiftright → mask, all codegen). May keep false positives
+    (remove them with the exact join downstream); never drops a true
+    member."""
+    bits = len(bitmap_hex) * 4
+    staged = df.withColumn("__bf", F.lit(bitmap_hex))
     for j in range(k):
         staged = staged.withColumn(
             f"__b{j}", bucket_expr(F.col(key_col), j, bits=bits, salt=salt)
         )
     cond = " AND ".join(
-        f"((shiftright(element_at(__bf, cast(__b{j} div 64 as int) + 1),"
-        f" cast(__b{j} % 64 as int)) & 1) = 1)"
+        f"((shiftright(cast(conv(substring(__bf, cast(__b{j} div 4 as int) + 1, 1),"
+        f" 16, 10) as int), cast(__b{j} % 4 as int)) & 1) = 1)"
         for j in range(k)
     )
     return staged.filter(F.expr(cond)).drop("__bf", *[f"__b{j}" for j in range(k)])
