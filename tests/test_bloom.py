@@ -24,7 +24,7 @@ def test_bloom_rejects_most_non_members(spark):
     build = spark.createDataFrame([Row(s=f"member-{i}") for i in range(100)])
     words = build_bitmap(build, "s", bits=16384, k=3)
     # bitmap population matches the insertions (≤ 300 of 16384 bits)
-    popcount = sum(bin(int(c, 16)).count("1") for c in words)
+    popcount = sum(bin(byte).count("1") for byte in words)
     assert 0 < popcount <= 300
     probe = spark.createDataFrame([Row(s=f"other-{i}") for i in range(1000)])
     n_pass = bloom_prefilter(probe, "s", words, k=3).count()
@@ -59,4 +59,4 @@ def test_bloom_bitmap_collect_is_bounded(spark):
     # positions — the collect budget is sketch-sized, not data-sized
     build = spark.createDataFrame([Row(s=f"x{i}") for i in range(3000)])
     words = build_bitmap(build, "s", bits=1024, k=3)
-    assert len(words) == 1024 // 4
+    assert len(words) == 1024 // 8

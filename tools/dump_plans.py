@@ -52,7 +52,7 @@ ANNOTATED = {
     "dataset_mixture_epochs": "training-mixture replication: one Generate (explode of sequence(1, reps)) over the scan — zero exchanges; replica counts are hash-derived per row, so the plan has no state and no RNG.",
     "doc_tfidf_keywords": "TF-IDF keywords: explode feeds two hash aggregates (tf, df) that equi-join on the token key with NO broadcast hint (vocabulary scales with the corpus); the per-doc top-3 sorts inside the doc_id window exchange only.",
     "cdc_shared_passages": "CDC passage dedup: the only window is PER-DOCUMENT (cumulative boundary count); chunk and fp aggregates hash on 128-bit keys; the shared-fp flag join is fp-keyed with no broadcast hint — nothing all-pairs.",
-    "decontaminate_bloom_prefilter": "bloom prefilter: the k bit-tests (nibble substring of ONE hex-string bitmap literal + conv + shiftright) sit IN the scan-side Filter before the shingle exchange; survivors still pass the exact LeftSemi join — the oracle is the bloom-free plain join.",
+    "decontaminate_bloom_prefilter": "bloom prefilter: the k bit-tests (one-byte binary substring of ONE bitmap literal + hex + conv + shiftright, O(1) per probe) sit IN the scan-side Filter before the shingle exchange; survivors still pass the exact LeftSemi join — the oracle is the bloom-free plain join.",
     "pagerank_dup_graph": "PageRank: the banded pair-mine feeds a persisted edge+degree frame (InMemoryTableScan in every round); each of 3 fixed rounds is one src-keyed hash join + one dst-keyed aggregate — no driver state, no iteration-dependent plan growth.",
     "txlog_snapshot_diff": "snapshot diff: both versions read file-pinned manifests; ONE full-outer SortMergeJoin on the (user, event_type) key grain; classification is pure projection above it.",
     "pareto_doc_frontier": "skyline: the raw corpus only feeds a hash aggregate (max tokens per distinct length); the single Window runs over that value-cardinality-bounded point table; winners return via LeftSemi — the naive O(n²) dominance exists only in the oracle.",

@@ -27,11 +27,11 @@ Design for 100 TB:
   cross-engine discipline used everywhere else would only buy a 3×
   slower probe (measured; see ``bucket_expr``). Bitmaps are rebuilt
   per run, never persisted.
-- The bit test is pure codegen: one-char ``substring`` of a hex-string
-  literal + ``conv`` + ``shiftright`` + mask — no UDF, no HOF lambda,
-  no shuffle, and the bitmap is a SINGLE literal node (an array-literal
-  bitmap pays ~1 s of analysis per plan build at 2048 elements — the
-  literal-tree tax).
+- The bit test is pure codegen: one-byte binary ``substring`` +
+  ``hex`` + ``conv`` + ``shiftright`` + mask — no UDF, no HOF lambda,
+  no shuffle, O(1) per probe, and the bitmap is a SINGLE literal node
+  (see ``build_bitmap`` for the two slower representations this
+  replaced, both measured).
 """
 
 from __future__ import annotations
@@ -62,21 +62,28 @@ def build_bitmap(
     bits: int = 16384,
     k: int = 3,
     salt: str = "bf",
-) -> str:
+) -> bytes:
     """Aggregate the build side's k bit positions and return the bitmap
-    as a HEX STRING of ``bits/4`` characters — one nibble per 4 buckets,
-    bucket ``b`` at character ``b div 4``, bit ``b mod 4`` (LSB-first
-    within the nibble).
+    as ``bits/8`` BYTES — bucket ``b`` at byte ``b div 8``, bit
+    ``b mod 8`` (LSB-first within the byte).
 
-    A string literal is ONE expression node however large the bitmap
-    is; the first (array-literal) form of this module cost ~1 s of
-    analysis per plan build at 2048 array elements — the literal-tree
-    tax measured for clustering centroids applies to bitmaps too.
+    Representation matters twice here, both measured:
+    - a long-ARRAY literal is a CreateArray tree with one child per
+      word — ~1 s of analysis per plan build at 2048 elements (the
+      literal-tree tax measured for clustering centroids);
+    - a hex-STRING literal is one node, but ``substring`` on strings
+      walks UTF-8 char boundaries from the start — O(offset) per
+      probe, which turned the prefilter itself quadratic in corpus
+      size once the bitmap grew with the benchmark (49 s for 1.2M
+      probes of a 256 KB string vs 1.1 s for the same probes of a
+      BINARY literal).
+    BINARY is both: one literal node AND O(1) byte addressing.
+
     The collect is bounded by ``bits`` DISTINCT positions regardless of
     build-side row count — sketch-sized, not data-sized.
     """
-    if bits % 4:
-        raise ValueError("bits must be a multiple of 4")
+    if bits % 8:
+        raise ValueError("bits must be a multiple of 8")
     pos = df.select(
         F.explode(
             F.array(
@@ -84,34 +91,34 @@ def build_bitmap(
             )
         ).alias("p")
     ).distinct()
-    nibbles = [0] * (bits // 4)
+    buf = bytearray(bits // 8)
     for r in pos.collect():
-        nibbles[r.p // 4] |= 1 << (r.p % 4)
-    return "".join(format(n, "x") for n in nibbles)
+        buf[r.p // 8] |= 1 << (r.p % 8)
+    return bytes(buf)
 
 
 def bloom_prefilter(
     df: DataFrame,
     key_col: str,
-    bitmap_hex: str,
+    bitmap: bytes,
     *,
     k: int = 3,
     salt: str = "bf",
 ) -> DataFrame:
     """Keep only rows whose ``key_col`` passes all k bit-tests against
-    the hex-string bitmap literal (per-probe: one-char substring →
-    conv → shiftright → mask, all codegen). May keep false positives
-    (remove them with the exact join downstream); never drops a true
-    member."""
-    bits = len(bitmap_hex) * 4
-    staged = df.withColumn("__bf", F.lit(bitmap_hex))
+    the binary bitmap literal (per-probe: one-byte binary substring →
+    hex → conv → shiftright → mask, all codegen, O(1) per probe). May
+    keep false positives (remove them with the exact join downstream);
+    never drops a true member."""
+    bits = len(bitmap) * 8
+    staged = df.withColumn("__bf", F.lit(bitmap))
     for j in range(k):
         staged = staged.withColumn(
             f"__b{j}", bucket_expr(F.col(key_col), j, bits=bits, salt=salt)
         )
     cond = " AND ".join(
-        f"((shiftright(cast(conv(substring(__bf, cast(__b{j} div 4 as int) + 1, 1),"
-        f" 16, 10) as int), cast(__b{j} % 4 as int)) & 1) = 1)"
+        f"((shiftright(cast(conv(hex(substring(__bf, cast(__b{j} div 8 as int) + 1, 1)),"
+        f" 16, 10) as int), cast(__b{j} % 8 as int)) & 1) = 1)"
         for j in range(k)
     )
     return staged.filter(F.expr(cond)).drop("__bf", *[f"__b{j}" for j in range(k)])

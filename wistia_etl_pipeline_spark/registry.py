@@ -6776,8 +6776,9 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     Shape at 100 TB: the bitmap build collects at most ``bits``
     distinct positions (sketch-sized, data-independent — the IVF
     centroid collect budget); the bit test is pure codegen
-    (nibble substring of ONE hex-string literal + conv + shiftright +
-    mask, no UDF, no 2048-child array-literal tree); the
+    (one-byte binary substring of ONE bitmap literal + hex + conv +
+    shiftright + mask — O(1) per probe, no UDF, no array-literal
+    tree); the
     training scan's shuffle volume drops to the candidate set. bits
     is sized engine-side to the benchmark's measured shingle
     cardinality (~10 bits/element ≈ 1% FP at k=3, pow-2, floor
