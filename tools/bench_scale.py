@@ -36,6 +36,10 @@ QUERIES = [
     "embedding_near_dup",
     "semantic_dedup",
     "kmeans_embedding_clusters",
+    # r4 late additions: the new iterative / window / prefilter designs
+    "cdc_shared_passages",
+    "pagerank_dup_graph",
+    "decontaminate_bloom_prefilter",
 ]
 N_RUNS = 3
 
