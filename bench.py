@@ -144,6 +144,7 @@ HEADLINE = [
     "txlog_snapshot_diff",        # row-level CDC across a commit chain
     "pareto_doc_frontier",        # skyline via value-bounded window
     "ssjoin_prefix_filter",       # exact Jaccard join, prefix filtering
+    "timeseries_gap_fill",        # dense spine + LOCF forward fill
 ]
 
 

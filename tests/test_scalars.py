@@ -61,3 +61,29 @@ def test_coalesce_updated_order(spark):
     df = spark.createDataFrame([(None, "u2", "c"), (None, None, None)], schema)
     got = [r.v for r in df.select(col.alias("v")).collect()]
     assert got == ["u2", "1970-01-01T00:00:00Z"]
+
+
+def test_gap_fill_query_semantics(spark, sf_dir):
+    """Structural properties of the resample+LOCF query: spine dense
+    per user, zero-gap days carry the previous observed value, first
+    day always observed."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["timeseries_gap_fill"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert rows and any(r.is_gap == 1 for r in rows)
+    for uid, series in list(by_user.items())[:20]:
+        series.sort(key=lambda r: r.dt)
+        # dense spine: consecutive days, no holes
+        days = [r.dt for r in series]
+        assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+        # first day observed; LOCF: gap rows repeat the last seen value
+        assert series[0].is_gap == 0 and series[0].v_filled is not None
+        last_v = None
+        for r in series:
+            if r.is_gap == 0:
+                last_v = r.v_filled
+            else:
+                assert r.n_events == 0 and r.v_filled == last_v

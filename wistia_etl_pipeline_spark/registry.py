@@ -7314,3 +7314,92 @@ def ssjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_all.join(best, "q_id", "left")
         .withColumn("n_matches", F.coalesce("n_matches", F.lit(0)))
     )
+
+
+_GAPFILL_ORACLE = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS v
+        FROM events WHERE value > 150.0 GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, MIN(dt) AS d0, MAX(dt) AS d1 FROM daily GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dt
+        FROM b
+    ),
+    j AS (
+        SELECT s.user_id, s.dt, d.n, d.v
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.dt = s.dt
+    )
+    SELECT user_id, dt,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY dt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM j
+"""
+
+
+@query("timeseries_gap_fill", oracle=_GAPFILL_ORACLE)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES RESAMPLING with forward fill: each user's sparse
+    high-value activity (value > 150 — ~22% of days observed at every
+    SF, so gaps genuinely dominate) is expanded to a dense daily spine
+    between their first and last active day, missing days flagged and
+    counted as zero, and the daily value sum carried forward (LOCF —
+    last observation carried forward, the standard state-between-
+    readings semantics for sensor/engagement series). The feature-
+    engineering shape every training pipeline needs before windowed
+    models: regular grid in, irregular observations out.
+
+    Per-day sums route through DECIMAL and round BEFORE the carry, so
+    LOCF copies identical doubles on both engines (rule #1); the first
+    spine day is always observed (the spine starts at MIN(dt)), so
+    v_filled is never NULL.
+
+    Shape at 100 TB: the spine is generated per key with
+    explode(sequence(d0, d1)) — size |keys|·|span|, never a global
+    calendar cross join; the fill is one PER-KEY window (last over
+    ignorenulls, running frame); the join is key+date equi. All
+    exchanges are keyed by user_id — uniform, bounded, and the grid
+    never crosses keys."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("value") > 150.0)
+        .groupBy("user_id", F.to_date("ts").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("v"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("dt").alias("d0"), F.max("dt").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("dt"),
+    )
+    joined = spine.join(daily, ["user_id", "dt"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "dt",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
