@@ -145,6 +145,8 @@ HEADLINE = [
     "pareto_doc_frontier",        # skyline via value-bounded window
     "ssjoin_prefix_filter",       # exact Jaccard join, prefix filtering
     "timeseries_gap_fill",        # dense spine + LOCF forward fill
+    "map_functions_surface",      # MapType build/filter/zip roundtrip
+    "ewma_user_activity",         # integer EWMA recurrence fold
 ]
 
 

@@ -87,3 +87,21 @@ def test_gap_fill_query_semantics(spark, sf_dir):
                 last_v = r.v_filled
             else:
                 assert r.n_events == 0 and r.v_filled == last_v
+
+
+def test_ewma_query_matches_python_recurrence(spark, sf_dir):
+    """The folded EWMA must equal the plain-Python recurrence on the
+    same per-user day series."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ewma_user_activity"](spark, sf_dir).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r)
+    assert rows
+    for uid, s in list(series.items())[:25]:
+        s.sort(key=lambda r: r.dt)
+        e = None
+        for r in s:
+            e = r.n_events if e is None else (r.n_events + e) // 2
+            assert r.ewma == e, (uid, r.dt)

@@ -7403,3 +7403,161 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+_MAP_SURFACE_ORACLE = """
+    WITH g AS (
+        SELECT user_id, event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS d
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(d AS BIGINT) AS n_days,
+           CAST((n * 1000000) // d AS BIGINT) AS per_day_micro
+    FROM g WHERE n >= 10
+"""
+
+
+@query("map_functions_surface", oracle=_MAP_SURFACE_ORACLE)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user activity folded into MAPS
+    (map_from_entries over collected (key, value) structs), screened
+    with map_filter (keep event types with ≥ 10 events — both fates
+    fire at every SF), combined across two maps with map_zip_with
+    (events-per-active-day as exact integer micro units), and exploded
+    back to rows. The ORACLE is the plain relational GROUP BY +
+    HAVING — so the hash match proves the map roundtrip (rows → map →
+    filter/zip → rows) loses and invents nothing, which is the
+    property that matters when map columns feed a feature store.
+
+    Map entry ORDER never reaches the hash (the output is exploded
+    rows, compared order-insensitively) — maps as VALUES would be
+    engine-rendering-dependent, the same class of trap as HUGEINT
+    (rule #9).
+
+    Shape at 100 TB: one hash aggregate to the (user, type) grain,
+    one to the user grain (collect_list is bounded by |event_types|
+    per user — vocabulary-sized, not event-sized); the map lambdas run
+    per entry on rows already local to their task; explode restores
+    the grain without a shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.to_date("ts")).alias("d"),
+    )
+    maps = g.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "d"))
+        ).alias("days"),
+    )
+    zipped = maps.select(
+        "user_id",
+        F.map_zip_with(
+            F.map_filter("counts", lambda k, v: v >= F.lit(10)),
+            F.col("days"),
+            lambda k, c, d: F.when(
+                c.isNotNull(), F.struct(c.alias("n"), d.alias("d"))
+            ),
+        ).alias("z"),
+    )
+    ex = zipped.select("user_id", F.explode("z").alias("event_type", "s"))
+    return ex.filter(F.col("s").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.col("s.n").cast("long").alias("n_events"),
+        F.col("s.d").cast("long").alias("n_days"),
+        # exact integer floor div OUTSIDE the lambda (a float `/` in a
+        # verified column is the rule-#2 trap even when the divisor
+        # bound makes it accidentally safe)
+        F.expr(
+            "(cast(s.n as bigint) * CAST(1000000 AS BIGINT)) div cast(s.d as bigint)"
+        ).alias("per_day_micro"),
+    )
+
+
+_EWMA_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT user_id, dt, n,
+               row_number() OVER (PARTITION BY user_id ORDER BY dt) AS rn
+        FROM daily
+    ),
+    rec AS (
+        SELECT user_id, rn, dt, n, n AS e FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.user_id, i.rn, i.dt, i.n, (i.n + r.e) // 2
+        FROM idx i JOIN rec r
+          ON i.user_id = r.user_id AND i.rn = r.rn + 1
+    )
+    SELECT user_id, dt, CAST(n AS BIGINT) AS n_events,
+           CAST(e AS BIGINT) AS ewma
+    FROM rec
+"""
+
+
+@query("ewma_user_activity", oracle=_EWMA_ORACLE)
+def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-WEIGHTED MOVING AVERAGE over each user's daily
+    event counts — the linear-recurrence family member no standard
+    window frame can express (e_t depends on e_{t-1}, not on a frame
+    of inputs): e_1 = n_1, e_t = (n_t + e_{t-1}) div 2, i.e. α = 1/2
+    on the exact integer grid, implemented as a fold with
+    shiftright(n + e_prev, 1) so every smoothed value replays
+    bit-for-bit; the DuckDB oracle is a recursive CTE running the
+    identical recurrence (the BPE merge-replay pattern applied to a
+    numeric series).
+
+    Shape at 100 TB: one hash aggregate to the (user, day) grain,
+    then the fold runs SCAN-LOCAL per user over its sorted day array
+    (collect_list bounded by the key's date span — 30 here; for
+    multi-year spans the same recurrence moves to applyInPandas, the
+    plumbing grouped_robust_outliers already pins). No window, no
+    self-join, no driver state; output explodes back to the daily
+    grain shuffle-free."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    arr = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("dt", "n"))).alias("s")
+    )
+    folded = arr.select(
+        "user_id",
+        F.aggregate(
+            "s",
+            F.array().cast("array<struct<dt:date,n:bigint,e:bigint>>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["dt"].alias("dt"),
+                        x["n"].cast("long").alias("n"),
+                        F.when(F.size(acc) == 0, x["n"].cast("long"))
+                        .otherwise(
+                            F.shiftright(
+                                x["n"].cast("long")
+                                + F.element_at(acc, -1)["e"],
+                                1,
+                            )
+                        )
+                        .alias("e"),
+                    )
+                ),
+            ),
+        ).alias("es"),
+    )
+    ex = folded.select("user_id", F.explode("es").alias("s"))
+    return ex.select(
+        "user_id",
+        F.col("s.dt").alias("dt"),
+        F.col("s.n").alias("n_events"),
+        F.col("s.e").alias("ewma"),
+    )
