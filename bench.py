@@ -147,6 +147,7 @@ HEADLINE = [
     "timeseries_gap_fill",        # dense spine + LOCF forward fill
     "map_functions_surface",      # MapType build/filter/zip roundtrip
     "ewma_user_activity",         # integer EWMA recurrence fold
+    "negative_sampling_pairs",    # hash-drawn contrastive negatives
 ]
 
 

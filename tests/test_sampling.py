@@ -210,3 +210,22 @@ def test_mixture_epochs_sub_one_equals_rate_sampling(spark, corpus):
         r["doc_id"] for r in sampled.collect()
     )
     assert mixed.filter(F.col("epoch_i") != 1).count() == 0
+
+
+def test_negative_sampling_properties(spark, sf_dir):
+    """Every anchor gets exactly k negatives, never itself, all valid
+    ids, and the draw is reproducible."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["negative_sampling_pairs"]
+    rows = q(spark, sf_dir).collect()
+    n_docs = max(r.anchor_id for r in rows) + 1
+    per_anchor = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert 0 <= r.neg_id < n_docs
+        per_anchor.setdefault(r.anchor_id, set()).add(r.j)
+    assert all(js == {0, 1, 2, 3} for js in per_anchor.values())
+    assert len(per_anchor) == n_docs
+    again = {(r.anchor_id, r.j, r.neg_id) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.anchor_id, r.j, r.neg_id) for r in rows}

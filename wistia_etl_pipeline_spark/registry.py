@@ -7561,3 +7561,87 @@ def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n").alias("n_events"),
         F.col("s.e").alias("ewma"),
     )
+
+
+_NEG_K = 4
+
+_NEG_SAMPLING_ORACLE = f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    pairs AS (
+        SELECT d.doc_id AS anchor_id, js.j,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':neg'
+                                   || js.j), 1, 15))::BIGINT
+                   % (n.n - 1) AS raw
+        FROM documents d,
+             (SELECT unnest([{", ".join(str(j) for j in range(_NEG_K))}])
+                     AS j) js,
+             n
+    ),
+    neg AS (
+        SELECT anchor_id, j,
+               CASE WHEN raw >= anchor_id THEN raw + 1 ELSE raw END AS neg_id
+        FROM pairs
+    )
+    SELECT neg.anchor_id, CAST(neg.j AS BIGINT) AS j, neg.neg_id,
+           d.source AS neg_source
+    FROM neg JOIN documents d ON d.doc_id = neg.neg_id
+"""
+
+
+@query("negative_sampling_pairs", oracle=_NEG_SAMPLING_ORACLE)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive training: every
+    document gets k=4 uniform negatives drawn by hash — self-exclusion
+    is EXACT, not rejection-sampled (draw over n−1 slots, shift slots
+    at-or-past the anchor by one), so the sample is reproducible
+    across engines, partitionings, and reruns, and every anchor gets
+    exactly k rows (rejection loops can't promise either). Relies on
+    dense ids (the corpus guarantees 0..n−1; in general, densify once
+    with a row_number and keep the mapping).
+
+    Shape at 100 TB: generation is a zero-shuffle explode (k rows per
+    anchor, ids computed arithmetically — no shuffle, no RNG state, no
+    sampling join); the only exchange is the equi join that resolves
+    negative ids to their rows — corpus-keyed, uniform, and exactly
+    the join a feature-fetch would do anyway. The corpus count is the
+    single driver-side scalar (O(1), the IVF-centroid budget)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # one O(1) scalar: the corpus cardinality the modulus needs
+    n = docs.count()
+    pairs = docs.select(F.col("doc_id").alias("anchor_id")).select(
+        "anchor_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_NEG_K - 1))
+        ).alias("j"),
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":neg"),
+                        F.col("j"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n - 1)
+    )
+    neg = pairs.withColumn("raw", raw).select(
+        "anchor_id",
+        F.col("j").cast("long").alias("j"),
+        F.when(F.col("raw") >= F.col("anchor_id"), F.col("raw") + 1)
+        .otherwise(F.col("raw"))
+        .alias("neg_id"),
+    )
+    lookup = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return neg.join(lookup, "neg_id").select(
+        "anchor_id", "j", "neg_id", "neg_source"
+    )
