@@ -473,3 +473,37 @@ def test_pareto_frontier_windows_only_the_aggregated_points(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_window_is_per_document(spark, sf_dir):
+    """The CDC cumulative-boundary window must be partitioned (by doc)
+    — a global window here would serialize the corpus through one
+    task."""
+    df = entry.queries()["cdc_shared_passages"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "windowspecdefinition" in m.group(0)
+    # every Window node partitions on the doc key (no empty PARTITION BY)
+    assert "Window [" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition(__id" in analyzed or "windowspecdefinition('__id" in analyzed
+
+
+def test_ssjoin_blocks_on_tokens_no_bnl(spark, sf_dir):
+    """Candidate generation must be an equi join on prefix tokens with
+    the size-ratio residual — never a nested-loop/cartesian pairing."""
+    df = entry.queries()["ssjoin_prefix_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """Each PageRank round must read the edge+degree frame from the
+    persisted copy (InMemoryTableScan), not re-mine the MinHash pairs
+    three times."""
+    df = entry.queries()["pagerank_dup_graph"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan

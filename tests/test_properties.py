@@ -150,3 +150,95 @@ def test_upsert_idempotent_property(spark):
         merged = dict(map(tuple, once.collect()))
         for r in sdf.collect():
             assert merged[r.k] == r.v
+
+
+# ---- CDC chunking invariants (pure-Python replica of the boundary
+# rule; the Spark twin is pinned by test_dedupe_functions) ----
+
+def _cdc_python(text: str, divisor: int = 8) -> list[list[str]]:
+    import hashlib
+
+    toks = " ".join(text.lower().split()).split()
+    if not toks or not text.strip():
+        return []
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        h = int(hashlib.md5(f"{t}:cdc".encode()).hexdigest()[:15], 16)
+        if h % divisor == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+_words = st.lists(
+    st.sampled_from("alpha beta gamma delta eps zeta eta theta iota kap".split()),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(a=_words, b=_words, c=_words)
+@settings(max_examples=60, deadline=None)
+def test_cdc_interior_chunks_align_across_contexts(a, b, c):
+    """Content definedness: the chunks of passage c embedded after any
+    prefix are a SUFFIX-stable function of c — the chunk lists of
+    (a + c) and (b + c) agree on every chunk that starts after the
+    last boundary of the differing prefixes. Weak form that is true
+    for ANY prefix pair: the multiset of FULLY-INTERIOR chunks of c
+    (those not containing c's first token run up to its first
+    boundary) appears in both."""
+    ca = _cdc_python(" ".join(a + c))
+    cb = _cdc_python(" ".join(b + c))
+    if not c:
+        return
+    # chunks lying entirely within c, skipping c's possibly
+    # prefix-contaminated first chunk: everything after c's first
+    # boundary is reproduced identically in both embeddings
+    inner = _cdc_python(" ".join(c))[1:]
+    sa = ["\x01".join(ch) for ch in ca]
+    sb = ["\x01".join(ch) for ch in cb]
+    for ch in inner:
+        key = "\x01".join(ch)
+        assert key in sa and key in sb
+
+
+@given(words=_words)
+@settings(max_examples=60, deadline=None)
+def test_cdc_chunks_tile_the_document(words):
+    """Chunks partition the token stream: concatenating them restores
+    the normalized document exactly."""
+    text = " ".join(words)
+    flat = [t for ch in _cdc_python(text) for t in ch]
+    assert flat == " ".join(text.lower().split()).split()
+
+
+# ---- prefix-filter completeness: the pigeonhole argument, checked
+# exhaustively on random small universes ----
+
+@given(
+    qa=st.lists(st.integers(0, 25), min_size=1, max_size=12),
+    cb=st.lists(st.integers(0, 25), min_size=1, max_size=12),
+    tau=st.sampled_from([(1, 2), (3, 5), (4, 5), (9, 10)]),
+)
+@settings(max_examples=120, deadline=None)
+def test_prefix_filter_never_loses_a_qualifying_pair(qa, cb, tau):
+    """For any global order and any pair with Jaccard >= tau, the
+    tau-prefixes (n - ceil(tau*n) + 1 rarest tokens of each side)
+    must intersect — the candidate-generation completeness the join
+    relies on. Exercised on random sets against the same integer
+    ceil used by the engine and oracle."""
+    num, den = tau
+    A, B = set(qa), set(cb)
+    inter, uni = len(A & B), len(A | B)
+    if den * inter < num * uni:
+        return
+    # global rarity order: plain integer order stands in for (df, tok)
+    def prefix(s):
+        n = len(s)
+        keep = n - ((num * n + den - 1) // den) + 1
+        return set(sorted(s)[:keep])
+
+    assert prefix(A) & prefix(B)
