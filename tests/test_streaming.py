@@ -519,3 +519,82 @@ def test_streaming_incremental_curation_against_txlog_history(spark, tmp_path):
     assert set(final) == {1, 2, 11, 12}  # 10 blocked by history dedup
     # history grew append-only: version count advanced, nothing rewritten
     assert len(table.versions()) == 2
+
+
+def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an impression with no purchase
+    inside the interval must eventually emit with NULL purchase
+    columns — but only once the watermark proves no match can still
+    arrive (the outer-null row is a STATE-EVICTION byproduct, which is
+    why unwatermarked outer joins are rejected at 100 TB: the null can
+    never be emitted safely). The eviction needs TWO later batches:
+    one whose data advances the watermark, and one that runs WITH the
+    advanced watermark — replayed here as three availableNow passes
+    over one checkpoint with files arriving between them."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    imp_dir, pur_dir = str(tmp_path / "imp"), str(tmp_path / "pur")
+    os.makedirs(imp_dir); os.makedirs(pur_dir)
+    with open(os.path.join(imp_dir, "a.json"), "w") as f:
+        f.write(_json.dumps({"user": "u0", "imp_id": "i0",
+                             "imp_at": "2024-01-01T01:00:00Z"}) + "\n")
+        f.write(_json.dumps({"user": "u1", "imp_id": "i1",
+                             "imp_at": "2024-01-01T01:00:00Z"}) + "\n")
+    with open(os.path.join(pur_dir, "b.json"), "w") as f:
+        f.write(_json.dumps({"user": "u0", "pur_id": "p0",
+                             "pur_at": "2024-01-01T01:30:00Z"}) + "\n")
+
+    imps = (spark.readStream.schema("user string, imp_id string, imp_at string")
+            .json(imp_dir)
+            .withColumn("imp_at", F.to_timestamp("imp_at"))
+            .withWatermark("imp_at", "1 hour"))
+    purs = (spark.readStream.schema("user string, pur_id string, pur_at string")
+            .json(pur_dir)
+            .withColumn("pur_at", F.to_timestamp("pur_at"))
+            .withWatermark("pur_at", "1 hour"))
+    joined = imps.join(
+        purs,
+        (imps.user == purs.user)
+        & (purs.pur_at >= imps.imp_at)
+        & (purs.pur_at <= imps.imp_at + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(imps.user, "imp_id", "pur_id")
+
+    out = str(tmp_path / "out")
+
+    def run_pass():
+        q = (joined.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def emitted():
+        return {(r.user, r.imp_id, r.pur_id)
+                for r in spark.read.parquet(out).collect()}
+
+    run_pass()
+    assert emitted() == {("u0", "i0", "p0")}  # i1 still held in state
+
+    # late sentinels advance BOTH watermarks far past i1's interval...
+    with open(os.path.join(pur_dir, "c.json"), "w") as f:
+        f.write(_json.dumps({"user": "zz", "pur_id": "px",
+                             "pur_at": "2024-01-01T12:00:00Z"}) + "\n")
+    with open(os.path.join(imp_dir, "d.json"), "w") as f:
+        f.write(_json.dumps({"user": "zz", "imp_id": "ix",
+                             "imp_at": "2024-01-01T12:00:00Z"}) + "\n")
+    run_pass()
+
+    # ...and a further batch runs WITH the advanced watermark,
+    # releasing the unmatched impression as an outer-null row
+    with open(os.path.join(pur_dir, "e.json"), "w") as f:
+        f.write(_json.dumps({"user": "zz", "pur_id": "py",
+                             "pur_at": "2024-01-01T12:01:00Z"}) + "\n")
+    run_pass()
+
+    rows = emitted()
+    assert ("u0", "i0", "p0") in rows
+    assert ("u1", "i1", None) in rows  # the watermark-released null row
