@@ -148,6 +148,8 @@ HEADLINE = [
     "map_functions_surface",      # MapType build/filter/zip roundtrip
     "ewma_user_activity",         # integer EWMA recurrence fold
     "negative_sampling_pairs",    # hash-drawn contrastive negatives
+    "data_quality_suite",         # compound: fk/dup/profile/gaps, 1 hash
+    "doc_feature_hashing",        # hashing-trick sparse vectorizer
 ]
 
 

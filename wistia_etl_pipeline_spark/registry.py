@@ -7645,3 +7645,266 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.join(lookup, "neg_id").select(
         "anchor_id", "j", "neg_id", "neg_source"
     )
+
+
+def _dq_suite_oracle() -> str:
+    fk = " UNION ALL ".join(
+        f"""
+        SELECT 'fk' AS component, '{ct}.{ck}->{pt}' AS k1, m.k2,
+               CASE m.k2
+                    WHEN 'n_child' THEN (SELECT COUNT(*) FROM {ct})
+                    WHEN 'n_orphans' THEN
+                        (SELECT COUNT(*) FROM {ct} c
+                         WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                                           WHERE p.{pk} = c.{ck}))
+                    WHEN 'n_parents' THEN (SELECT COUNT(*) FROM {pt})
+                    ELSE (SELECT COUNT(*) FROM {pt} p
+                          WHERE NOT EXISTS (SELECT 1 FROM {ct} c
+                                            WHERE c.{ck} = p.{pk}))
+               END AS v_int
+        FROM (SELECT unnest(['n_child','n_orphans','n_parents',
+                             'n_childless']) AS k2) m
+        """
+        for ct, ck, pt, pk in _FK_RELATIONS
+    )
+    prof = " UNION ALL ".join(
+        f"""
+        SELECT 'profile', '{c}', m.k2,
+               CASE m.k2 WHEN 'n_nonnull' THEN COUNT({c})
+                    WHEN 'n_null' THEN COUNT(CASE WHEN {c} IS NULL THEN 1 END)
+                    ELSE COUNT(DISTINCT {c}) END
+        FROM events,
+             (SELECT unnest(['n_nonnull','n_null','n_distinct']) AS k2) m
+        GROUP BY m.k2
+        """
+        for c in _PROFILE_COLS
+    )
+    return rf"""
+    WITH dup AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5({_NORM})) AS n_unique
+        FROM documents GROUP BY source
+    ),
+    gf AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        FROM events WHERE value > 150.0 GROUP BY 1, 2
+    ),
+    gb AS (SELECT user_id, MIN(dt) AS d0, MAX(dt) AS d1 FROM gf GROUP BY 1),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dt
+        FROM gb
+    ),
+    gj AS (
+        SELECT s.user_id, s.dt, f.n
+        FROM spine s LEFT JOIN gf f
+          ON f.user_id = s.user_id AND f.dt = s.dt
+    )
+    SELECT component, k1, k2, CAST(v_int AS BIGINT) AS v_int FROM (
+        {fk}
+        UNION ALL
+        SELECT 'source_dup', source, m.k2,
+               CASE m.k2 WHEN 'n_docs' THEN n_docs
+                    WHEN 'n_unique' THEN n_unique
+                    ELSE ((n_docs - n_unique) * 1000000) // n_docs END
+        FROM dup, (SELECT unnest(['n_docs','n_unique','dup_rate_micro'])
+                   AS k2) m
+        UNION ALL
+        {prof}
+        UNION ALL
+        SELECT 'gapfill', '', m.k2,
+               CASE m.k2 WHEN 'n_rows' THEN (SELECT COUNT(*) FROM gj)
+                    WHEN 'n_gaps' THEN
+                        (SELECT COUNT(*) FROM gj WHERE n IS NULL)
+                    ELSE (SELECT COUNT(DISTINCT user_id) FROM gj) END
+        FROM (SELECT unnest(['n_rows','n_gaps','n_series']) AS k2) m
+    )
+    """
+
+
+@query("data_quality_suite", oracle=_dq_suite_oracle())
+def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound DATA-QUALITY suite — the pre-promotion gate report as
+    ONE hash in long format (component, k1, k2, v_int): referential
+    integrity for all four FK relations (orphans + childless), per-
+    source duplicate rates, the six-column event profile, and the
+    sparse-series gap census. Exists so the whole quality family can
+    hold a single driver-window row (the rank_set_suite pattern); the
+    standalone variants stay registered for plan tests and sweeps.
+
+    Shape at 100 TB: every section is the already-audited scale shape
+    of its standalone query (per-key-count full-outer joins, one-scan
+    stacked profile, hash-keyed dup aggregate, per-key spine); the
+    suite just unions their long forms — no new shuffle topology."""
+    from .functions.profiling import fk_audit, profile_columns
+    from .functions.text import fingerprint_md5
+
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+
+    parts = []
+    for ct, ck, pt, pk in _FK_RELATIONS:
+        row = fk_audit(
+            load_table(spark, sf_dir, ct), ck,
+            load_table(spark, sf_dir, pt), pk, f"{ct}.{ck}->{pt}",
+        )
+        parts.append(
+            row.unpivot(
+                ids="relation",
+                values=["n_child", "n_orphans", "n_parents", "n_childless"],
+                variableColumnName="k2",
+                valueColumnName="v_int",
+            ).select(
+                F.lit("fk").alias("component"),
+                F.col("relation").alias("k1"),
+                "k2",
+                F.col("v_int").cast("long"),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = (
+        docs.select("source", fingerprint_md5(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate_micro",
+            F.expr("((n_docs - n_unique) * CAST(1000000 AS BIGINT)) div n_docs"),
+        )
+    )
+    parts.append(
+        dup.unpivot(
+            ids="source",
+            values=["n_docs", "n_unique", "dup_rate_micro"],
+            variableColumnName="k2",
+            valueColumnName="v_int",
+        ).select(
+            F.lit("source_dup").alias("component"),
+            F.col("source").alias("k1"),
+            "k2",
+            F.col("v_int").cast("long"),
+        )
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    prof = profile_columns(events, _PROFILE_COLS)
+    parts.append(
+        prof.unpivot(
+            ids="column_name",
+            values=["n_nonnull", "n_null", "n_distinct"],
+            variableColumnName="k2",
+            valueColumnName="v_int",
+        ).select(
+            F.lit("profile").alias("component"),
+            F.col("column_name").alias("k1"),
+            "k2",
+            F.col("v_int").cast("long"),
+        )
+    )
+
+    gf = timeseries_gap_fill(spark, sf_dir)
+    gap = gf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_gap").alias("n_gaps"),
+        F.count_distinct("user_id").alias("n_series"),
+    )
+    parts.append(
+        gap.unpivot(
+            ids=[],
+            values=["n_rows", "n_gaps", "n_series"],
+            variableColumnName="k2",
+            valueColumnName="v_int",
+        ).select(
+            F.lit("gapfill").alias("component"),
+            F.lit("").alias("k1"),
+            "k2",
+            F.col("v_int").cast("long"),
+        )
+    )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_FH_DIMS = 64
+
+_FEATURE_HASH_ORACLE = rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array({_NORM}, '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok || ':fh'), 1, 15))::BIGINT
+                   % {_FH_DIMS} AS dim,
+               CASE WHEN ('0x' || substr(md5(tok || ':fhsign'), 1, 15))::BIGINT
+                         % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM tok
+    )
+    SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, dim
+    HAVING SUM(sgn) <> 0
+"""
+
+
+@query("doc_feature_hashing", oracle=_FEATURE_HASH_ORACLE)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009):
+    every document becomes a fixed-width sparse integer vector with NO
+    vocabulary pass — token → md5 dimension in [0, 64), a second hash
+    picks the ±1 sign (signed sums keep collisions unbiased in
+    expectation), weights are signed token counts, zero dims dropped.
+    This is the model-free text vectorizer that bridges the text and
+    embedding families: its output feeds the same cosine / LSH / 
+    clustering operators the float embeddings use, and two documents'
+    hashed vectors agree exactly iff their token multisets do.
+
+    Shape at 100 TB: explode → one hash aggregate on (doc, dim) with
+    map-side partials — the vectorizer is a pure streaming aggregation
+    with NO vocabulary table, no fit step, no join (the whole point of
+    the trick vs count-vectorizers: new tokens never change the
+    schema). Output is bounded by |docs|·dims."""
+    from .functions.dedupe import fan_out
+    from .functions.text import normalize_text, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(tokens(normalize_text(F.col("text")))).alias("tok"),
+        )
+    )
+    h = tok.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("tok"), F.lit(":fh"))), 1, 15),
+                16, 10,
+            ).cast("long")
+            % _FH_DIMS
+        ).alias("dim"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit(":fhsign"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
