@@ -150,6 +150,8 @@ HEADLINE = [
     "negative_sampling_pairs",    # hash-drawn contrastive negatives
     "data_quality_suite",         # compound: fk/dup/profile/gaps, 1 hash
     "doc_feature_hashing",        # hashing-trick sparse vectorizer
+    "frequent_token_pairs",       # a-priori pruned pair itemsets
+    "incremental_join_view",      # join-view IVM delta rule
 ]
 
 

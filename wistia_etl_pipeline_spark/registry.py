@@ -7908,3 +7908,151 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+#: relative support: 8% of eligible docs (integer ceil) — an absolute
+#: threshold silently degrades to "everything is frequent" at larger
+#: SFs; relative keeps the prune semantics at every scale
+_FIM_SUPPORT_NUM, _FIM_SUPPORT_DEN = 8, 100
+
+_FREQ_PAIRS_ORACLE = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    item AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    ms AS (
+        SELECT ({_FIM_SUPPORT_NUM} * COUNT(*) + {_FIM_SUPPORT_DEN - 1})
+               // {_FIM_SUPPORT_DEN} AS v
+        FROM t
+    ),
+    freq AS (
+        SELECT tok FROM item GROUP BY tok
+        HAVING COUNT(*) >= (SELECT v FROM ms)
+    ),
+    fitem AS (
+        SELECT i.doc_id, i.tok FROM item i JOIN freq f ON f.tok = i.tok
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS tok_a, b.tok AS tok_b
+        FROM fitem a JOIN fitem b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY tok_a, tok_b
+    HAVING COUNT(*) >= (SELECT v FROM ms)
+"""
+
+
+@query("frequent_token_pairs", oracle=_FREQ_PAIRS_ORACLE)
+def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENT-ITEMSET MINING at the pair level with A-PRIORI pruning
+    (Agrawal & Srikant 1994): token pairs co-occurring in ≥ 8% of
+    documents (integer-ceil relative support — absolute thresholds
+    silently stop pruning as the corpus grows), where candidate pairs are generated ONLY among tokens
+    individually frequent — the downward-closure property guarantees
+    no frequent pair is lost (a pair's support is ≤ either member's),
+    while the prune bounds the per-document pair blow-up to the
+    frequent-item subset. The collocation counterpart to PMI bigrams:
+    PMI ranks ADJACENT sequence pairs; this counts UNORDERED
+    co-occurrence anywhere in the document.
+
+    Shape at 100 TB: item support is one hash aggregate; the prune is
+    a semi-shaped join against the frequent-token set; pair generation
+    is a per-document self-join on doc_id whose fan-out is bounded by
+    each document's FREQUENT-token count (the a-priori bound — on a
+    heavy-tailed real vocabulary most tokens are pruned before
+    pairing); final support is one hash aggregate on the pair key.
+    The support scalar is one O(1) driver count."""
+    from .functions.dedupe import fan_out
+    from .functions.text import normalize_text, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    item = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(tokens(normalize_text(F.col("text"))))
+            ).alias("tok"),
+        )
+    )
+    n_docs = docs.filter(F.length(F.trim(F.col("text"))) > 0).count()
+    min_support = (
+        _FIM_SUPPORT_NUM * n_docs + _FIM_SUPPORT_DEN - 1
+    ) // _FIM_SUPPORT_DEN
+    freq = (
+        item.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_support)
+        .select("tok")
+    )
+    fitem = item.join(freq, "tok")
+    a = fitem.select("doc_id", F.col("tok").alias("tok_a"))
+    b = fitem.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("tok_a") < F.col("tok_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+_IVM_JOIN_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6)))
+                      AS DOUBLE), 6) AS revenue_sum
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("incremental_join_view", oracle=_IVM_JOIN_ORACLE)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for a JOIN view (the delta rule:
+    Δ(O ⋈ C) = ΔO ⋈ C_prev ∪ O_prev ⋈ ΔC ∪ ΔO ⋈ ΔC) — the companion
+    to incremental_gold_maintenance, which maintains AGGREGATE state:
+    here BOTH base tables grow in batches (orders and customers each
+    split into 3 deterministic deltas), the join view accumulates only
+    delta joins, and no batch ever re-joins the full accumulated
+    history against itself. The oracle is the from-scratch join — the
+    hash match proves the delta decomposition exhaustive and disjoint
+    (miss a term and rows vanish; overlap terms and rows double).
+
+    Shape at 100 TB: each maintenance step joins a BATCH-sized delta
+    against the accumulated other side (and delta×delta) — the
+    standard IVM cost model where per-batch work is O(|Δ| join
+    matches), never O(|history|²); the final rollup is one hash
+    aggregate. At real scale the accumulated sides live in the txlog
+    table and each delta join prunes by key-range file skipping."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    view = None
+    o_prev = None
+    c_prev = None
+    for i in range(3):
+        d_o = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i)
+        d_c = customer.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == i)
+        deltas = d_o.join(d_c, d_o.o_custkey == d_c.c_custkey)
+        if o_prev is not None:
+            deltas = deltas.unionByName(
+                d_o.join(c_prev, d_o.o_custkey == c_prev.c_custkey)
+            ).unionByName(
+                o_prev.join(d_c, o_prev.o_custkey == d_c.c_custkey)
+            )
+        view = deltas if view is None else view.unionByName(deltas)
+        o_prev = d_o if o_prev is None else o_prev.unionByName(d_o)
+        c_prev = d_c if c_prev is None else c_prev.unionByName(d_c)
+    return view.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double"),
+            6,
+        ).alias("revenue_sum"),
+    )
