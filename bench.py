@@ -152,6 +152,7 @@ HEADLINE = [
     "doc_feature_hashing",        # hashing-trick sparse vectorizer
     "frequent_token_pairs",       # a-priori pruned pair itemsets
     "incremental_join_view",      # join-view IVM delta rule
+    "span_corruption_layout",     # T5 denoising mask layout
 ]
 
 

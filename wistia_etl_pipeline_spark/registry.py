@@ -8056,3 +8056,194 @@ def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_sum"),
     )
+
+
+_SC_RATE_DEN = 10  # a span starts at ~10% of eligible positions
+_SC_SPAN_LEN = 3
+
+_SPAN_CORRUPTION_ORACLE = rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    n AS (SELECT doc_id, len(toks) AS n FROM t),
+    pos AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+               unnest(toks) AS tok
+        FROM t
+    ),
+    rec AS (
+        SELECT t.doc_id, 0 AS p,
+               CASE WHEN s THEN {_SC_SPAN_LEN - 1} ELSE 0 END AS rem,
+               CASE WHEN s THEN 1 ELSE 0 END AS k,
+               CASE WHEN s THEN 0 ELSE -1 END AS label
+        FROM t, LATERAL (
+            SELECT ('0x' || substr(md5(t.doc_id || ':0:sc'), 1, 15))::BIGINT
+                   % {_SC_RATE_DEN} = 0 AS s
+        ) q
+        UNION ALL
+        SELECT r.doc_id, r.p + 1,
+               CASE WHEN r.rem > 0 THEN r.rem - 1
+                    WHEN q.s THEN {_SC_SPAN_LEN - 1} ELSE 0 END,
+               r.k + CASE WHEN r.rem = 0 AND q.s THEN 1 ELSE 0 END,
+               CASE WHEN r.rem > 0 THEN -2
+                    WHEN q.s THEN r.k ELSE -1 END
+        FROM rec r
+        JOIN n ON n.doc_id = r.doc_id AND r.p + 1 < n.n,
+        LATERAL (
+            SELECT ('0x' || substr(md5(r.doc_id || ':' || (r.p + 1)
+                                       || ':sc'), 1, 15))::BIGINT
+                   % {_SC_RATE_DEN} = 0 AS s
+        ) q
+    ),
+    lab AS (
+        SELECT pos.doc_id, pos.p, pos.tok, rec.label
+        FROM pos JOIN rec ON rec.doc_id = pos.doc_id AND rec.p = pos.p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (label >= 0) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (label <> -1) AS BIGINT) AS n_masked,
+           COALESCE(string_agg(
+               CASE WHEN label = -1 THEN tok
+                    WHEN label >= 0 THEN '<X' || label || '>' END,
+               ' ' ORDER BY p), '') AS input_text,
+           COALESCE(string_agg(
+               CASE WHEN label >= 0 THEN '<X' || label || '> ' || tok
+                    WHEN label = -2 THEN tok END,
+               ' ' ORDER BY p), '') AS target_text
+    FROM lab GROUP BY doc_id
+"""
+
+
+@query("span_corruption_layout", oracle=_SPAN_CORRUPTION_ORACLE)
+def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-SUPERVISED SPAN-CORRUPTION layout (the T5 denoising
+    objective's data prep, Raffel et al. 2020): ~10% of token
+    positions open a 3-token mask span (spans never overlap — a
+    position inside an active span cannot start a new one, which makes
+    the rule SEQUENTIAL, not per-row), the input text replaces each
+    span with a <Xk> sentinel, and the target lists each sentinel
+    followed by the tokens it hides. Span starts are md5-drawn per
+    (doc, position), so the corruption is reproducible end-to-end —
+    the property that lets a training run resume mid-corpus and a
+    debugging session reproduce any example byte-for-byte.
+
+    The sequential state (remaining-span-length, next-sentinel-id)
+    rides a scan-local integer array fold per document — the EWMA
+    recurrence pattern applied to a labeling automaton — and the
+    oracle replays the identical automaton as a recursive CTE, then
+    both engines rebuild the exact input/target STRINGS, compared
+    byte-for-byte.
+
+    Shape at 100 TB: zero joins, zero windows — one fold and two
+    array rebuilds per row, all scan-local; the only exchange is
+    whatever the sink needs. Fold cost is O(tokens) per doc."""
+    from .functions.dedupe import fan_out
+    from .functions.text import normalize_text, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+
+    def _start(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                            F.lit(":sc"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _SC_RATE_DEN
+            == 0
+        )
+
+    acc0 = F.struct(
+        F.array().cast("array<int>").alias("labels"),
+        F.lit(0).alias("rem"),
+        F.lit(0).alias("k"),
+    )
+    folded = base.withColumn(
+        "st",
+        F.aggregate(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            acc0,
+            lambda acc, i: F.struct(
+                F.concat(
+                    acc["labels"],
+                    F.array(
+                        F.when(acc["rem"] > 0, F.lit(-2))
+                        .when(_start(i), acc["k"])
+                        .otherwise(F.lit(-1))
+                        .cast("int")
+                    ),
+                ).alias("labels"),
+                F.when(acc["rem"] > 0, acc["rem"] - 1)
+                .when(_start(i), F.lit(_SC_SPAN_LEN - 1))
+                .otherwise(F.lit(0))
+                .alias("rem"),
+                (
+                    acc["k"]
+                    + F.when((acc["rem"] == 0) & _start(i), 1).otherwise(0)
+                ).alias("k"),
+            ),
+        ),
+    )
+    z = folded.withColumn(
+        "zipped",
+        F.zip_with(
+            "toks",
+            F.col("st.labels"),
+            lambda t, l: F.struct(t.alias("tok"), l.alias("label")),
+        ),
+    )
+    return z.select(
+        "doc_id",
+        F.size(
+            F.filter("zipped", lambda s: s["label"] >= 0)
+        ).cast("long").alias("n_spans"),
+        F.size(
+            F.filter("zipped", lambda s: s["label"] != -1)
+        ).cast("long").alias("n_masked"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    "zipped",
+                    lambda s: F.when(s["label"] == -1, s["tok"]).when(
+                        s["label"] >= 0,
+                        F.concat(F.lit("<X"), s["label"].cast("string"), F.lit(">")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.transform(
+                    "zipped",
+                    lambda s: F.when(
+                        s["label"] >= 0,
+                        F.concat(
+                            F.lit("<X"),
+                            s["label"].cast("string"),
+                            F.lit("> "),
+                            s["tok"],
+                        ),
+                    ).when(s["label"] == -2, s["tok"]),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("target_text"),
+    )
