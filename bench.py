@@ -153,6 +153,7 @@ HEADLINE = [
     "frequent_token_pairs",       # a-priori pruned pair itemsets
     "incremental_join_view",      # join-view IVM delta rule
     "span_corruption_layout",     # T5 denoising mask layout
+    "key_skew_profile",           # pre-salting skew diagnosis report
 ]
 
 

@@ -598,3 +598,45 @@ def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_pat
     rows = emitted()
     assert ("u0", "i0", "p0") in rows
     assert ("u1", "i1", None) in rows  # the watermark-released null row
+
+
+def test_max_files_per_trigger_bounds_batch_size(spark, tmp_path):
+    """Backpressure: maxFilesPerTrigger=1 must split a 3-file backlog
+    into ≥3 micro-batches instead of one giant catch-up batch — the
+    operational control that keeps recovery from OOMing an executor
+    after downtime."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"f{i}.json"), "w") as f:
+            for j in range(5):
+                f.write(_json.dumps({"k": i * 5 + j}) + "\n")
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.withColumn("b", F.spark_partition_id() * 0)  # keep schema simple
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    batches_with_data = [
+        p for p in progress if p["numInputRows"] and p["numInputRows"] > 0
+    ]
+    assert len(batches_with_data) >= 3
+    assert all(p["numInputRows"] <= 5 for p in batches_with_data)
+    rows = spark.read.parquet(out).count()
+    assert rows == 15

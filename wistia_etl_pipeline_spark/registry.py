@@ -8247,3 +8247,58 @@ def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("target_text"),
     )
+
+
+_SKEW_ORACLE = """
+    WITH k AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_n
+        FROM k
+    )
+    SELECT k.user_id, CAST(k.n AS BIGINT) AS n_rows,
+           CAST((k.n * 1000000) // t.n_rows AS BIGINT) AS share_micro,
+           CAST((k.n * t.n_keys * 1000000) // t.n_rows AS BIGINT)
+               AS skew_ratio_micro
+    FROM k, tot t
+    ORDER BY k.n DESC, k.user_id LIMIT 10
+"""
+
+
+@query("key_skew_profile", oracle=_SKEW_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW DIAGNOSIS — the report you run BEFORE reaching for the
+    salted join/agg (gold_rollup_salted, salted_join_first_seen): the
+    top-10 heaviest join/grouping keys with their row share and skew
+    ratio (key count ÷ mean key count, micro units — 1e6 = perfectly
+    uniform). A skew ratio of 20× on one key is the signal that a
+    plain shuffle will straggle and the salting pattern pays for
+    itself; exact integers so the report is hash-stable.
+
+    Shape at 100 TB: per-key counts partial-aggregate map-side; the
+    totals row is a 3-scalar aggregate cross-joined as a broadcast
+    literal (1 row); top-10 is TakeOrderedAndProject — per-partition
+    heaps, never a global sort of the key space."""
+    events = load_table(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows_t"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(
+                "(n * CAST(1000000 AS BIGINT)) div n_rows_t"
+            ).alias("share_micro"),
+            F.expr(
+                "(n * n_keys * CAST(1000000 AS BIGINT)) div n_rows_t"
+            ).alias("skew_ratio_micro"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id"))
+        .limit(10)
+    )
