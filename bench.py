@@ -154,6 +154,8 @@ HEADLINE = [
     "incremental_join_view",      # join-view IVM delta rule
     "span_corruption_layout",     # T5 denoising mask layout
     "key_skew_profile",           # pre-salting skew diagnosis report
+    "langid_confusion_matrix",    # lang-id eval confusion matrix
+    "dedup_eval_metrics",         # minhash P/R vs exact ground truth
 ]
 
 

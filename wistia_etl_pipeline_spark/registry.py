@@ -8302,3 +8302,134 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({{pred}})
+    SELECT lang_declared, lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang_declared, lang_guess
+    """.replace("{pred}", _lang_id_oracle()),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-EVALUATION family: the CONFUSION MATRIX of the stopword
+    language-ID heuristic against the corpus's declared language —
+    (declared, predicted, count), the artifact that turns "we have a
+    lang-id filter" into "we know its error structure per language"
+    (which languages leak into which, where 'und' falls). Exact counts
+    ride the hash; the oracle composes the full scorer replay with the
+    aggregation, so a scorer regression OR an aggregation bug flips it.
+
+    Shape at 100 TB: the scorer is per-row scan-local expressions; the
+    matrix is one hash aggregate bounded by |langs|² + und."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy("lang_declared", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_DEDUP_EVAL_ORACLE = rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t,
+               md5({_NORM}) AS fp
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id, fp,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh])
+                for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pred AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    truth AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM base x JOIN base y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    ),
+    m AS (
+        SELECT COALESCE(p.a, t.a) AS a, COALESCE(p.b, t.b) AS b,
+               p.a IS NOT NULL AS in_pred, t.a IS NOT NULL AS in_truth
+        FROM pred p FULL OUTER JOIN truth t ON p.a = t.a AND p.b = t.b
+    ),
+    c AS (
+        SELECT COUNT(*) FILTER (in_pred AND in_truth) AS tp,
+               COUNT(*) FILTER (in_pred AND NOT in_truth) AS fp,
+               COUNT(*) FILTER (in_truth AND NOT in_pred) AS fn
+        FROM m
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+           CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_micro
+    FROM c
+"""
+
+
+@query("dedup_eval_metrics", oracle=_DEDUP_EVAL_ORACLE)
+def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-EVALUATION family, second member: PRECISION / RECALL of
+    the MinHash near-dup miner against the exact-duplicate ground
+    truth on the injected-dup corpus — the harness that turns "we run
+    LSH dedup" into "we know its operating point". Identical texts
+    produce identical signatures, so recall against exact truth should
+    be total (a miss is an LSH implementation bug — this query is a
+    standing regression tripwire for the banding math); precision < 1
+    is legitimate and MEASURED: it counts genuine near-dups (Jaccard
+    ≥ 0.8, not byte-identical) that exact truth doesn't contain.
+
+    Shape at 100 TB: both pair sets are blocked joins (band-key /
+    128-bit fp); the comparison is ONE full-outer join on the pair
+    key; metrics are a 1-row aggregate with integer-micro ratios."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.text import fingerprint_md5
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pred = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    fps = corpus.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+    x = fps.select(F.col("doc_id").alias("a"), "fp")
+    y = fps.select(F.col("doc_id").alias("b"), "fp")
+    truth = x.join(y, "fp").filter(F.col("a") < F.col("b")).select("a", "b")
+    m = (
+        pred.withColumn("__p", F.lit(1))
+        .join(truth.withColumn("__t", F.lit(1)), ["a", "b"], "full_outer")
+    )
+    c = m.agg(
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1))
+        .alias("tp"),
+        F.count(F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1))
+        .alias("fp"),
+        F.count(F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1))
+        .alias("fn"),
+    )
+    return c.select(
+        F.col("tp").cast("long"),
+        F.col("fp").cast("long"),
+        F.col("fn").cast("long"),
+        F.expr("(tp * CAST(1000000 AS BIGINT)) div (tp + fp)")
+        .alias("precision_micro"),
+        F.expr("(tp * CAST(1000000 AS BIGINT)) div (tp + fn)")
+        .alias("recall_micro"),
+    )
