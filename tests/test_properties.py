@@ -242,3 +242,69 @@ def test_prefix_filter_never_loses_a_qualifying_pair(qa, cb, tau):
         return set(sorted(s)[:keep])
 
     assert prefix(A) & prefix(B)
+
+
+# ---- span-corruption automaton: independent replica + invariants ----
+
+def _span_labels_python(doc_id: int, n: int, rate_den: int = 10,
+                        span_len: int = 3) -> list[int]:
+    """Independent (non-fold) implementation of the masking automaton:
+    -1 keep, k>=0 span start with sentinel id k, -2 continuation."""
+    import hashlib
+
+    labels, rem, k = [], 0, 0
+    for p in range(n):
+        h = int(hashlib.md5(f"{doc_id}:{p}:sc".encode()).hexdigest()[:15], 16)
+        start = h % rate_den == 0
+        if rem > 0:
+            labels.append(-2)
+            rem -= 1
+        elif start:
+            labels.append(k)
+            k += 1
+            rem = span_len - 1
+        else:
+            labels.append(-1)
+    return labels
+
+
+@given(doc_id=st.integers(0, 10_000), n=st.integers(0, 60))
+@settings(max_examples=100, deadline=None)
+def test_span_automaton_invariants(doc_id, n):
+    """Sentinel ids are consecutive from 0; spans never overlap (a
+    continuation only ever follows a start or another continuation);
+    every span has <= span_len positions; labels cover every
+    position."""
+    labels = _span_labels_python(doc_id, n)
+    assert len(labels) == n
+    seen = [l for l in labels if l >= 0]
+    assert seen == list(range(len(seen)))
+    run = 0
+    for l in labels:
+        if l >= 0:
+            run = 1
+        elif l == -2:
+            assert run >= 1, "continuation without an open span"
+            run += 1
+            assert run <= 3
+        else:
+            run = 0
+
+
+def test_span_query_matches_independent_automaton(spark, sf_dir):
+    """The fold-based engine labels must equal the independent Python
+    automaton, reconstructed from the emitted input/target strings."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["span_corruption_layout"](spark, sf_dir).collect()
+    import re as _re
+
+    for r in rows[:40]:
+        # n_spans from the strings must agree with the automaton run
+        # on the doc's token count (n_masked = masked positions)
+        n_tokens = r.n_masked + len(
+            [t for t in r.input_text.split() if not _re.fullmatch(r"<X\d+>", t)]
+        )
+        labels = _span_labels_python(r.doc_id, n_tokens)
+        assert r.n_spans == sum(1 for l in labels if l >= 0)
+        assert r.n_masked == sum(1 for l in labels if l != -1)
