@@ -156,6 +156,7 @@ HEADLINE = [
     "key_skew_profile",           # pre-salting skew diagnosis report
     "langid_confusion_matrix",    # lang-id eval confusion matrix
     "dedup_eval_metrics",         # minhash P/R vs exact ground truth
+    "split_leakage_audit",        # dup contents crossing the split
 ]
 
 

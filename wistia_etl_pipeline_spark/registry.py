@@ -8433,3 +8433,75 @@ def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(tp * CAST(1000000 AS BIGINT)) div (tp + fn)")
         .alias("recall_micro"),
     )
+
+
+_SPLIT_LEAKAGE_ORACLE = rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    s AS (
+        SELECT doc_id, md5({_NORM}) AS fp,
+               CASE WHEN ('0x' || substr(md5('wistia-split:'
+                              || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000 < 100
+                    THEN 'test' ELSE 'train' END AS split
+        FROM corpus
+    ),
+    g AS (
+        SELECT fp,
+               COUNT(*) FILTER (split = 'train') AS n_train,
+               COUNT(*) FILTER (split = 'test') AS n_test
+        FROM s GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) FILTER (n_train > 0 AND n_test > 0) AS BIGINT)
+               AS leaked_contents,
+           CAST(COALESCE(SUM(n_test) FILTER (n_train > 0 AND n_test > 0), 0)
+               AS BIGINT) AS leaked_test_docs,
+           CAST(COUNT(*) FILTER (n_train + n_test > 1
+                                 AND NOT (n_train > 0 AND n_test > 0))
+               AS BIGINT) AS contained_dup_contents,
+           CAST(COUNT(*) AS BIGINT) AS distinct_contents
+    FROM g
+"""
+
+
+@query("split_leakage_audit", oracle=_SPLIT_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEST-SET CONTAMINATION audit: content-identical documents
+    landing on BOTH sides of the hash split — the classic eval leak
+    (the split is by doc_id, duplicates have different ids, so each
+    copy draws independently and a duplicated content crosses the
+    boundary with prob 1−p²−q²). One row: leaked distinct contents,
+    leaked TEST docs (the rows whose eval scores are compromised),
+    duplicate contents fully contained in one side (dups that did NOT
+    leak — the benign fate, verified too), distinct contents total.
+    Run on the injected-dup corpus (the raw sf0.01 slice has zero
+    exact dups — measured, and a leak rule the data never fires is a
+    rule the hash never checks): every content has ≥2 ids, each
+    drawing its split independently, so ~18% of contents leak. The fix
+    this audit motivates is split-by-FINGERPRINT, not by id (or dedup
+    before splitting — corpus_curation_e2e's order).
+
+    Shape at 100 TB: fingerprint + split are scan-local expressions;
+    one hash aggregate on the 128-bit fp; one 1-row rollup."""
+    from .functions.text import dataset_split, fingerprint_md5
+
+    docs = dataset_split(
+        _dup_corpus(load_table(spark, sf_dir, "documents")), "doc_id"
+    ).select("split", fingerprint_md5(F.col("text")).alias("fp"))
+    g = docs.groupBy("fp").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+    )
+    leaked = F.col("n_train") > 0
+    both = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    return g.agg(
+        F.count(F.when(both, 1)).cast("long").alias("leaked_contents"),
+        F.coalesce(F.sum(F.when(both, F.col("n_test"))), F.lit(0))
+        .cast("long")
+        .alias("leaked_test_docs"),
+        F.count(
+            F.when((F.col("n_train") + F.col("n_test") > 1) & ~both, 1)
+        )
+        .cast("long")
+        .alias("contained_dup_contents"),
+        F.count(F.lit(1)).cast("long").alias("distinct_contents"),
+    )
