@@ -157,6 +157,7 @@ HEADLINE = [
     "langid_confusion_matrix",    # lang-id eval confusion matrix
     "dedup_eval_metrics",         # minhash P/R vs exact ground truth
     "split_leakage_audit",        # dup contents crossing the split
+    "customer_rfm_segments",      # quintile RFM warehouse scoring
 ]
 
 

@@ -8505,3 +8505,95 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("contained_dup_contents"),
         F.count(F.lit(1)).cast("long").alias("distinct_contents"),
     )
+
+
+_RFM_ORACLE = """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day',
+                    CAST(MAX(o_orderdate) AS DATE),
+                    (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                          AS DOUBLE), 6) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+        FROM base
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+    FROM scored
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic warehouse customer scoring:
+    recency (days since last order, vs the corpus max date), frequency
+    (order count), monetary (DECIMAL-routed revenue), each quintiled
+    into 1-5 scores (NTILE over a TOTAL order — metric + custkey
+    tiebreak, determinism rule: every ntile needs a unique sort) and
+    composed into the 3-digit RFM code marketing segments key on.
+
+    Shape at 100 TB: the base is one hash aggregate per customer; the
+    corpus max-date is a 1-row broadcast scalar; the three NTILEs are
+    GLOBAL windows over the CUSTOMER-grain table — key-cardinality
+    data, not order-grain (the same bounded-global-window budget as
+    the skyline's point table; for a billion-customer table the
+    quantile boundaries would come from approx_percentile instead,
+    trading the exact quintile split for full parallelism)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__maxd")
+    )
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("__maxd"), F.col("__last"))
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long"),
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
