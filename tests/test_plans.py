@@ -507,3 +507,33 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """VERDICT r4 #5: prove AQE's OptimizeSkewedJoin actually fires on
+    the engine's deliberately skewed join — the runtime alternative to
+    the manual salted paths. The pin requires the EXECUTED adaptive
+    plan to carry the skew markers; lessons encoded in the query body:
+    the non-skewed side must be a plain shuffle stage (aggregates in
+    between block partition duplication), and the skewed side needs >1
+    mapper (splits are [startMapIndex, endMapIndex) ranges)."""
+    from wistia_etl_pipeline_spark import registry
+
+    df = registry._QUERIES["aqe_skew_join_rollup"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    assert "skewed" in plan  # AQEShuffleRead ... skewed
+    # and the session's defaults were NOT left lowered for the next
+    # query: apply_runtime_confs resets the demo's threshold overrides
+    from wistia_etl_pipeline_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        == "256m"
+    )

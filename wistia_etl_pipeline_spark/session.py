@@ -45,6 +45,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # Advisory only (AQE coalesces down); sized so a 100 TB shuffle stage
     # still produces ~128 MB post-coalesce partitions.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    # Skew-join thresholds pinned to Spark defaults so a query that
+    # lowers them to demonstrate runtime skew-splitting at test SF
+    # (``aqe_skew_join_rollup``) cannot leak its overrides into the
+    # next query — apply_runtime_confs resets them on every build.
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
 }
 
 
