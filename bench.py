@@ -158,6 +158,31 @@ HEADLINE = [
     "dedup_eval_metrics",         # minhash P/R vs exact ground truth
     "split_leakage_audit",        # dup contents crossing the split
     "customer_rfm_segments",      # quintile RFM warehouse scoring
+    # ---- r5: full-registry coverage (VERDICT r4 #7) ----
+    "customer_rfm_boundaries",    # approx-percentile RFM scale path
+    "streaming_gold_rollup",      # multi-batch streaming rollup + merge sink
+    "aqe_skew_join_rollup",       # adaptive skew-split SMJ demo
+    "pipeline_e2e_gold",          # flagship reference e2e (writes + resume)
+    "canary_window_nulls",        # null-order determinism canary
+    "canary_sum_hugeint_uncast",  # HUGEINT divergence canary (runs clean)
+    "approx_sketch_anchor",       # HLL/percentile sketch error anchors
+    "variant_try_surface",        # VARIANT/try_* error-tolerant parsing
+    "silver_dedup_keys",          # plain key dedup
+    "scalar_surface",             # F1-F7 scalar surface
+    "merge_upsert_by_key",        # single-key MERGE
+    "join_semi_anti_customers",   # semi/anti join pair
+    "window_topk_per_media",      # per-key window top-k
+    "set_intersect_users",        # INTERSECT
+    "set_except_users",           # EXCEPT
+    "text_lang_id",               # n-gram language id
+    "dedup_minhash_lsh",          # standalone MinHash+LSH miner
+    "watermark_high_water_mark",  # running high-water fold
+    "dedup_ngram_jaccard",        # n-gram Jaccard verify join
+    "similarity_ivf_topk",        # IVF bucketed ANN probes
+    "text_quality_filter",        # quality-score gate
+    "visitor_event_profile",      # per-visitor behavioral profile
+    "multimodal_frame_sample",    # deterministic frame sampling
+    "distributed_ingest_fanout",  # executor-side paged REST fan-out
 ]
 
 
@@ -193,12 +218,31 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+
+    # Cold-cache companion column (VERDICT r4 #4/#7): one extra pass
+    # with the cache cleared before EVERY query. The warm medians above
+    # stay the r1+ comparability series; the cold column records the
+    # honest per-run cost of persist/localCheckpoint-heavy queries
+    # (plan-keyed cache hits understate them by up to ~4x — the
+    # BENCH_SCALE methodology lesson). Disable with
+    # SPARK_GRAFT_BENCH_COLD=0 if a round needs the short run.
+    cold: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
+        for name in HEADLINE:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wall_sec",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_cold": cold,
+            "value_cold": round(sum(cold.values()), 3),
             "sf": sf,
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "runs_per_query": n_runs,

@@ -79,111 +79,73 @@ def query(name: str, oracle: str | None = None):
 #: registration order after the listed ones; listing a name that isn't
 #: registered is a hard error (catches typos/renames).
 _PRIORITY: tuple[str, ...] = (
-    # ---- FIXED CORE (stays in-window every round): flagship, the
-    # r1/r2 hash-reds (kept as permanent regression sentinels), one
-    # representative per operator family ----
-    "gold_daily_rollup",
-    "sessionize_events",
-    "rolling_7d_activity",
-    "multimodal_decode_stats",
-    # null-ordering canary stays (cheap, guards rule #10); the hugeint
-    # canary RETIRED to 51+ in r4 — it proved the pandas-fetch axis in
-    # CORRECTNESS_r03 (the only red, by design) and its job is done
-    "canary_window_nulls",
-    "gold_hours_watched",
-    "silver_flatten_project",
-    "silver_dedup_latest_wins",
-    "watermark_incremental_filter",
-    "scalar_surface",
-    "merge_upsert_by_key",
-    "merge_upsert_acid",
-    "star_join_revenue",
-    "watermark_high_water_mark",
-    "sql_pricing_summary",
-    "txlog_append_ingest",
-    "rest_fanout_ingest",
-    "rest_datasource_ingest",
-    "ingest_error_isolation",
-    # late-r4 swaps #3/#4: the session's two strongest new families
-    # take the slots of (a) the corpus-stats second rep (vocab top-k —
-    # PMI bigrams stays in-window for the family) and (b) the
-    # standalone MinHash miner (the SAME miner runs inside
-    # corpus_curation_e2e, dedup_clusters, and
-    # dedup_incremental_minhash, all in-window); both evictees keep
-    # their r3 driver greens in the COVERAGE.md ledger
-    "cdc_shared_passages",
-    "dedup_exact_documents",
-    "pagerank_dup_graph",
-    "corpus_curation_e2e",
-    "similarity_cosine_topk",
-    "text_stats",
-    "rank_set_suite",
-    "behavioral_suite",
-    "pipeline_e2e_gold",
-    # ---- ROTATING SEGMENT (r4): never-driver-checked queries promoted
-    # per VERDICT r3 #1/#2 (COVERAGE.md ledger tracks per-query
-    # last-green rounds; evicted r3-green names sit below the boundary
-    # with their green on record) ----
-    "dedup_clusters",
-    "asof_join_nearest",
-    "fuzzy_match_doc_titles",
-    # the round's flagship new operator takes the slot of the
-    # family-redundant second as-of direction (nearest — the hardest —
-    # stays; forward keeps its local greens in the ledger)
-    "semantic_dedup",
-    "scd2_media_state",
-    "corpus_pmi_bigrams",
-    "value_histogram",
-    "argmax_latest_state",
-    "weighted_sample_priority",
-    "token_budget_selection",
-    "embedding_quantize_int8",
-    "window_rank_functions",
-    # the round's incremental-dedup family takes the slot of the
-    # second window surface (rank stays; value fns keep local greens)
-    "dedup_incremental_minhash",
-    "datetime_surface",
-    "text_sentence_stats",
-    "stratified_sample_docs",
-    "sequence_packing",
-    "multimodal_frame_sample",
-    # J2's only query — core §2 row, restored to the fixed window after
-    # the first rotation draft left it out (extensions rotate; core
-    # reference rows do not)
-    "merge_upsert_composite_key",
-    "forecast_revenue_q6",
-    "volume_shipping_q7",
-    "tokenize_bpe_corpus",
-    # ---- window boundary at 50 (everything below stays fully checked
-    # by tools/check_correctness.py and pytest; names with an r1-r3
-    # driver-green row keep it in the COVERAGE.md ledger) ----
-    "canary_sum_hugeint_uncast",
-    "join_semi_anti_customers",
-    "session_rollup_events",
-    "text_repetition_stats",
-    "txlog_incremental_read",
-    "txlog_partition_backfill",
-    "txlog_time_travel",
-    "min_cost_supplier_q2",
-    "customer_distribution_q13",
-    "shipmode_priority_q12",
-    "doc_token_commonness",
-    "doc_rare_terms",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngrams",
-    "similarity_ann_buckets",
-    "embedding_near_dup",
-    "similarity_ivf_topk",
-    "text_lang_id",
-    "text_quality_filter",
-    "doc_fingerprints",
-    "text_chunking",
-    "dataset_split",
-    "text_redact_pii",
-    "asof_join_last_state",
-    "range_join_errors_in_sessions",
-    "gold_rollup_salted",
+    # ================= r5 WINDOW (driver hash-checks the first 50) ====
+    # VERDICT r4 #1: burn down the driver-verification debt. The fixed
+    # core shrinks to 7 family anchors for r5+r6 so the 62 never-
+    # driver-checked queries clear in two rounds (39 promoted here, the
+    # remaining ~23 scheduled for r6 — see the COVERAGE.md ledger).
+    # Everything rotated out is r1-r4 driver-green on record and stays
+    # covered every round by tools/check_correctness.py x3 configs.
+    # ---- FIXED CORE (7) ----
+    "pipeline_e2e_gold",        # flagship reference e2e (S1-S7/ST1-ST4)
+    "gold_daily_rollup",        # gold agg family anchor
+    "sessionize_events",        # r1 hash-red sentinel (rule #9 axis)
+    "canary_window_nulls",      # rule #10 null-order canary
+    "corpus_curation_e2e",      # LLM-curation flagship (dedup stack)
+    "merge_upsert_acid",        # ACID txlog family anchor
+    "rest_datasource_ingest",   # ingest/DataSource family anchor
+    # ---- NEW IN r5 (4): VERDICT items #2/#3/#5 ----
+    "customer_rfm_boundaries",  # approx-percentile RFM scale path (#2)
+    "customer_rfm_segments",    # its exact-ntile twin (never checked)
+    "streaming_gold_rollup",    # first streaming driver row (#3)
+    "aqe_skew_join_rollup",     # AQE skew-split demo (#5)
+    # ---- PROMOTED (39): never driver-checked until now ----
+    # TPC-H tail — completes driver coverage of all 22 shapes
+    "unshipped_orders_q3",
+    "order_priority_q4",
+    "local_supplier_volume_q5",
+    "market_share_q8",
+    "product_profit_q9",
+    "returned_items_q10",
+    "important_stock_q11",
+    "promo_revenue_q14",
+    "top_supplier_q15",
+    "supplier_cnt_q16",
+    "small_qty_revenue_q17",
+    "large_volume_customers_q18",
+    "disjunctive_pushdown_q19",
+    "excess_stock_suppliers_q20",
+    "waiting_suppliers_q21",
+    "global_sales_opportunity_q22",
+    # VERDICT r4 #1 named promotions
+    "data_quality_suite",
+    "grouped_outlier_profile",
+    "cogroup_asof_checkpoint",
+    "salted_join_first_seen",
+    "approx_sketch_anchor",
+    "decontaminate_bloom_prefilter",
+    "ssjoin_prefix_filter",
+    # one representative per remaining never-checked family
+    "txlog_snapshot_diff",
+    "pareto_doc_frontier",
+    "timeseries_gap_fill",
+    "ewma_user_activity",
+    "map_functions_surface",
+    "frequent_token_pairs",
+    "incremental_join_view",
+    "span_corruption_layout",
+    "dedup_eval_metrics",
+    "split_leakage_audit",
+    "kmeans_embedding_clusters",
+    "table_profile_events",
+    "embedding_random_projection",
+    "event_transition_matrix",
+    "variant_try_surface",
+    "text_chunking_bpe",
+    # ---- window boundary at 50: every name NOT listed above sorts
+    # after the window in registration order (including the retired
+    # canary_sum_hugeint_uncast), fully checked each round by
+    # tools/check_correctness.py at sf0.01 + hostile + sf0.1 ----
 )
 
 
