@@ -183,6 +183,10 @@ HEADLINE = [
     "visitor_event_profile",      # per-visitor behavioral profile
     "multimodal_frame_sample",    # deterministic frame sampling
     "distributed_ingest_fanout",  # executor-side paged REST fan-out
+    "bm25_topk",                  # integer BM25 lexical retrieval
+    "domain_importance_weights",  # DSIR-style data selection
+    "user_activity_trend",        # per-key OLS from sufficient stats
+    "anomaly_days_zscore",        # 2-sigma day flags, integer form
 ]
 
 

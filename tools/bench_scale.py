@@ -40,6 +40,16 @@ QUERIES = [
     "cdc_shared_passages",
     "pagerank_dup_graph",
     "decontaminate_bloom_prefilter",
+    # r5 additions (VERDICT r4 #4): the unmeasured heavy families.
+    # Relational tables come from gen_scaledata's r5 extension.
+    "pagerank_dup_graph_6r",      # 2x the rounds: per-round cost flat?
+    "frequent_token_pairs",
+    "data_quality_suite",
+    "customer_rfm_segments",      # exact global-ntile (the weak mark)
+    "customer_rfm_boundaries",    # approx-percentile scale path
+    "sketch_count_min_tokens",
+    "aqe_skew_join_rollup",
+    "streaming_gold_rollup",
 ]
 N_RUNS = 3
 
@@ -57,7 +67,41 @@ def main() -> None:
         if d.startswith("sf")
     )
     spark = get_spark("bench-scale")
-    qs = queries()
+    qs = dict(queries())
+
+    def _pagerank_6r(spark, sf_dir):
+        # pagerank_dup_graph with iterations=6: the exponent OVER SF
+        # says the graph scales; this twin says the per-round cost does
+        # not grow with round index (each round = 1 join + 1 agg over
+        # the same persisted edge frame).
+        from pyspark.sql import functions as F
+
+        from wistia_etl_pipeline_spark.functions.dedupe import (
+            minhash_near_dup_pairs,
+        )
+        from wistia_etl_pipeline_spark.functions.graph import pagerank
+        from wistia_etl_pipeline_spark.registry import (
+            _PR_SCALE,
+            _dup_corpus,
+        )
+        from wistia_etl_pipeline_spark.session import load_table
+
+        corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+        pairs = minhash_near_dup_pairs(
+            corpus, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+        ).select("a_id", "b_id")
+        edges = pairs.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        return pagerank(
+            edges, corpus.select("doc_id"), id_col="doc_id",
+            iterations=6, scale=_PR_SCALE,
+        )
+
+    qs["pagerank_dup_graph_6r"] = _pagerank_6r
     # warm-up JVM/codegen on the smallest SF
     qs[QUERIES[0]](spark, sfs[0][1]).write.format("noop").mode("overwrite").save()
 

@@ -1,4 +1,4 @@
-"""Generate scale-curve test data (documents + embeddings) at arbitrary SF.
+"""Generate scale-curve test data at arbitrary SF.
 
 The driver's testdata tops out at sf0.1 (5,000 documents), which can't
 distinguish a near-linear pair-mine from a quadratic one — the whole
@@ -90,6 +90,134 @@ def gen_embeddings(sf: float) -> pa.Table:
     )
 
 
+# ---- r5: relational family (same row-count ratios as the driver's
+# testdata — customer 150k/sf, orders 1.5M/sf, lineitem ~6M/sf, part
+# 200k/sf, supplier 10k/sf, events 1M/sf; nation/region copied from the
+# driver, they are fixed dims). Exists so the quality/RFM/skew families
+# can be curve-measured: distributions are workload-realistic (key
+# cardinalities, FK match rates, date spans), not value-faithful —
+# the curve measures TIME, correctness lives in the driver sweeps. ----
+
+_TS0 = np.datetime64("2024-01-01T00:00:00", "us")
+_SPAN_DAYS = 150
+
+
+def _money(rng, lo, hi, n):
+    return np.round(rng.uniform(lo, hi, size=n), 2)
+
+
+def gen_relational(sf: float, d: str) -> None:
+    import shutil
+
+    ratio = sf / 0.1
+    C = int(round(15_000 * ratio))
+    O = int(round(150_000 * ratio))
+    P = int(round(20_000 * ratio))
+    S = int(round(1_000 * ratio))
+    E = int(round(100_000 * ratio))
+
+    rng = np.random.Generator(np.random.PCG64(int(sf * 1000) + 7))
+
+    segs = np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
+                     "HOUSEHOLD"], dtype=object)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, C + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{k:09d}" for k in range(1, C + 1)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, C).astype(np.int32),
+                                pa.int32()),
+        "c_acctbal": pa.array(_money(rng, -999.99, 9999.99, C)),
+        "c_mktsegment": pa.array(segs[rng.integers(0, 5, C)]),
+    }), os.path.join(d, "customer.parquet"))
+
+    o_date = _TS0 + rng.integers(
+        0, _SPAN_DAYS * 86_400_000_000, O
+    ).astype("timedelta64[us]")
+    o_custkey = rng.integers(1, C + 1, O)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(1, O + 1), pa.int64()),
+        "o_custkey": pa.array(o_custkey, pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["F", "O", "P"], dtype=object)[rng.integers(0, 3, O)]),
+        "o_totalprice": pa.array(_money(rng, 850.0, 600_000.0, O)),
+        "o_orderdate": pa.array(o_date, pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            dtype=object)[rng.integers(0, 5, O)]),
+    }), os.path.join(d, "orders.parquet"))
+
+    lines = rng.integers(1, 8, O)
+    L = int(lines.sum())
+    l_orderkey = np.repeat(np.arange(1, O + 1), lines)
+    l_linenumber = (np.arange(L)
+                    - np.repeat(np.concatenate(([0], np.cumsum(lines)[:-1])),
+                                lines) + 1)
+    ship = np.repeat(o_date, lines) + rng.integers(
+        86_400_000_000, 121 * 86_400_000_000, L
+    ).astype("timedelta64[us]")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(l_orderkey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(1, P + 1, L), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(1, S + 1, L), pa.int64()),
+        "l_linenumber": pa.array(l_linenumber.astype(np.int32), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, L).astype(np.float64)),
+        "l_extendedprice": pa.array(_money(rng, 900.0, 100_000.0, L)),
+        "l_discount": pa.array(np.round(rng.uniform(0.0, 0.10, L), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0.0, 0.08, L), 2)),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"], dtype=object)[rng.integers(0, 3, L)]),
+        "l_linestatus": pa.array(
+            np.array(["F", "O"], dtype=object)[rng.integers(0, 2, L)]),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+
+    words = np.array(["lavender", "steel", "copper", "misty", "plum",
+                      "ivory", "salmon", "azure", "linen", "rosy"],
+                     dtype=object)
+    types = np.array(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+                      "PROMO"], dtype=object)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(1, P + 1), pa.int64()),
+        "p_name": pa.array([
+            f"{words[a]} {words[b]}" for a, b in
+            zip(rng.integers(0, 10, P), rng.integers(0, 10, P))]),
+        "p_brand": pa.array([
+            f"Brand#{i}{j}" for i, j in
+            zip(rng.integers(1, 6, P), rng.integers(1, 6, P))]),
+        "p_type": pa.array([
+            f"{types[a]} {words[b]}" for a, b in
+            zip(rng.integers(0, 6, P), rng.integers(0, 10, P))]),
+        "p_size": pa.array(rng.integers(1, 51, P).astype(np.int32),
+                           pa.int32()),
+        "p_retailprice": pa.array(_money(rng, 900.0, 2_000.0, P)),
+    }), os.path.join(d, "part.parquet"))
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(1, S + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{k:09d}" for k in range(1, S + 1)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, S).astype(np.int32),
+                                pa.int32()),
+        "s_acctbal": pa.array(_money(rng, -999.99, 9999.99, S)),
+    }), os.path.join(d, "supplier.parquet"))
+
+    U = max(1, int(round(5_000 * ratio)))
+    ts = np.sort(rng.integers(0, _SPAN_DAYS * 86_400_000_000, E))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(E), pa.int64()),
+        "ts": pa.array(_TS0 + ts.astype("timedelta64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, U, E), pa.int64()),
+        "event_type": pa.array(np.array(
+            ["view", "click", "signup", "purchase", "error"],
+            dtype=object)[rng.integers(0, 5, E)]),
+        "value": pa.array(np.round(rng.uniform(0.0, 200.0, E), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, E)]),
+    }), os.path.join(d, "events.parquet"))
+
+    for t in ("nation", "region"):
+        shutil.copy(os.path.join(DRIVER_SF01, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+
+
 def main(sfs: list[float]) -> None:
     vocab = driver_vocab()
     for sf in sfs:
@@ -97,8 +225,9 @@ def main(sfs: list[float]) -> None:
         os.makedirs(d, exist_ok=True)
         pq.write_table(gen_documents(sf, vocab), os.path.join(d, "documents.parquet"))
         pq.write_table(gen_embeddings(sf), os.path.join(d, "embeddings.parquet"))
+        gen_relational(sf, d)
         print(f"wrote {d}: {int(round(50_000 * sf))} docs, "
-              f"{int(round(20_000 * sf))} embeddings")
+              f"{int(round(20_000 * sf))} embeddings, relational family")
 
 
 if __name__ == "__main__":

@@ -8929,3 +8929,422 @@ def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("key_events").cast("bigint").alias("sum_key_events"),
         F.sum("key_users").cast("bigint").alias("sum_key_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# r5 wave 2: retrieval + data-selection + trend/anomaly analytics
+# --------------------------------------------------------------------------
+
+_BM25_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20),
+    ranked AS (
+        SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS r
+        FROM top
+    ),
+    qt AS (
+        SELECT CASE WHEN r BETWEEN 1 AND 10 THEN r - 1
+                    ELSE r - 11 END AS query_id,
+               tok, df
+        FROM ranked
+        WHERE r BETWEEN 1 AND 20
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(SUM(
+                   (((2 * (s.n_docs - qt.df) + 1) * 1000000)
+                        // (2 * qt.df + 1))
+                   * ((44 * tf.tf * s.n_total * 1000000)
+                        // (20 * tf.tf * s.n_total + 6 * s.n_total
+                            + 18 * dl.dl * s.n_docs))
+                   // 1000000
+               ) AS BIGINT) AS score_micro
+        FROM qt JOIN tf USING (tok) JOIN dl USING (doc_id), stats s
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    topk AS (
+        SELECT query_id, doc_id, score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rnk AS BIGINT)      AS rank,
+           doc_id, score_micro
+    FROM topk WHERE rnk <= 5
+"""
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RETRIEVAL — sparse lexical search over the corpus, the IR
+    counterpart to the dense ANN family (Robertson-Sparck Jones /
+    Okapi, public formulation): 10 two-term queries drawn
+    deterministically from the df-ranked vocabulary (ranks 100+i and
+    200+i pair mid-frequency with rarer terms), scored with k1=1.2,
+    b=0.75, top-5 docs per query. (Query ranks are 1..10 paired with
+    11..20: the corpus vocabulary is only 31 tokens — measured before
+    pinning; the first draft paired ranks 100/200 and returned ZERO
+    rows while hashing green, the emptiest possible true positive of
+    the tau lesson.)
+
+    Exact-integer trade (the doc_tfidf/doc_token_commonness move): the
+    log idf is replaced by the RATIONAL odds ratio
+    (N - df + 1/2)/(df + 1/2) in micro fixed-point — monotone in df, so
+    rankings are BM25-faithful per term — and the tf saturation
+    tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)) clears denominators
+    exactly: with k1=6/5, b=3/4, avgdl=T/N it is
+    44*tf*T / (20*tf*T + 6*T + 18*dl*N). Floor-div keeps every score a
+    BIGINT both engines reproduce bit-for-bit (magnitudes stay under
+    2^63 up to ~1e9 total tokens; beyond that, rescale the micro
+    factor — noted, not needed at bench SFs).
+
+    Shape at 100 TB: tf/dl/df are the inverted-index build — explode +
+    hash aggregates, map-side combined; the query-term table is ~20
+    rows (TakeOrderedAndProject over df, never a vocab sort) broadcast
+    into the tf stream; scoring is one hash aggregate per (query,
+    doc); top-5 per query is a rank window over 10 fixed partitions
+    that Spark's WindowGroupLimit prunes to per-partition running
+    top-k before the shuffle."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.col("df").desc(), "tok").limit(20)
+    ranked = top.select(
+        "tok",
+        "df",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "tok"))
+        .alias("r"),
+    )
+    qt = ranked.filter(F.col("r").between(1, 20)).select(
+        F.when(F.col("r").between(1, 10), F.col("r") - 1)
+        .otherwise(F.col("r") - 11)
+        .cast("long")
+        .alias("query_id"),
+        "tok",
+        "df",
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(((2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT))"
+                " div (2 * df + 1))"
+                " * ((44 * tf * n_total * CAST(1000000 AS BIGINT))"
+                " div (20 * tf * n_total + 6 * n_total + 18 * dl * n_docs))"
+                " div 1000000"
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+_DSIR_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, source, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    tcnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS t_cnt
+        FROM tok WHERE source = 'src0' GROUP BY tok
+    ),
+    ccnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_cnt
+        FROM tok WHERE source <> 'src0' GROUP BY tok
+    ),
+    totals AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+             WHERE source = 'src0')  AS t_total,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+             WHERE source <> 'src0') AS c_total
+    ),
+    ratio AS (
+        SELECT c.tok,
+               ((COALESCE(t.t_cnt, 0) + 1) * tt.c_total * 1000000)
+                   // ((c.c_cnt + 1) * tt.t_total) AS ratio_micro
+        FROM ccnt c LEFT JOIN tcnt t ON c.tok = t.tok, totals tt
+    ),
+    per_doc AS (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(r.ratio_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS imp_micro
+        FROM tok k JOIN ratio r ON k.tok = r.tok
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id
+    )
+    SELECT doc_id, n_tokens, imp_micro
+    FROM per_doc
+    ORDER BY imp_micro DESC, doc_id
+    LIMIT 200
+"""
+
+
+@query("domain_importance_weights", oracle=_DSIR_SQL)
+def domain_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION BY IMPORTANCE WEIGHTS — the DSIR shape (Xie et
+    al. 2023, arXiv:2302.03169, public): score every candidate
+    training document by how target-domain-like its unigram
+    distribution is (target = the 'src0' slice, the same benchmark
+    stand-in the decontamination family uses), select the top 200.
+
+    The paper's log-likelihood ratio sum becomes a RATIONAL mean —
+    per token, ratio_micro = (t_cnt+1)*C_total*1e6 div
+    ((c_cnt+1)*T_total) with add-one smoothing on both sides, and a
+    document's importance is the floor-div mean over its tokens —
+    exact BIGINT end to end (sum-of-logs orders by geometric mean,
+    this by arithmetic mean of odds; same smoothing, hashable
+    cross-engine — the doc_token_commonness trade, third appearance).
+
+    Shape at 100 TB: two hash-aggregated count tables (the "n-gram
+    LM"s — vocabulary-sized, NOT corpus-sized), one 2-scalar broadcast
+    of the totals, one join of the token stream to the ratio table
+    (vocabulary-keyed, hint-free: Spark broadcasts it while it fits,
+    shuffles when the vocab outgrows that), one per-doc mean, and a
+    TakeOrderedAndProject top-200 — never a global sort."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    is_t = F.col("source") == F.lit("src0")
+    tcnt = (
+        tok.filter(is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    ccnt = (
+        tok.filter(~is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    totals = tok.agg(
+        F.sum(is_t.cast("long")).cast("long").alias("t_total"),
+        F.sum((~is_t).cast("long")).cast("long").alias("c_total"),
+    )
+    ratio = (
+        ccnt.join(tcnt, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.expr(
+                "((coalesce(t_cnt, CAST(0 AS BIGINT)) + 1) * c_total"
+                " * CAST(1000000 AS BIGINT))"
+                " div ((c_cnt + 1) * t_total)"
+            ).alias("ratio_micro"),
+        )
+    )
+    per_doc = (
+        tok.filter(~is_t)
+        .join(ratio, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST(sum(ratio_micro) AS BIGINT) div count(1)"
+            ).alias("imp_micro"),
+        )
+    )
+    return per_doc.orderBy(F.col("imp_micro").desc(), "doc_id").limit(200)
+
+
+_TREND_SQL = """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(y) AS BIGINT)     AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id,
+           n AS n_days,
+           ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+               AS slope_micro,
+           CASE WHEN ((n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx) > 0 THEN 'up'
+                WHEN ((n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx) < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM stats
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+"""
+
+
+@query("user_activity_trend", oracle=_TREND_SQL)
+def user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY TREND REGRESSION — ordinary least squares fit of daily
+    activity against the day index, one slope per user: the
+    engagement-trend/churn-risk report every warehouse derives, and
+    the canonical 'millions of tiny regressions' shape.
+
+    OLS from SUFFICIENT STATISTICS only: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) — five integer sums per user, so the whole fit is
+    two hash aggregates (day grain, then user grain) with map-side
+    combine, no per-key sort, no window, no Python. The division is
+    floor-div at micro scale — exact BIGINT cross-engine (numerator
+    and denominator bounded by days^3 * daily-count, far under 2^63).
+    Degenerate series (a single active day: zero variance in x) are
+    excluded by the n>=2 AND positive-variance guard on BOTH engines.
+
+    The pandas-replica parity test (tests/test_trend_anomaly.py)
+    pins the formula against numpy.polyfit signs at sf0.001."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = F.expr(
+        "((n * sxy - sx * sy) * CAST(1000000 AS BIGINT))"
+        " div (n * sxx - sx * sx)"
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            slope.alias("slope_micro"),
+            F.when(slope > 0, F.lit("up"))
+            .when(slope < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+_ANOMALY_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)                   AS n,
+               CAST(SUM(n_events) AS BIGINT)              AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT)   AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.dt, d.n_events,
+           CAST(CASE WHEN (st.n * d.n_events - st.s)
+                          * (st.n * d.n_events - st.s)
+                          > 4 * (st.n * st.q - st.s * st.s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM daily d JOIN stats st USING (event_type)
+"""
+
+
+@query("anomaly_days_zscore", oracle=_ANOMALY_SQL)
+def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-ANOMALY DETECTION — flag the days whose event volume sits
+    more than 2 population standard deviations from that event type's
+    mean: the monitoring/alerting query every ingest pipeline runs
+    over its own bronze layer.
+
+    The z-score threshold is evaluated WITHOUT floats or sqrt:
+    |y - mu| > 2*sigma  <=>  (n*y - S)^2 > 4*(n*Q - S^2) with S = sum,
+    Q = sum of squares — exact BIGINT on both engines (the
+    corr_profile sufficient-statistics move pointed at thresholding).
+    Mean/variance include the flagged day itself (population form) —
+    spelled here because leave-one-out would flag a different set.
+
+    Shape at 100 TB: day-grain hash aggregate, then a per-type stats
+    row (|event_types| rows) broadcast back onto the day grain — two
+    map-side-combined aggregates and a broadcast join; no window, no
+    global sort. Flags fire at every test SF (checked before pinning —
+    the tau lesson: a predicate the data never trips is a predicate
+    the hash never verifies)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "dt",
+            "n_events",
+            F.when(
+                dev * dev
+                > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )
