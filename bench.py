@@ -187,6 +187,8 @@ HEADLINE = [
     "domain_importance_weights",  # DSIR-style data selection
     "user_activity_trend",        # per-key OLS from sufficient stats
     "anomaly_days_zscore",        # 2-sigma day flags, integer form
+    "streaming_session_windows",  # merging-window stream, txn file sink
+    "bucketed_join_rollup",       # co-located bucket join, no exchange
 ]
 
 

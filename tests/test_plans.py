@@ -537,3 +537,33 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         )
         == "256m"
     )
+
+
+def test_bucketed_join_rollup_plan_is_exchange_free(spark):
+    """The registry's layout-family row: with broadcast disabled (the
+    100 TB regime where neither side fits), the bucketed fact⋈profile
+    join must read matching buckets pairwise — no Exchange under the
+    join, no Sort either (bucket files are pre-sorted on the key)."""
+    from wistia_etl_pipeline_spark import registry
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry._QUERIES["bucketed_join_rollup"](
+            spark, "/root/testdata/sf0.001"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # the join inputs scan bucketed tables directly: the only exchanges
+    # allowed are AFTER the join (the event_type aggregate)
+    import re
+
+    smj = re.search(r"SortMergeJoin.*", plan, re.S)
+    assert smj is not None, plan[:800]
+    below = smj.group(0)
+    # no hash-exchange on the join key below the join
+    assert "Exchange hashpartitioning(user_id" not in below
+    assert "SelectedBucketsCount" in plan

@@ -9348,3 +9348,194 @@ def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r5 wave 3: streaming session windows + bucketed-layout join
+# --------------------------------------------------------------------------
+
+_STREAM_SESSIONS_SQL = """
+    WITH e AS (SELECT user_id, ts, value FROM events),
+    lagd AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) IS NULL
+                    OR ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) >= INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    grp AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS g
+        FROM lagd
+    )
+    SELECT user_id,
+           MIN(ts)                  AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                                    AS sum_value
+    FROM grp GROUP BY user_id, g
+"""
+
+
+@query("streaming_session_windows", oracle=_STREAM_SESSIONS_SQL)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS ON A REAL STREAM (ST5's merging-window member):
+    events staged as 6 time-ordered files stream in 2-file
+    micro-batches; a 30-minute watermark bounds the session-merge
+    state, append mode
+    emits each session exactly once when the watermark passes its
+    (end + gap), and the sink is Spark's TRANSACTIONAL parquet file
+    sink (the _spark_metadata manifest makes file-sink output
+    exactly-once under retries — the other half of the sink story next
+    to streaming_gold_rollup's idempotent merge).
+
+    The oracle is the batch gaps-and-islands SQL: a new session starts
+    where ts - prev_ts >= 24h (matching session_window's strict-overlap
+    merge: windows [ts, ts+gap) merge only when the next event lands
+    STRICTLY inside). The differential hash is therefore the
+    stream==batch contract for MERGING windows, which tumbling-window
+    tests can't witness.
+
+    Tail flush: append mode finalizes a session only when the
+    watermark passes it, and the LAST sessions of a bounded replay
+    would otherwise stay in state forever — a far-future sentinel row
+    (user_id -1, filtered from the output) advances the global
+    watermark past every real session, the streaming analogue of
+    closing the books (same pattern as the left-outer-join eviction
+    test, NOTES_r4).
+
+    Shape at 100 TB: session state is per-user and watermark-bounded;
+    the file sink appends only finalized sessions — no rewrites, no
+    driver state."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_sess_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    flush = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    # Stage the stream in EVENT-TIME ORDER, one write job per calendar
+    # range: FileStreamSource replays files oldest-mtime-first, and a
+    # single write job stamps every file with the same mtime — replay
+    # order is then unstable, months-old events arrive after new ones,
+    # and the 30-minute watermark silently DROPS them (measured: 7533
+    # of 10000 events survived, 1150-1731 sessions vs 1214 in batch,
+    # varying run to run). Sequential coalesced writes give strictly
+    # increasing mtimes = deterministic time-ordered replay — which is
+    # also the realistic contract: production streams are roughly
+    # time-ordered, that is exactly why small watermark delays work.
+    staged = events.unionByName(flush)
+    cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
+            "2024-06-01", "2100-01-01"]
+    lo = None
+    for hi in cuts:
+        part = staged.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        part.coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "24 hours").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "bucketed_join_rollup",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS user_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS user_types
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n_events,
+           CAST(SUM(p.user_events) AS BIGINT) AS sum_user_events,
+           CAST(SUM(p.user_types) AS BIGINT)  AS sum_user_types
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED JOIN VIA BUCKETED LAYOUT — the write-time answer to
+    the shuffle that AQE/salting only mitigate: events and a per-user
+    profile are both written ``bucketBy(16, user_id)`` + sorted, and
+    the fact⋈profile join then reads matching buckets pairwise — NO
+    exchange on either side, and with sortBy no sort either
+    (``tests/test_plans.py::test_bucketed_join_rollup_plan`` pins the
+    executed plan exchange-free under a disabled broadcast threshold).
+
+    At 100 TB this is the recurring-join contract: pay one layout at
+    write time, join for free on every downstream run — the Spark
+    equivalent of the co-partitioned warehouse table pair. The oracle
+    replays the same join/aggregate over the UNBUCKETED source, so the
+    hash also proves the layout round-trips every row byte-identically.
+
+    Table names are uuid-suffixed: the catalog is session-scoped and
+    each invocation (driver, bench rounds, sweeps) must not collide."""
+    import uuid
+
+    from .sources.writers import write_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    prof = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.count_distinct("event_type").alias("user_types"),
+    )
+    suffix = uuid.uuid4().hex[:8]
+    ev_t, pr_t = f"ev_bkt_{suffix}", f"pr_bkt_{suffix}"
+    write_bucketed(
+        events.select("user_id", "event_type"),
+        ev_t, buckets=16, key="user_id", sort_by="user_id",
+    )
+    write_bucketed(prof, pr_t, buckets=16, key="user_id", sort_by="user_id")
+    joined = spark.table(ev_t).join(spark.table(pr_t), "user_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_events").cast("bigint").alias("sum_user_events"),
+        F.sum("user_types").cast("bigint").alias("sum_user_types"),
+    )
