@@ -27,6 +27,13 @@ ANNOTATED = {
     "stratified_sample_docs": "stratified sampling: a single Filter over the scan (md5-threshold compare) — zero exchanges; membership is partitioning-independent.",
     "order_priority_q4": "correlated EXISTS decorrelated: LeftSemi hash join on orderkey carrying the non-equi ship>order predicate; date range pushed to the orders scan.",
     "supplier_cnt_q16": "NOT IN as null-aware LeftAnti hash join (tiny build side); brand/size predicates pushed to the part scan; distinct-count with partial aggregation.",
+    "customer_rfm_boundaries": "RFM scale path: boundary values from one percentile_approx aggregate (no Window anywhere), scored via a 1-row broadcast — compare customer_rfm_segments' three global ntile sorts.",
+    "aqe_skew_join_rollup": "deliberate hot key left to AQE: executed plan carries SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed' — runtime splitting instead of manual salt.",
+    "bm25_topk": "BM25: tf/df/dl inverted-index aggregates map-side combined; ~20-term query table broadcast; top-5/query via rank window with WindowGroupLimit pruning.",
+    "bucketed_join_rollup": "bucketed layout: fact and profile scanned bucket-pairwise (SelectedBucketsCount), join carries no Exchange and no Sort below it.",
+    "domain_importance_weights": "DSIR selection: two vocabulary-sized LM count tables, totals broadcast, ratio join hint-free, TakeOrderedAndProject top-200.",
+    "user_activity_trend": "per-key OLS: two hash aggregates (day grain then user grain) over integer sufficient stats — no window, no Python.",
+    "anomaly_days_zscore": "anomaly flags: per-type stats row broadcast back onto the day grain; threshold evaluated in exact integers.",
     "global_sales_opportunity_q22": "uncorrelated scalar AVG evaluated once (subquery broadcast); NOT EXISTS as LeftAnti hash join with the date filter pushed to the orders scan.",
     "cube_event_engagement": "full CUBE: Expand feeds 4 grouping sets into ONE partial aggregate before the single exchange.",
     "scd2_media_state": "SCD2: both windows sort within the same media_id exchange — one shuffle for lag-collapse and lead-chaining.",
