@@ -1979,16 +1979,20 @@ def pipeline_e2e_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.fake_api import ParquetWistiaFeedTransport, url_for
     from .sources.rest_source import PullConfig
 
-    per_page = 700
     # tiny key list only (5 media ids) — the feed itself is served by a
     # pushdown-filtered parquet transport, never a full-table collect
+    ev = load_table(spark, sf_dir, "events")
     media_ids = sorted(
-        r[0]
-        for r in load_table(spark, sf_dir, "events")
-        .select("event_type")
-        .distinct()
-        .collect()
+        r[0] for r in ev.select("event_type").distinct().collect()
     )
+    # page size scales with the per-media volume so the resume-loop depth
+    # is a CONSTANT (~5 pages/media ⇒ ~3 run cycles) at every SF instead
+    # of growing linearly with the data (a fixed 700-row page meant ~29
+    # pages/media at sf0.1 ⇒ 15 full bronze→silver→gold cycles, pure
+    # re-fixed-cost). max_pages=2 < 3 pages/media keeps the interrupted-
+    # run + checkpoint-resume invariant firing at sf0.01 and above.
+    rows_per_media = ev.count() // max(1, len(media_ids))
+    per_page = max(700, -(-rows_per_media // 5))
     transport = ParquetWistiaFeedTransport(sf_dir, per_page=per_page)
 
     def metadata(m: str) -> dict:
