@@ -135,3 +135,83 @@ def test_pagerank_dangling_mass_retires(spark):
     # source node decays to base; downstream accumulates
     assert got[1] == (1_000_000 * 15) // 100
     assert got[3] > got[2] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats (degree-ordered node-iterator) vs a brute-force oracle
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    """{node: (degree, n_triangles)} by direct neighbor-set intersection."""
+    nbrs = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for n, ns in nbrs.items():
+        t = sum(len(nbrs[v] & ns) for v in ns) // 2
+        out[n] = (len(ns), t)
+    return out
+
+
+def _run_triangles(spark, edges):
+    from wistia_etl_pipeline_spark.functions.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_micro"])
+        for r in triangle_stats(df).collect()
+    }
+    exp = _brute_triangles(edges)
+    exp_rows = {
+        n: (d, t, (2 * t * 1_000_000) // (d * (d - 1)))
+        for n, (d, t) in exp.items()
+        if d >= 2
+    }
+    assert got == exp_rows
+
+
+def test_triangle_path_graph_has_none(spark):
+    _run_triangles(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+
+
+def test_triangle_clique4_all_closed(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    _run_triangles(spark, edges)
+    # every node of K4: degree 3, 3 triangles, lcc = 1.0
+    from wistia_etl_pipeline_spark.functions.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    rows = triangle_stats(df).collect()
+    assert all(r["lcc_micro"] == 1_000_000 and r["n_triangles"] == 3 for r in rows)
+
+
+def test_triangle_random_graph_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.15
+    ]
+    # duplicate + reversed entries must not change counts
+    noisy = edges + [(b, a) for a, b in edges[::3]] + edges[::5]
+    _run_triangles(spark, noisy)
+
+
+def test_triangle_hub_with_open_wedges(spark):
+    # star K1,5 + one closed pair: hub has exactly 1 triangle, 10 wedges
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    from wistia_etl_pipeline_spark.functions.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert got[0]["degree"] == 5 and got[0]["n_triangles"] == 1
+    assert got[0]["lcc_micro"] == (2 * 1 * 1_000_000) // (5 * 4)
+    assert got[1]["n_triangles"] == 1 and got[2]["n_triangles"] == 1

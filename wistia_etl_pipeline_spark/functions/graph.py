@@ -234,3 +234,109 @@ def pagerank(
             )
         )
     return ranks.select(F.col("id").alias(id_col), F.col("r").alias("rank"))
+
+
+def triangle_stats(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected pair list — the graph-density member of the dup-graph
+    family (components answer "who is connected", PageRank "who is
+    central", triangles "how clique-like is the neighborhood": exact-dup
+    groups of k copies form (k choose 3) triangles, while chains of
+    merely-transitive near-dups form none — a high-precision signal for
+    telling true duplicate cliques from LSH-bridged accidental chains).
+
+    Algorithm: the degree-ordered node-iterator (Schank & Wagner 2005,
+    the MapReduce form of Suri & Vassilvitskii 2011). Every undirected
+    edge is oriented from its lower-(degree, id) endpoint to the higher
+    one; each node then pairs up its OUT-neighbors (wedges) and a wedge
+    (v, w) closes iff the oriented edge (v, w) exists. Orientation
+    bounds out-degree by O(sqrt(m)) regardless of hub size — the wedge
+    self-join that would be quadratic in a hub's degree on the raw
+    graph is quadratic only in sqrt(m) here, the standard trick that
+    makes triangle counting feasible on power-law graphs at scale.
+
+    Returns ``(node, degree, n_triangles, lcc_micro)`` for every node
+    with degree ≥ 2, where lcc_micro = (2·T·10⁶) div (d·(d−1)) — the
+    local clustering coefficient in exact micro units (10⁶ = every
+    neighbor pair closed).
+
+    Shape at 100 TB: degree is one hash aggregate; orientation is two
+    broadcast-free equi joins of the edge list against the node-sized
+    degree table; the wedge join is an equi self-join on the oriented
+    source (block sizes bounded by the sqrt(m) out-degree cap); closure
+    is one equi semi-ish join back to the oriented edge list; corner
+    counts are one explode + hash aggregate. No window, no driver
+    state, nothing all-pairs.
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    # Orient a-b from lower (degree, id) to higher (degree, id); carry
+    # the target's rank so wedges can be emitted in canonical order.
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("lo"), F.col("b").alias("hi"),
+                    F.col("db").alias("hi_deg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("lo"), F.col("a").alias("hi"),
+                    F.col("da").alias("hi_deg"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.lo", "e.hi", "e.hi_deg")
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"),
+        F.col("hi_deg").alias("v_deg"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"),
+        F.col("hi_deg").alias("w_deg"),
+    )
+    wedges = e1.join(e2, "u").where(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    triangles = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    corners = triangles.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000)"
+                " div (degree * (degree - 1))"
+            ).alias("lcc_micro"),
+        )
+    )

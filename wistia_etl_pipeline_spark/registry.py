@@ -9543,3 +9543,287 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_events").cast("bigint").alias("sum_user_events"),
         F.sum("user_types").cast("bigint").alias("sum_user_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation: graph density, sketch family, rolling distinct
+# --------------------------------------------------------------------------
+
+_TRI_SHIFT2 = 2 * _DUP_SHIFT
+
+_TRI_CORPUS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TRI_SHIFT2} AS doc_id, text FROM documents
+"""
+
+_TRIANGLE_ORACLE = rf"""
+    WITH corpus AS ({_TRI_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    tri AS (
+        SELECT e1.src AS node, COUNT(*) AS twice
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        GROUP BY e1.src
+    )
+    SELECT d.src AS node,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.twice, 0) // 2 AS BIGINT) AS n_triangles,
+           CAST((COALESCE(t.twice, 0) * 1000000) // (d.d * (d.d - 1)) AS BIGINT)
+               AS lcc_micro
+    FROM deg d LEFT JOIN tri t ON t.node = d.src
+    WHERE d.d >= 2
+"""
+
+
+@query("triangle_count_dup_graph", oracle=_TRIANGLE_ORACLE)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (functions/graph.triangle_stats) over the MinHash near-dup graph
+    of a TRIPLE-injected corpus (documents x3 id-shifted copies, so
+    every text forms at least one 3-clique — the tau lesson: a
+    triangle query over a graph with no triangles hashes green while
+    verifying nothing). Graph-density analytics complete the graph
+    family: components delimit duplicate groups, PageRank ranks
+    members, the clustering coefficient DISCRIMINATES true mutual-dup
+    cliques (lcc = 10^6) from LSH-bridged transitive chains (lcc = 0)
+    — the precision signal a production dedup pipeline uses before
+    collapsing a cluster to one canonical doc.
+
+    Shape at 100 TB: degree-ordered node-iterator — every edge is
+    oriented low-(deg,id) -> high-(deg,id), so wedge blocks are
+    bounded by the O(sqrt(m)) oriented out-degree no matter how large
+    a hub's raw degree is (the power-law-graph trick); closure is an
+    equi join against the oriented edge list; per-corner counts are
+    one explode + hash agg. The oracle counts each corner's closed
+    wedges by a direct triple self-join over the identical banded
+    edge set (twice per triangle, halved in the output)."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _dup_corpus(docs).unionByName(
+        docs.select(
+            (F.col("doc_id") + _TRI_SHIFT2).alias("doc_id"), "text"
+        )
+    )
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    )
+    return triangle_stats(pairs, "a_id", "b_id")
+
+
+# HLL constants: m = 64 registers, 60-bit hash (15 hex chars -> exact
+# BIGINT on both engines), alpha_64 = 709/1000, dyadic harmonic sum
+# scaled by 2^30 (terms with rho > 30 truncate to 0 IDENTICALLY on both
+# engines; relative effect < 64 * 2^-30).
+_HLL_M = 64
+_HLL_SCALE_BITS = 30
+_HLL_NUM = 709 * _HLL_M * _HLL_M * (1 << _HLL_SCALE_BITS)
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rb AS (
+        SELECT event_type, hv % {_HLL_M} AS bucket,
+               CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN m > {_HLL_SCALE_BITS} THEN 0
+                        ELSE (1::BIGINT << ({_HLL_SCALE_BITS} - m)) END) AS s_occ,
+               COUNT(*) AS nb
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CAST({_HLL_NUM} // (1000 * (s_occ + ({_HLL_M} - nb)
+                    * (1::BIGINT << {_HLL_SCALE_BITS}))) AS BIGINT) AS hll_visitors
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_visitors
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT ex.event_type,
+           est.hll_visitors,
+           CAST(ex.exact_visitors AS BIGINT) AS exact_visitors,
+           CAST(abs(est.hll_visitors - ex.exact_visitors) * 1000000
+                // ex.exact_visitors AS BIGINT) AS err_micro
+    FROM ex JOIN est ON est.event_type = ex.event_type
+"""
+
+
+@query("sketch_hll_visitors", oracle=_HLL_ORACLE)
+def sketch_hll_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from scratch (Flajolet et al. 2007) — the
+    register-level twin of the count-min query: per-event_type
+    distinct-visitor ESTIMATES from a 64-register sketch, verified
+    register-for-register because the md5 hash makes every register
+    deterministic and both engines replay the identical integer
+    pipeline (the sketch_count_min_tokens idiom: verify the
+    STRUCTURE, not just an error bound). approx_count_distinct
+    already gives the native path (approx_sketch_anchor); this one
+    exists because a 100 TB pipeline needs MERGEABLE cardinality
+    state it owns — per-partition register vectors combine by
+    element-wise MAX, so daily sketches roll up to monthly ones
+    without re-reading history, which no exact COUNT DISTINCT can do.
+
+    Exact-integer estimate: 60-bit hash h (15 md5 hex chars), bucket
+    = h mod 64, rho = leading-zero rank of the remaining 54 bits via
+    bin()-length (no floats); harmonic sum as dyadic rationals scaled
+    by 2^30 (rho > 30 truncates to 0 identically on both engines);
+    alpha_64 = 709/1000 cleared into one floor-div. No
+    linear-counting small-range branch — ln() is not cross-engine
+    bit-stable, and every group here sits in the raw-estimate regime
+    (n >> m); the exact count and micro error ride the hash so the
+    accuracy claim is itself verified (~12% observed, consistent with
+    1.04/sqrt(64)).
+
+    Shape at 100 TB: one hash aggregate to (type, bucket) registers
+    (64 per key, map-side combinable by MAX), one to the estimate —
+    sketch-sized state, no Expand pass, mergeable across days."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rb = events.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        h.alias("hv"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HLL_M}"))))
+        .alias("rho"),
+    )
+    regs = rb.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("m") > _HLL_SCALE_BITS, F.lit(0)).otherwise(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_BITS} - m AS INT))"
+                )
+            )
+        ).alias("s_occ"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = agg.select(
+        "event_type",
+        F.expr(
+            f"{_HLL_NUM} div (1000 * (s_occ + ({_HLL_M} - nb)"
+            f" * shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS})))"
+        ).cast("long").alias("hll_visitors"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_visitors")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "hll_visitors",
+        F.col("exact_visitors").cast("long").alias("exact_visitors"),
+        F.expr(
+            "CAST(abs(hll_visitors - exact_visitors) * 1000000"
+            " div exact_visitors AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT d AS dt,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) BETWEEN d - 6 AND d) AS BIGINT)
+               AS visitors_7d
+    FROM days
+"""
+
+
+@query("rolling_distinct_visitors", oracle=_ROLLING_DISTINCT_ORACLE)
+def rolling_distinct_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT visitors per day — the window metric
+    COUNT(DISTINCT) OVER a frame cannot express (Spark refuses
+    DISTINCT in window frames, and any engine that accepted it would
+    hold a per-frame set). The scalable form: dedupe to (day, user)
+    grain first, EXPLODE each surviving pair onto the <= 7 window
+    days it contributes to (sequence(d, d+6) — scan-local, no
+    calendar cross join), dedupe (window_day, user) again, count.
+    Rolling-distinct becomes three hash aggregates + one bounded
+    explode — per-row work is constant (x7), state is never a set.
+
+    The rolling_7d_activity query is the SUM twin (window frames
+    handle sums); this is the distinct twin done right. The oracle is
+    the naive correlated COUNT DISTINCT per day — the engine's
+    explode decomposition must reproduce it exactly, including
+    partial leading windows (first 6 days see shorter frames).
+
+    Shape at 100 TB: (day,user) dedupe collapses the stream to
+    active-user-days BEFORE any widening; the x7 explode multiplies
+    that already-collapsed grain only; final counts are day-grain.
+    No global window, no per-day scans, no distinct-over-frame."""
+    events = load_table(spark, sf_dir, "events")
+    day_user = (
+        events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = day_user.select("d").distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("dt"),
+        "user_id",
+    )
+    per_day = (
+        contrib.join(days.withColumnRenamed("d", "dt"), "dt", "left_semi")
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("visitors_7d"))
+    )
+    return per_day.select("dt", F.col("visitors_7d").cast("long").alias("visitors_7d"))
