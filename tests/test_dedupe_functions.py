@@ -343,3 +343,85 @@ def test_prefix_filtered_jaccard_repartition_invariant(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_containment_pairs_match_brute_force(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        prefix_filtered_containment_pairs,
+    )
+
+    # short quotes vs long docs: the asymmetric case Jaccard misses
+    rows = [
+        Row(i=1, q=True, t="alpha beta gamma"),
+        Row(i=2, q=True, t="one two three four five"),
+        Row(i=3, q=True, t="zz yy"),
+        Row(i=10, q=False, t="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(i=11, q=False, t="alpha beta nothing else here at all"),
+        Row(i=12, q=False, t="one two three four five six seven eight nine"),
+        Row(i=13, q=False, t="one two three completely different tail"),
+        Row(i=14, q=False, t="zz yy xx plus much more text beyond"),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "i", "q", F.split("t", " ").alias("el")
+    )
+    sets = {r.i: set(r.t.split()) for r in rows}
+    for num, den in [(1, 2), (4, 5), (1, 1)]:
+        got = sorted(
+            (r.q_id, r.c_id, r.overlap, r.q_n)
+            for r in prefix_filtered_containment_pairs(
+                df, "i", "el", "q", tau_num=num, tau_den=den
+            ).collect()
+        )
+        expect = sorted(
+            (a, b, len(sets[a] & sets[b]), len(sets[a]))
+            for a, b in itertools.product([1, 2, 3], [10, 11, 12, 13, 14])
+            if den * len(sets[a] & sets[b]) >= num * len(sets[a])
+        )
+        assert got == expect, (num, den)
+    # sanity: full containment of quote 1 in doc 10 found even though
+    # Jaccard(1,10) = 3/8 < 1/2 — the asymmetry the operator exists for
+    got_full = prefix_filtered_containment_pairs(
+        df, "i", "el", "q", tau_num=1, tau_den=1
+    ).collect()
+    assert any(r.q_id == 1 and r.c_id == 10 for r in got_full)
+
+
+def test_containment_pairs_repartition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        prefix_filtered_containment_pairs,
+    )
+
+    rows = [
+        Row(
+            i=n,
+            q=(n % 5 == 0),
+            t=f"w{n % 4} w{(n + 1) % 4} w{(n + 2) % 7} shared suffix tokens",
+        )
+        for n in range(50)
+    ]
+    df = spark.createDataFrame(rows).select(
+        "i", "q", F.split("t", " ").alias("el")
+    )
+    a = sorted(
+        map(
+            tuple,
+            prefix_filtered_containment_pairs(
+                df, "i", "el", "q", tau_num=3, tau_den=5
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            prefix_filtered_containment_pairs(
+                df.repartition(11), "i", "el", "q", tau_num=3, tau_den=5
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

@@ -702,3 +702,95 @@ def prefix_filtered_jaccard_pairs(
         )
     )
     return verified.select("q_id", "c_id", "inter", "uni")
+
+
+def prefix_filtered_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    elems_col: str,
+    is_query_col: str,
+    *,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Exact CONTAINMENT R-S join: find every (query, corpus) pair with
+    |Q ∩ B| / |Q| ≥ tau — the asymmetric cousin of the Jaccard SSJoin
+    (prefix_filtered_jaccard_pairs). Jaccard punishes the big side's
+    extra tokens, so a short quote pasted into a long document scores
+    near zero; containment does not — it is the right predicate for
+    quote detection, benchmark-prompt leakage, and doc-in-doc
+    subsumption, exactly the cases MinHash/Jaccard structurally miss.
+
+    The prefix filter survives the asymmetry on the QUERY side only:
+    if |Q∩B| ≥ o := ⌈τ·|Q|⌉ then at most |Q| − o of Q's elements miss
+    B, so among Q's first |Q| − o + 1 elements under ANY fixed global
+    order at least one is in B (pigeonhole). The corpus side gets NO
+    prefix — B's extra elements don't reduce containment, so every
+    corpus element must stay indexed. Ordering prefixes by global
+    rarity (document frequency asc, element asc) keeps candidate
+    blocks minimal. A size filter (|B| ≥ ⌈τ·|Q|⌉) prunes, survivors
+    verify with exact integers: tau_den·|∩| ≥ tau_num·|Q|.
+
+    ``elems_col`` is an array<string> column (tokens, shingles — the
+    caller picks the containment alphabet; use k≥2 shingles when the
+    unigram vocabulary is too small to discriminate). Returns
+    (q_id, c_id, overlap, q_n) for verified pairs.
+
+    Shape at 100 TB: document frequency is one hash aggregate; the
+    only windows are per-QUERY row_numbers (queries are the small
+    side by construction — benchmark suites, quote lists); the
+    candidate join is rare-element equi; verification touches
+    candidates only. The corpus is scanned, exploded, and joined —
+    never self-joined.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(is_query_col).alias("__q"),
+        F.array_distinct(F.col(elems_col)).alias("__el"),
+    ).withColumn("__n", F.size("__el").cast("long")).filter(F.col("__n") > 0)
+    el = base.select("__id", "__q", "__n", F.explode("__el").alias("__e"))
+    dfreq = el.groupBy("__e").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__e")
+    q_prefix = (
+        el.filter(F.col("__q"))
+        .join(dfreq, "__e")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col("__n")
+            - F.expr(f"({tau_num} * __n + {tau_den - 1}) div {tau_den}")
+            + F.lit(1)
+        )
+        .select(F.col("__id").alias("q_id"), F.col("__n").alias("q_n"), "__e")
+    )
+    c_all = el.filter(~F.col("__q")).select(
+        F.col("__id").alias("c_id"), F.col("__n").alias("c_n"), "__e"
+    )
+    cand = (
+        q_prefix.join(c_all, "__e")
+        .filter(
+            F.lit(tau_den) * F.col("c_n") >= F.lit(tau_num) * F.col("q_n")
+        )
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    qa = base.filter(F.col("__q")).select(
+        F.col("__id").alias("q_id"), F.col("__el").alias("__qe"),
+        F.col("__n").alias("q_n"),
+    )
+    ca = base.filter(~F.col("__q")).select(
+        F.col("__id").alias("c_id"), F.col("__el").alias("__ce")
+    )
+    return (
+        cand.join(qa, "q_id")
+        .join(ca, "c_id")
+        .withColumn(
+            "overlap", F.size(F.array_intersect("__qe", "__ce")).cast("long")
+        )
+        .filter(
+            F.lit(tau_den) * F.col("overlap") >= F.lit(tau_num) * F.col("q_n")
+        )
+        .select("q_id", "c_id", "overlap", "q_n")
+    )

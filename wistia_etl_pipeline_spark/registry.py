@@ -9827,3 +9827,175 @@ def rolling_distinct_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("visitors_7d"))
     )
     return per_day.select("dt", F.col("visitors_7d").cast("long").alias("visitors_7d"))
+
+
+_QUOTE_SHIFT = 10_000_000
+
+_CONTAINMENT_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    quotes AS (
+        SELECT doc_id + {_QUOTE_SHIFT} AS id, t[1:12] AS qt
+        FROM toks WHERE doc_id % 25 = 0
+    ),
+    qel AS (
+        SELECT id,
+               list_distinct([array_to_string(qt[i:i+1], ' ')
+                              for i in range(1, len(qt))]) AS el
+        FROM quotes
+    ),
+    cel AS (
+        SELECT doc_id AS id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS el
+        FROM toks
+    )
+    SELECT q.id AS q_id, c.id AS c_id,
+           CAST(len(list_intersect(q.el, c.el)) AS BIGINT) AS overlap,
+           CAST(len(q.el) AS BIGINT) AS q_n,
+           CAST(len(list_intersect(q.el, c.el)) * 1000000 // len(q.el)
+                AS BIGINT) AS cont_micro
+    FROM qel q, cel c
+    WHERE 10 * len(list_intersect(q.el, c.el)) >= 9 * len(q.el)
+      AND len(q.el) > 0 AND len(c.el) > 0
+"""
+
+
+@query("containment_quote_match", oracle=_CONTAINMENT_ORACLE)
+def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (functions/dedupe.
+    prefix_filtered_containment_pairs): 12-token quotes lifted from
+    every 25th document, matched back against the corpus at bigram
+    containment ≥ 9/10 — the benchmark-leakage / quote-detection
+    predicate Jaccard structurally misses (a short prompt inside a
+    long document has Jaccard ≈ 0 but containment = 1; compare
+    ssjoin_prefix_filter, the symmetric twin). Bigram shingles are
+    the containment alphabet because the corpus vocabulary is ~31
+    tokens — unigram sets are contained in nearly every document (the
+    tau lesson applied in reverse: an alphabet that matches
+    EVERYTHING also verifies nothing).
+
+    Shape at 100 TB: the pigeonhole prefix lives on the QUERY side
+    only (|Q| − ⌈τ|Q|⌉ + 1 globally-rarest bigrams; benchmark suites
+    are the small side by construction), the corpus side stays fully
+    indexed but is never self-joined; candidates are an equi join on
+    rare bigrams, verification is integer arithmetic on candidates
+    only. The oracle is the brute-force all-pairs containment scan —
+    the hash match is the completeness proof for the prefix filter."""
+    from .functions.dedupe import prefix_filtered_containment_pairs, shingles
+    from .functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    )
+    quotes = toks.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + _QUOTE_SHIFT).alias("doc_id"),
+        F.concat_ws(" ", F.slice("t", 1, 12)).alias("text"),
+        F.lit(True).alias("is_query"),
+    )
+    corpus = docs.select("doc_id", "text", F.lit(False).alias("is_query"))
+    both = corpus.unionByName(quotes).select(
+        "doc_id", "is_query", shingles(F.col("text"), k=2).alias("el")
+    )
+    pairs = prefix_filtered_containment_pairs(
+        both, "doc_id", "el", "is_query", tau_num=9, tau_den=10
+    )
+    return pairs.select(
+        "q_id", "c_id", "overlap", "q_n",
+        F.expr("overlap * 1000000 div q_n").alias("cont_micro"),
+    )
+
+
+_BIGRAM_LM_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    db AS (
+        SELECT doc_id,
+               [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    occ AS (SELECT doc_id, unnest(bg) AS bigram FROM db),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM occ GROUP BY bigram),
+    uni AS (
+        SELECT unnest(t[1:len(t)-1]) AS w1, doc_id FROM toks WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM uni GROUP BY w1),
+    scored AS (
+        SELECT o.doc_id,
+               (c2.n2 * 1000000) // c1.n1 AS p_micro
+        FROM occ o
+        JOIN c2 ON c2.bigram = o.bigram
+        JOIN c1 ON c1.w1 = split_part(o.bigram, ' ', 1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_quality", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency scoring — the CCNet-shaped
+    quality filter (Wenzek et al. 2020 score documents by LM
+    perplexity and keep the fluent tail; doc_token_commonness is the
+    unigram version, this is the conditional-probability upgrade):
+    every bigram occurrence w1 w2 scores the exact-integer conditional
+    p_micro = count(w1 w2)·10⁶ div count(w1), and a document's score
+    is the floor-mean over its bigram occurrences. High score = the
+    document's transitions are the corpus's common transitions
+    (fluent); low score = unusual transitions (noise, boilerplate
+    collisions, shuffled text). No logs, no floats — the monotone
+    surrogate for mean log-likelihood that both engines replay
+    bit-for-bit (the doc_rare_terms idiom).
+
+    Shape at 100 TB: the LM "model" is two hash aggregates bounded by
+    vocabulary² (bigram counts) and vocabulary (unigram counts) —
+    model-sized, not corpus-sized; scoring is one equi join of the
+    exploded corpus against the bigram table (no broadcast forced:
+    vocabulary scales) and one doc-grain aggregate. Training and
+    scoring are the same two shuffles."""
+    from .functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        toks.select(F.explode(F.expr("slice(t, 1, size(t) - 1)")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    model = c2.join(
+        c1, F.expr("split_part(bigram, ' ', 1)") == F.col("w1")
+    ).select("bigram", F.expr("(n2 * 1000000) div n1").alias("p_micro"))
+    return (
+        occ.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(p_micro) div count(1) AS BIGINT)").alias(
+                "lm_score_micro"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "lm_score_micro",
+        )
+    )
