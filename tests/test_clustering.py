@@ -235,3 +235,67 @@ def test_semantic_dedup_matches_python_reference(spark):
     }
     assert got == expected
     assert any(not kept for _, kept in expected.values())  # dups planted
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center selection vs a pure-Python replica
+# ---------------------------------------------------------------------------
+
+
+def _py_kcenter(vecs, k):
+    """vecs: {id: [int]} -> selection order per the engine's exact rules."""
+    ids = sorted(vecs)
+    centers = [ids[0]]
+    md = {
+        i: sum((a - b) * (a - b) for a, b in zip(vecs[i], vecs[ids[0]]))
+        for i in ids
+    }
+    for _ in range(k - 1):
+        nxt = max(ids, key=lambda i: (md[i], -i))
+        centers.append(nxt)
+        for i in ids:
+            d = sum((a - b) * (a - b) for a, b in zip(vecs[i], vecs[nxt]))
+            if d < md[i]:
+                md[i] = d
+    return centers
+
+
+def test_kcenter_matches_python_replica(spark):
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from wistia_etl_pipeline_spark.functions.clustering import kcenter_select
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.randrange(-1000, 1000) for _ in range(6)] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=i, qv=v) for i, v in vecs.items()],
+        "vec_id long, qv array<long>",
+    )
+    for k in (2, 4, 7):
+        got = [cid for cid, _ in kcenter_select(df, "vec_id", "qv", k=k)]
+        assert got == _py_kcenter(vecs, k), k
+    # selected vectors come back with their exact coordinates
+    sel = kcenter_select(df, "vec_id", "qv", k=3)
+    assert all(list(qv) == vecs[cid] for cid, qv in sel)
+
+
+def test_kcenter_ties_break_to_smaller_id(spark):
+    from pyspark.sql import Row
+
+    from wistia_etl_pipeline_spark.functions.clustering import kcenter_select
+
+    # 3 and 4 are equidistant from center 1; 3 must win the tie
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, qv=[0, 0]),
+            Row(vec_id=3, qv=[10, 0]),
+            Row(vec_id=4, qv=[0, 10]),
+        ],
+        "vec_id long, qv array<long>",
+    )
+    got = [cid for cid, _ in kcenter_select(df, "vec_id", "qv", k=2)]
+    assert got == [1, 3]

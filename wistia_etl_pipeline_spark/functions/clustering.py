@@ -315,3 +315,48 @@ def kmeans_int_grid(
             for cid in range(k)
         ]
     raise AssertionError("unreachable")
+
+
+def kcenter_select(df: DataFrame, id_col: str, qv_col: str, *, k: int) -> list[tuple[int, list[int]]]:
+    """Greedy k-center selection (Gonzalez 1985 farthest-point
+    traversal, the classic 2-approximation) over integer-grid vectors
+    — CORESET selection for training data: pick the k most mutually
+    distant examples so a budgeted subset covers the embedding space,
+    the diversity-first dual of SemDeDup's redundancy-removal (which
+    drops what is too close; this keeps what is farthest apart).
+
+    Deterministic and exactly replayable: the first center is the
+    minimum-id vector, each next center is the argmax of the running
+    min-distance with ties to the smaller id (max_by over the
+    (dist², −id) struct), and all distances are exact BIGINT sums on
+    the quantized grid. Returns ``[(center_id, qv), ...]`` in
+    selection order.
+
+    Shape at 100 TB: each of the k−1 rounds is ONE aggregate job
+    returning ONE row (the argmax riding max_by's partial aggregation
+    — never a global sort), and the running min-distance column
+    updates scan-locally against the newest center's literal vector.
+    Driver state is k×dims integers — model-sized. k is a constant,
+    so total cost is k scans; for k beyond a few dozen, switch to the
+    sampled variant (k-center++ style oversampling) — documented, not
+    needed at coreset sizes here."""
+    cur = df.select(
+        F.col(id_col).alias("__kid"), F.col(qv_col).alias("__kqv")
+    )
+    first = cur.orderBy("__kid").first()
+    centers: list[tuple[int, list[int]]] = [
+        (int(first["__kid"]), [int(v) for v in first["__kqv"]])
+    ]
+    cur = cur.withColumn("__md", _dist2("__kqv", centers[0][1]))
+    for _ in range(k - 1):
+        row = cur.select(
+            F.expr(
+                "max_by(struct(__kid, __kqv), struct(__md, -__kid))"
+            ).alias("m")
+        ).first()["m"]
+        c = (int(row["__kid"]), [int(v) for v in row["__kqv"]])
+        centers.append(c)
+        cur = cur.withColumn(
+            "__md", F.least(F.col("__md"), _dist2("__kqv", c[1]))
+        )
+    return centers

@@ -9999,3 +9999,86 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_score_micro",
         )
     )
+
+
+def _kcenter_oracle(k: int = 8, dims: int = 64) -> str:
+    """Unrolled greedy k-center rounds (the pagerank/kmeans oracle
+    idiom): c0 = min-id vector, each c_t = argmax running min-dist
+    (ties to smaller id), final assignment = argmin over the selected
+    set with ties to the earlier-selected center."""
+    def d2(p: str, c: str) -> str:
+        return (
+            f"list_sum([({p}.qv[i] - {c}.qv[i]) * ({p}.qv[i] - {c}.qv[i])"
+            f" for i in range(1, {dims + 1})])"
+        )
+
+    parts = [
+        "q AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT) for x in embedding] AS qv FROM embeddings)",
+        "c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT p.vec_id, p.qv, {d2('p', 'c')} AS md FROM q p, c0 c)",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"c{t} AS (SELECT vec_id, qv FROM d{t-1}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT p.vec_id, p.qv,"
+                f" LEAST(p.md, {d2('p', 'c')}) AS md"
+                f" FROM d{t-1} p, c{t} c)"
+            )
+    centers = "\n        UNION ALL ".join(
+        f"SELECT {t} AS idx, vec_id, qv FROM c{t}" for t in range(k)
+    )
+    joined_parts = ",\n    ".join(parts)
+    return f"""
+    WITH {joined_parts},
+    centers AS (
+        {centers}
+    )
+    SELECT p.vec_id, c.vec_id AS center_id,
+           CAST({d2('p', 'c')} AS BIGINT) AS dist2
+    FROM q p, centers c
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id ORDER BY {d2('p', 'c')}, c.idx
+    ) = 1
+    """
+
+
+@query("coreset_kcenter_embeddings", oracle=_kcenter_oracle())
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (functions/clustering.
+    kcenter_select, k=8) + full nearest-center assignment — the
+    DIVERSITY-first subset selector for training data (keep the
+    examples farthest apart; SemDeDup is the redundancy dual that
+    drops the ones too close, token_budget_selection the quality
+    dual). The output is every vector's covering center and exact
+    integer distance, so the coverage radius per center — the quantity
+    k-center 2-approximates — rides the hash too.
+
+    Shape at 100 TB: k−1 argmax rounds, each ONE aggregate job
+    returning ONE row via max_by partial aggregation (no global
+    sort), plus a scan-local running-min column against literal
+    centers; final assignment is the Arrow-batched einsum kernel the
+    k-means family already uses (k×dims literal matrix in the
+    closure, zero shuffle). Driver state = k×dims ints. The oracle
+    unrolls all 8 rounds as CTEs and replays the identical argmax /
+    tie / assignment rules."""
+    from .functions.clustering import assign, kcenter_select, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize(emb.select("vec_id", "embedding"), "embedding").select(
+        "vec_id", "qv"
+    )
+    centers = kcenter_select(q, "vec_id", "qv", k=8)
+    assigned = assign(q, "qv", [c[1] for c in centers])
+    id_map = F.array(*[F.lit(cid).cast("long") for cid, _ in centers])
+    return assigned.select(
+        "vec_id",
+        F.element_at(id_map, F.col("cluster_id").cast("int") + 1).alias(
+            "center_id"
+        ),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
