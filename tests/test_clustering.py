@@ -299,3 +299,51 @@ def test_kcenter_ties_break_to_smaller_id(spark):
     )
     got = [cid for cid, _ in kcenter_select(df, "vec_id", "qv", k=2)]
     assert got == [1, 3]
+
+
+def test_pq_encode_matches_per_subspace_kmeans(spark):
+    """PQ codes = independent kmeans per slice: replaying the reference
+    kmeans on each subspace slice must reproduce every code and the
+    summed reconstruction error."""
+    import random
+
+    from wistia_etl_pipeline_spark.functions.clustering import pq_encode
+
+    rnd = random.Random(3)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    m, k, n_assign = 2, 3, 2
+    got = {
+        r.vec_id: (r.code_0, r.code_1, r.recon_dist2)
+        for r in pq_encode(
+            df, "vec_id", "embedding", m=m, k=k, n_assign=n_assign
+        ).collect()
+    }
+    d = len(vecs[0]) // m
+    per_sub = [
+        _reference_kmeans([v[s * d : (s + 1) * d] for v in vecs], k, n_assign)
+        for s in range(m)
+    ]
+    exp = {
+        i: (
+            per_sub[0][i][0],
+            per_sub[1][i][0],
+            per_sub[0][i][1] + per_sub[1][i][1],
+        )
+        for i in range(len(vecs))
+    }
+    assert got == exp
+
+
+def test_pq_encode_rejects_indivisible_dims(spark):
+    from wistia_etl_pipeline_spark.functions.clustering import pq_encode
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.1, 0.2, 0.3])]
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_encode(df, "vec_id", "embedding", m=2, k=1)

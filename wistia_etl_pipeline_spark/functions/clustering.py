@@ -360,3 +360,93 @@ def kcenter_select(df: DataFrame, id_col: str, qv_col: str, *, k: int) -> list[t
             "__md", F.least(F.col("__md"), _dist2("__kqv", c[1]))
         )
     return centers
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 8,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector
+    into ``m`` contiguous subspaces, train an independent k-codeword
+    codebook per subspace (Lloyd's iterations, the exact-integer
+    kmeans machinery), and encode every vector as its m nearest
+    codeword ids — the memory trick behind billion-vector ANN: a
+    64-dim float32 vector (256 B) becomes m small ints (m bytes at
+    k ≤ 256), a 64× compression whose asymmetric distances are later
+    computed from k×m lookup tables instead of raw vectors.
+
+    Returns one row per input: id, ``code_0..code_{m-1}`` (codeword
+    ids) and ``recon_dist2`` (exact integer quantization error — the
+    sum over subspaces of the distance to the chosen codeword; the
+    quantity PQ training minimizes, so it rides the differential
+    hash as the training-quality witness).
+
+    Deterministic: per-subspace init = the k smallest-id vectors'
+    slices, assignment ties to the smaller codeword id, truncating
+    integer-mean updates — the kmeans_int_grid rules applied m times.
+
+    Shape at 100 TB: one quantize+persist scan; per subspace the
+    slice is scan-local, assignment is the Arrow einsum kernel
+    (k×(dims/m) literal matrix), updates collect k×(dims/m) integers
+    — codebooks are model-sized, never corpus-sized. The m per-id
+    results join back on the id column: m−1 id-grain equi joins of
+    already-narrow frames (at production scale, fuse instead into one
+    mapInPandas pass carrying all m codebooks; the join form is kept
+    here because each stage is then independently plan-auditable)."""
+    from pyspark import StorageLevel
+
+    q = quantize(df.select(id_col, vec_col), vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dims = len(q.select("qv").first()["qv"])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    d = dims // m
+    out = None
+    for s in range(m):
+        sub = q.select(id_col, F.slice("qv", s * d + 1, d).alias("qv"))
+        init = sub.orderBy(id_col).limit(k).collect()
+        centroids = [list(r["qv"]) for r in init]
+        res = None
+        for step in range(n_assign):
+            assigned = assign(sub, "qv", centroids)
+            if step == n_assign - 1:
+                res = assigned.select(
+                    id_col,
+                    F.col("cluster_id").alias(f"code_{s}"),
+                    F.col("dist2").alias(f"__d2_{s}"),
+                )
+                break
+            sums = (
+                assigned.select(
+                    "cluster_id", F.posexplode("qv").alias("i", "v")
+                )
+                .groupBy("cluster_id", "i")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+                .collect()  # k×(dims/m) rows — model-sized
+            )
+            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                by_cid.setdefault(int(r["cluster_id"]), {})[int(r["i"])] = (
+                    int(r["sv"]),
+                    int(r["cnt"]),
+                )
+            centroids = [
+                [
+                    _trunc_div(*by_cid[cid][i])
+                    if cid in by_cid
+                    else centroids[cid][i]
+                    for i in range(d)
+                ]
+                for cid in range(k)
+            ]
+        out = res if out is None else out.join(res, id_col)
+    err = sum(F.col(f"__d2_{s}") for s in range(m))
+    return out.withColumn("recon_dist2", err.cast("long")).drop(
+        *[f"__d2_{s}" for s in range(m)]
+    )

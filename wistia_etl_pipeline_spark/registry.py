@@ -10082,3 +10082,185 @@ def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("dist2").cast("long").alias("dist2"),
     )
+
+
+_STREAM_DEDUP_SQL = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@query("streaming_dedup_ingest", oracle=_STREAM_DEDUP_SQL)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUPLICATION ON A REAL STREAM — the third streaming
+    driver row (ST-family): every event arrives TWICE (each staged
+    file carries two copies of its range — the at-least-once delivery
+    contract every real ingest has), and
+    ``dropDuplicatesWithinWatermark("event_id")`` suppresses the
+    replays with state that EXPIRES with the 30-minute watermark —
+    bounded by the lateness window, never by stream length (the
+    unbounded-state trap of plain dropDuplicates on an infinite
+    stream). The oracle is the raw events table: the differential
+    hash proves exactly-once delivery through the duplicated stream —
+    every event exactly once, byte-identical payloads, nothing
+    dropped, nothing doubled.
+
+    Staging rides the mtime lesson (streaming_session_windows): one
+    write job per calendar range gives strictly increasing mtimes =
+    deterministic time-ordered replay, so no in-range row is ever
+    late by more than the watermark delay and the suppression state
+    is always still alive when the duplicate arrives (duplicates
+    land in the SAME file here — the common real pattern is
+    same-batch or next-batch redelivery, both inside the window).
+
+    Shape at 100 TB: dedup state is keyed by event_id but holds only
+    keys INSIDE the lateness window — O(arrival rate × window), not
+    O(stream); emission is immediate (dedup is filter-shaped, no
+    window close needed), so no flush sentinel either."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_dedup_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
+            "2024-06-01", "2100-01-01"]
+    lo = None
+    for hi in cuts:
+        part = events.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        part.unionByName(part).coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
+    """Per-subspace unrolled Lloyd rounds (the _kmeans_oracle shape ×m
+    over slices of the quantized vector), joined back on vec_id."""
+    d = dims // m
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    blocks = []
+    for s in range(m):
+        off = s * d
+        blocks.append(f"""
+    q{s} AS (
+        SELECT vec_id, qfull[{off + 1}:{off + d}] AS qv FROM qf
+    ),
+    c{s}init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q{s} ORDER BY vec_id LIMIT {k}
+    ),
+    d{s}a AS (
+        SELECT v.vec_id, v.qv, c.cid, {d2} AS dist2
+        FROM q{s} v CROSS JOIN c{s}init c
+    ),
+    a{s}a AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d{s}a
+        ) WHERE rn = 1
+    ),
+    sums{s} AS (
+        SELECT cid, s.i AS i, SUM(s.v) AS sv, COUNT(*) AS cnt
+        FROM a{s}a, unnest(list_transform(range(1, len(qv) + 1),
+                        i -> struct_pack(i := i, v := qv[i]))) AS u(s)
+        GROUP BY cid, s.i
+    ),
+    dims{s} AS (SELECT i FROM unnest(range(1, {d} + 1)) AS dd(i)),
+    c{s}upd AS (
+        SELECT c0.cid,
+               list(COALESCE(su.sv // su.cnt, c0.cv[dims{s}.i])
+                    ORDER BY dims{s}.i) AS cv
+        FROM c{s}init c0 CROSS JOIN dims{s}
+        LEFT JOIN sums{s} su ON su.cid = c0.cid AND su.i = dims{s}.i
+        GROUP BY c0.cid
+    ),
+    d{s}b AS (
+        SELECT v.vec_id, c.cid, {d2} AS dist2
+        FROM q{s} v CROSS JOIN c{s}upd c
+    ),
+    a{s}b AS (
+        SELECT vec_id, cid, dist2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d{s}b
+        ) WHERE rn = 1
+    )""")
+    codes = ",\n           ".join(
+        f"CAST(a{s}b.cid AS BIGINT) AS code_{s}" for s in range(m)
+    )
+    errsum = " + ".join(f"a{s}b.dist2" for s in range(m))
+    joins = "\n    ".join(
+        f"JOIN a{s}b ON a{s}b.vec_id = a0b.vec_id" for s in range(1, m)
+    )
+    all_blocks = ",".join(blocks)
+    return f"""
+    WITH qf AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qfull
+        FROM embeddings
+    ),{all_blocks}
+    SELECT a0b.vec_id,
+           {codes},
+           CAST({errsum} AS BIGINT) AS recon_dist2
+    FROM a0b
+    {joins}
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (functions/clustering.pq_encode, Jégou et
+    al. 2011): 64-dim vectors → 4 subspace codebooks of 8 codewords,
+    every vector encoded as 4 small ints + its exact integer
+    reconstruction error — the compression that makes billion-vector
+    ANN memory-resident (4 codes ≈ 64× smaller than float32; query
+    time uses k×m lookup tables instead of raw vectors, the
+    asymmetric-distance trick). Completes the embedding-compression
+    family: int8 quantization (uniform per-vector), JL random
+    projection (dimensionality), PQ (vector codebooks).
+
+    Training is the exact-integer kmeans machinery per subspace
+    (init = k smallest-id slices, Arrow einsum assignment with ties
+    to the smaller codeword, truncating-mean update, second
+    assignment), so the oracle can UNROLL all four subspace
+    trainings as CTEs over slices of the identical quantized grid
+    and replay code assignment AND reconstruction error exactly.
+
+    Shape at 100 TB: one persisted quantize scan; codebooks are
+    k×(dims/m) literals riding task closures (model-sized); updates
+    collect k×(dims/m) integers per subspace; the per-subspace
+    results join on vec_id (id-grain narrow frames). Nothing
+    corpus-sized ever reaches the driver."""
+    from .functions.clustering import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, "vec_id", "embedding", m=4, k=8, n_assign=2)
