@@ -398,6 +398,39 @@ def pq_encode(
     already-narrow frames (at production scale, fuse instead into one
     mapInPandas pass carrying all m codebooks; the join form is kept
     here because each stage is then independently plan-auditable)."""
+    q, codebooks = pq_train(df, id_col, vec_col, m=m, k=k, n_assign=n_assign)
+    d = len(codebooks[0][0])
+    out = None
+    for s in range(m):
+        sub = q.select(id_col, F.slice("qv", s * d + 1, d).alias("qv"))
+        res = assign(sub, "qv", codebooks[s]).select(
+            id_col,
+            F.col("cluster_id").alias(f"code_{s}"),
+            F.col("dist2").alias(f"__d2_{s}"),
+        )
+        out = res if out is None else out.join(res, id_col)
+    err = sum(F.col(f"__d2_{s}") for s in range(m))
+    return out.withColumn("recon_dist2", err.cast("long")).drop(
+        *[f"__d2_{s}" for s in range(m)]
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    k: int,
+    n_assign: int,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Train the m per-subspace codebooks (see :func:`pq_encode` for
+    the rules); returns the persisted quantized frame and the
+    ``m × k × (dims/m)`` codebook tensor — the model ADC search needs
+    driver-side to build its lookup tables. ``n_assign`` counts
+    assignment passes exactly as in ``kmeans_int_grid``: the returned
+    codebooks are the ones the FINAL assignment pass uses (after
+    ``n_assign − 1`` truncating-mean updates)."""
     from pyspark import StorageLevel
 
     q = quantize(df.select(id_col, vec_col), vec_col).persist(
@@ -407,21 +440,13 @@ def pq_encode(
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     d = dims // m
-    out = None
+    codebooks: list[list[list[int]]] = []
     for s in range(m):
         sub = q.select(id_col, F.slice("qv", s * d + 1, d).alias("qv"))
         init = sub.orderBy(id_col).limit(k).collect()
         centroids = [list(r["qv"]) for r in init]
-        res = None
-        for step in range(n_assign):
+        for _ in range(n_assign - 1):
             assigned = assign(sub, "qv", centroids)
-            if step == n_assign - 1:
-                res = assigned.select(
-                    id_col,
-                    F.col("cluster_id").alias(f"code_{s}"),
-                    F.col("dist2").alias(f"__d2_{s}"),
-                )
-                break
             sums = (
                 assigned.select(
                     "cluster_id", F.posexplode("qv").alias("i", "v")
@@ -445,8 +470,5 @@ def pq_encode(
                 ]
                 for cid in range(k)
             ]
-        out = res if out is None else out.join(res, id_col)
-    err = sum(F.col(f"__d2_{s}") for s in range(m))
-    return out.withColumn("recon_dist2", err.cast("long")).drop(
-        *[f"__d2_{s}" for s in range(m)]
-    )
+        codebooks.append(centroids)
+    return q, codebooks

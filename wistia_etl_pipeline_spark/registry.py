@@ -10156,9 +10156,11 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
-def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
-    """Per-subspace unrolled Lloyd rounds (the _kmeans_oracle shape ×m
-    over slices of the quantized vector), joined back on vec_id."""
+def _pq_blocks(m: int = 4, k: int = 8, dims: int = 64) -> str:
+    """Shared CTE prefix for the PQ oracles: quantize, slice into m
+    subspaces, unroll per-subspace Lloyd rounds (the _kmeans_oracle
+    shape ×m). Exposes per-subspace ``a{s}b`` (vec_id, cid, dist2 —
+    the final encoding) and ``c{s}upd`` (the trained codebook)."""
     d = dims // m
     d2 = (
         "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
@@ -10213,6 +10215,16 @@ def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
             FROM d{s}b
         ) WHERE rn = 1
     )""")
+    all_blocks = ",".join(blocks)
+    return f"""qf AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qfull
+        FROM embeddings
+    ),{all_blocks}"""
+
+
+def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
     codes = ",\n           ".join(
         f"CAST(a{s}b.cid AS BIGINT) AS code_{s}" for s in range(m)
     )
@@ -10220,19 +10232,57 @@ def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
     joins = "\n    ".join(
         f"JOIN a{s}b ON a{s}b.vec_id = a0b.vec_id" for s in range(1, m)
     )
-    all_blocks = ",".join(blocks)
     return f"""
-    WITH qf AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qfull
-        FROM embeddings
-    ),{all_blocks}
+    WITH {_pq_blocks(m, k, dims)}
     SELECT a0b.vec_id,
            {codes},
            CAST({errsum} AS BIGINT) AS recon_dist2
     FROM a0b
     {joins}
+    """
+
+
+def _pq_adc_oracle(m: int = 4, k: int = 8, dims: int = 64, topk: int = 10) -> str:
+    d = dims // m
+    luts = []
+    for s in range(m):
+        off = s * d
+        luts.append(f"""
+    qs{s} AS (SELECT qfull[{off + 1}:{off + d}] AS qv FROM qf WHERE vec_id = 0),
+    lut{s} AS (
+        SELECT c.cid,
+               CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                    i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i])))
+                    AS BIGINT) AS ld
+        FROM c{s}upd c, qs{s} qs
+    )""")
+    code_joins = "\n    ".join(
+        f"JOIN a{s}b ON a{s}b.vec_id = a0b.vec_id" for s in range(1, m)
+    )
+    lut_joins = "\n    ".join(
+        f"JOIN lut{s} ON lut{s}.cid = a{s}b.cid" for s in range(m)
+    )
+    adc_sum = " + ".join(f"lut{s}.ld" for s in range(m))
+    return f"""
+    WITH {_pq_blocks(m, k, dims)},{",".join(luts)},
+    adc AS (
+        SELECT a0b.vec_id, CAST({adc_sum} AS BIGINT) AS approx_dist2
+        FROM a0b
+        {code_joins}
+        {lut_joins}
+    ),
+    qq AS (SELECT qfull FROM qf WHERE vec_id = 0),
+    exact AS (
+        SELECT p.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qfull) + 1),
+                    i -> (p.qfull[i] - qq.qfull[i]) * (p.qfull[i] - qq.qfull[i])))
+                    AS BIGINT) AS exact_dist2
+        FROM qf p, qq
+    )
+    SELECT adc.vec_id, adc.approx_dist2, exact.exact_dist2
+    FROM adc JOIN exact ON exact.vec_id = adc.vec_id
+    ORDER BY adc.approx_dist2, adc.vec_id
+    LIMIT {topk}
     """
 
 
@@ -10264,3 +10314,198 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_encode(emb, "vec_id", "embedding", m=4, k=8, n_assign=2)
+
+
+@query("pq_adc_topk", oracle=_pq_adc_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search (the query half of
+    embedding_pq_codes; Jégou et al. 2011 §IV): the query vector
+    (vec_id 0) is NOT quantized — per subspace, its exact distance to
+    each of the k trained codewords forms an m×k lookup table, and a
+    corpus vector's approximate distance is the sum of m table hits
+    on its codes. That is the billion-vector search kernel: after
+    encoding, a distance computation touches m bytes of code and m
+    table lookups — no float vector is ever read at query time. The
+    output carries approx AND exact distances per hit, so the
+    approximation error the hash pins is the recall story made
+    inspectable (compare similarity_ivf_topk, which buckets; ADC
+    compresses).
+
+    Shape at 100 TB: training/encoding as in embedding_pq_codes;
+    the lookup tables are m×k integers computed driver-side from
+    model-sized codebooks; scoring is scan-local element_at over
+    literal arrays (codegen — no join against the codebook, which is
+    the point of ADC); top-k is TakeOrderedAndProject (never a
+    global sort); the exact-distance column joins only the k
+    surviving rows... computed inline here since the corpus scan is
+    already in flight. The oracle replays training, tables, ADC sums
+    and the final ordering rule."""
+    from .functions.clustering import _dist2, assign, pq_train
+
+    m, k = 4, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, codebooks = pq_train(emb, "vec_id", "embedding", m=m, k=k, n_assign=2)
+    d = len(codebooks[0][0])
+    qrow = [int(v) for v in q.filter(F.col("vec_id") == 0).first()["qv"]]
+    tables = [
+        [
+            sum(
+                (qrow[s * d + i] - cw[i]) * (qrow[s * d + i] - cw[i])
+                for i in range(d)
+            )
+            for cw in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    enc = None
+    for s in range(m):
+        sub = q.select("vec_id", F.slice("qv", s * d + 1, d).alias("qv"))
+        res = assign(sub, "qv", codebooks[s]).select(
+            "vec_id", F.col("cluster_id").alias(f"code_{s}")
+        )
+        enc = res if enc is None else enc.join(res, "vec_id")
+    lut = [
+        F.array(*[F.lit(int(v)).cast("long") for v in tables[s]])
+        for s in range(m)
+    ]
+    approx = sum(
+        F.element_at(lut[s], F.col(f"code_{s}").cast("int") + 1)
+        for s in range(m)
+    )
+    scored = enc.join(q, "vec_id").select(
+        "vec_id",
+        approx.cast("long").alias("approx_dist2"),
+        _dist2("qv", qrow).cast("long").alias("exact_dist2"),
+    )
+    return scored.orderBy("approx_dist2", "vec_id").limit(10)
+
+
+def _hll_merge_oracle() -> str:
+    est = (
+        f"CAST({_HLL_NUM} // (1000 * ("
+        f"SUM(CASE WHEN m > {_HLL_SCALE_BITS} THEN 0"
+        f" ELSE (1::BIGINT << ({_HLL_SCALE_BITS} - m)) END)"
+        f" + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_SCALE_BITS})))"
+        f" AS BIGINT)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rb AS (
+        SELECT event_type, d, hv % {_HLL_M} AS bucket,
+               CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+        FROM h
+    ),
+    daily AS (
+        SELECT event_type, d, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, d, bucket
+    ),
+    merged AS (
+        SELECT event_type, bucket, MAX(m) AS m
+        FROM daily GROUP BY event_type, bucket
+    ),
+    direct AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, bucket
+    ),
+    estm AS (SELECT event_type, {est} AS hll_merged FROM merged GROUP BY event_type),
+    estd AS (SELECT event_type, {est} AS hll_direct FROM direct GROUP BY event_type),
+    nd AS (
+        SELECT event_type, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT nd.event_type, nd.n_days, estm.hll_merged, estd.hll_direct,
+           CAST(CASE WHEN estm.hll_merged = estd.hll_direct THEN 1 ELSE 0 END
+                AS BIGINT) AS merge_exact
+    FROM nd
+    JOIN estm ON estm.event_type = nd.event_type
+    JOIN estd ON estd.event_type = nd.event_type
+    """
+
+
+@query("sketch_hll_merge_daily", oracle=_hll_merge_oracle())
+def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property the sketch exists for
+    (sketch_hll_visitors builds it; this query proves the rollup
+    contract): per-(event_type, DAY) register vectors merge by
+    element-wise MAX into the period sketch, and the merged estimate
+    must equal the estimate computed directly over the whole period —
+    not approximately, EXACTLY, because max-of-maxes is associative
+    over any partitioning of the input. That algebraic identity is
+    what lets a 100 TB pipeline keep 64 integers per key per day and
+    answer "distinct visitors this quarter" without ever re-reading
+    history (exact COUNT DISTINCT state is union-of-sets — linear in
+    cardinality; HLL state is constant). ``merge_exact`` rides the
+    hash pinned at 1 for every key, alongside both estimates, so a
+    future regression in either path diverges the hash.
+
+    Shape at 100 TB: three hash aggregates, all sketch-bounded after
+    the first (keys × days × 64, keys × 64, keys × 64); the merge
+    aggregate reads sketch rows, not events — the O(state) rollup
+    that motivates the family."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rb = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (h % _HLL_M).alias("bucket"),
+        h.alias("hv"),
+    ).select(
+        "event_type",
+        "d",
+        "bucket",
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HLL_M}"))))
+        .alias("rho"),
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        agg = regs.groupBy("event_type").agg(
+            F.sum(
+                F.when(F.col("m") > _HLL_SCALE_BITS, F.lit(0)).otherwise(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_BITS} - m AS INT))"
+                    )
+                )
+            ).alias("s_occ"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        return agg.select(
+            "event_type",
+            F.expr(
+                f"{_HLL_NUM} div (1000 * (s_occ + ({_HLL_M} - nb)"
+                f" * shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS})))"
+            ).cast("long").alias(out),
+        )
+
+    daily = rb.groupBy("event_type", "d", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("m").alias("m"))
+    direct = rb.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    nd = events.groupBy("event_type").agg(
+        F.count_distinct(F.to_date("ts")).alias("n_days")
+    )
+    return (
+        nd.join(estimate(merged, "hll_merged"), "event_type")
+        .join(estimate(direct, "hll_direct"), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            "hll_merged",
+            "hll_direct",
+            F.when(F.col("hll_merged") == F.col("hll_direct"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("merge_exact"),
+        )
+    )
