@@ -10509,3 +10509,148 @@ def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_exact"),
         )
     )
+
+
+_PEAK_CONCURRENCY_ORACLE = """
+    WITH iv AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS dt,
+               ts AS s,
+               LEAST(ts + CAST(floor(value) AS BIGINT) * INTERVAL 1 SECOND,
+                     CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, dt, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, dt, e AS t, -1 AS delta FROM iv
+    ),
+    run AS (
+        SELECT event_type, dt,
+               SUM(delta) OVER (
+                   PARTITION BY event_type, dt
+                   ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM pts
+    )
+    SELECT event_type, dt, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type, dt
+"""
+
+
+@query("peak_concurrency_daily", oracle=_PEAK_CONCURRENCY_ORACLE)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY via the sweep-line: each event opens an
+    interval [ts, ts + floor(value) seconds) (clipped to its day);
+    the maximum number of simultaneously open intervals per
+    (event_type, day) is the capacity-planning metric no plain
+    aggregate computes — it needs the running sum of +1/−1 boundary
+    points in time order. Ends sort BEFORE starts at the same
+    instant (ORDER BY t, delta with −1 < +1), i.e. back-to-back
+    intervals don't overlap — the convention both engines pin.
+
+    Determinism note: the running sum is windowed over a NON-unique
+    order (simultaneous boundaries), which is fine exactly because
+    only the per-partition MAX survives to the output — the max of
+    prefix sums lands on a (t, delta)-group boundary, and group-end
+    prefix values are permutation-invariant within tied groups. A
+    query exposing the intermediate running values would need a
+    unique tiebreak (the total-order window rule); a query keeping
+    only the max doesn't.
+
+    Shape at 100 TB: boundary-point generation is scan-local (2 rows
+    per event); the sweep window is partitioned by (event_type, day)
+    — never global, state bounded by a day's busiest key; the final
+    max is a hash aggregate. The day clip is what keeps the window
+    grain bounded: unclipped multi-day intervals would need the
+    cross-day carry fold (watermark_high_water_mark's pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "event_type",
+        F.to_date("ts").alias("dt"),
+        F.col("ts").alias("s"),
+        F.least(
+            F.expr("ts + make_interval(0,0,0,0,0,0, CAST(floor(value) AS BIGINT))"),
+            F.expr("CAST(date_add(CAST(ts AS DATE), 1) AS TIMESTAMP)"),
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", "dt", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type", "dt", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type", "dt")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type", "dt", F.sum("delta").over(w).alias("conc")
+    )
+    return run.groupBy("event_type", "dt").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+
+
+_SEQ_BUCKET_W = 1000
+
+_CONTIGUOUS_IDS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id,
+           CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT)
+               AS shard_id
+    FROM documents
+"""
+
+
+@query("contiguous_doc_ids", oracle=_CONTIGUOUS_IDS_ORACLE)
+def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS global sequence ids (0..n−1 in doc_id order) plus a
+    derived shard assignment — the layout step before writing packed
+    training shards, where "give every document a dense index" is
+    exactly what a naive ROW_NUMBER() OVER (ORDER BY ...) computes
+    through ONE task and what monotonically_increasing_id refuses to
+    make dense. The distributed form is the classic two-phase
+    zipWithIndex: (1) count per ORDER-RESPECTING bucket (doc_id div
+    1000 — range buckets, so bucket order ≡ id order), (2) exclusive
+    prefix-sum the bucket counts on the bucket-grain table (n/1000
+    rows — the token_budget_selection bounded-window budget; width
+    tunes it), (3) seq = bucket offset + intra-bucket rank (windows
+    bounded by the bucket width). The oracle IS the naive global
+    ROW_NUMBER, so the hash proves the decomposition exact.
+
+    Shape at 100 TB: one hash aggregate (bucket counts), one window
+    over the bucket-grain frame (corpus/width rows — pick width so
+    this is thousands, not billions), per-bucket windows bounded by
+    width, one equi join of offsets back onto the corpus. No global
+    sort, no single-task window over the data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {_SEQ_BUCKET_W}")
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(wb) - F.col("n")).alias("offset")
+    )
+    ww = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.join(offsets, "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(ww) - 1)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .withColumn("shard_id", F.expr("seq_id div 100").cast("long"))
+    )
