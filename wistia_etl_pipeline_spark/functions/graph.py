@@ -275,6 +275,12 @@ def triangle_stats(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
+        # und fans out to sym/deg/orientation and oriented fans out to
+        # wedges (×2) + closure: without cutting lineage here, every
+        # consumer re-derives the upstream pair miner (measured 275
+        # exchanges on the MinHash dup graph — the whole LSH pipeline
+        # re-mined per consumer; 12 after the two checkpoints)
+        .localCheckpoint(eager=False)
     )
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -306,6 +312,7 @@ def triangle_stats(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             .alias("e")
         )
         .select("e.lo", "e.hi", "e.hi_deg")
+        .localCheckpoint(eager=False)
     )
     e1 = oriented.select(
         F.col("lo").alias("u"), F.col("hi").alias("v"),
