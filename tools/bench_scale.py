@@ -50,6 +50,20 @@ QUERIES = [
     "sketch_count_min_tokens",
     "aqe_skew_join_rollup",
     "streaming_gold_rollup",
+    # r5 continuation: graph density, containment, LM scoring, sketches,
+    # coreset/PQ, sweep-line, distributed zipWithIndex, rolling distinct
+    "triangle_count_dup_graph",
+    "containment_quote_match",
+    "bigram_lm_quality",
+    "rolling_distinct_visitors",
+    "coreset_kcenter_embeddings",
+    "embedding_pq_codes",
+    "pq_adc_topk",
+    "sketch_hll_visitors",
+    "sketch_hll_merge_daily",
+    "peak_concurrency_daily",
+    "contiguous_doc_ids",
+    "streaming_dedup_ingest",
 ]
 N_RUNS = 3
 
@@ -58,6 +72,14 @@ def main() -> None:
     import sys
 
     sys.path.insert(0, ROOT)
+    # CLI args select a query subset; results MERGE into the existing
+    # BENCH_SCALE.json so incremental additions don't re-pay the full
+    # (serial, cold) sweep.
+    selected = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_queries = selected or QUERIES
+    unknown = [n for n in run_queries if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in QUERIES: {unknown}")
     from wistia_etl_pipeline_spark.registry import queries
     from wistia_etl_pipeline_spark.session import get_spark
 
@@ -105,9 +127,9 @@ def main() -> None:
     # warm-up JVM/codegen on the smallest SF
     qs[QUERIES[0]](spark, sfs[0][1]).write.format("noop").mode("overwrite").save()
 
-    medians: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    medians: dict[str, dict[str, float]] = {n: {} for n in run_queries}
     for sf, d in sfs:
-        for name in QUERIES:
+        for name in run_queries:
             ts = []
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
@@ -122,8 +144,14 @@ def main() -> None:
             medians[name][f"{sf:g}"] = round(statistics.median(ts), 3)
             print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
 
+    path = os.path.join(ROOT, "BENCH_SCALE.json")
     out: dict = {"sfs": [sf for sf, _ in sfs], "n_runs": N_RUNS, "queries": {}}
-    for name in QUERIES:
+    if selected and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("sfs") == out["sfs"]:
+            out["queries"].update(prev.get("queries", {}))
+    for name in run_queries:
         pts = [(sf, medians[name][f"{sf:g}"]) for sf, _ in sfs]
         pairwise = [
             round(
@@ -147,7 +175,6 @@ def main() -> None:
             "overall_exponent": overall,
             "exponent_excl_smallest_sf": tail,
         }
-    path = os.path.join(ROOT, "BENCH_SCALE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")
