@@ -1,0 +1,128 @@
+"""Replica-parity tests for the r5 continuation wave-2 analytics:
+KMV set-algebra sketch, A/B chi-square, and source TV divergence.
+The DuckDB oracles prove cross-engine agreement; these tests prove the
+FORMULAS agree with an independent (numpy/pandas) implementation, so
+both engines being wrong the same way is ruled out for the core math."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wistia_etl_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_merge_lemma_and_error_bound(spark):
+    got = registry._QUERIES["sketch_kmv_distinct"](spark, SF).toPandas()
+    assert len(got) == 10  # 5 event types -> 10 unordered pairs
+    # merge lemma: k smallest of the two k-sketches == k smallest of the
+    # full element union, for every pair
+    assert (got["merge_exact"] == 1).all()
+    # estimator sanity: within 4 standard errors (sigma ~ 1/sqrt(k-2))
+    rel = (got["union_est"] - got["exact_union"]).abs() / got["exact_union"]
+    assert (rel < 4.0 / np.sqrt(registry._KMV_K - 2)).all(), rel.max()
+    # tau lesson: jaccard strictly inside (0, 1) for every pair
+    assert (got["jaccard_micro"] > 0).all()
+    assert (got["jaccard_micro"] < 1_000_000).all()
+    # intersection estimate consistent: jaccard * union floor-div k
+    want = got["jaccard_micro"] * got["union_est"] // 1_000_000
+    # inter_est = matches*union_est div nku; jaccard = matches*1e6 div nku
+    # -- the two floor-divs differ by at most 1 ulp of the scaled grid
+    assert (
+        (got["inter_est"] - want).abs()
+        <= got["union_est"] // 1_000_000 + 1
+    ).all()
+
+
+def test_kmv_exact_when_set_smaller_than_k(spark):
+    """A set with fewer than k distinct elements is stored whole, so the
+    'estimate' must be exact (the sketch degenerates to the set)."""
+    from pyspark.sql import functions as F
+
+    # 3 users x 2 days per type -> 6 distinct elements < k = 32
+    rows = [
+        (t, u, f"2024-01-0{d}")
+        for t in ("x", "y")
+        for u in (1, 2, 3)
+        for d in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long, ds string")
+    df = df.select(
+        "event_type", "user_id", F.col("ds").cast("timestamp").alias("ts")
+    )
+    import tempfile, os
+
+    root = tempfile.mkdtemp(prefix="kmv_small_")
+    df.select(
+        F.monotonically_increasing_id().alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "events.parquet"))
+    got = registry._QUERIES["sketch_kmv_distinct"](spark, root).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["union_est"] == r["exact_union"] == 6
+    assert r["inter_est"] == r["exact_inter"] == 6
+    assert r["jaccard_micro"] == 1_000_000
+
+
+def test_ab_chisq_matches_numpy_formula(spark):
+    got = registry._QUERIES["experiment_ab_chisq"](spark, SF).toPandas()
+    assert set(got["experiment"]) == {"null", "planted"}
+    for _, r in got.iterrows():
+        a, b, c, d = (float(r[k]) for k in ("a", "b", "c", "d"))
+        n = a + b + c + d
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        want = 0.0 if den == 0 else n * (a * d - b * c) ** 2 / den
+        assert abs(r["chi2"] - want) < 1e-9 * max(1.0, want)
+        assert r["significant"] == int(r["chi2"] > 3.841458820694124)
+    # tau lesson: the planted effect fires somewhere, and cohorts split
+    planted = got[got["experiment"] == "planted"]
+    assert planted["significant"].sum() >= 1
+    assert ((got["a"] + got["b"]) > 0).all()  # treatment arm non-empty
+    assert ((got["c"] + got["d"]) > 0).all()  # control arm non-empty
+
+
+def test_tv_divergence_matches_pandas(spark):
+    got = registry._QUERIES["source_tv_divergence"](spark, SF).toPandas()
+    docs = (
+        registry.load_table(spark, SF, "documents")
+        .selectExpr("source", "explode(split(trim(text), '\\\\s+')) AS tok")
+        .toPandas()
+    )
+    counts = docs.groupby(["source", "tok"]).size()
+    vocab = docs.groupby("tok").size()
+    n = len(docs)
+    for _, r in got.iterrows():
+        src = r["source"]
+        cs = counts.loc[src] if src in counts.index.get_level_values(0) else {}
+        ns = int(docs[docs["source"] == src].shape[0])
+        assert r["n_tokens"] == ns
+        p = cs.reindex(vocab.index).fillna(0) / ns
+        q = vocab / n
+        want = float(np.abs(p - q).sum() / 2.0)
+        assert abs(r["tv"] - want) < 1e-12, src
+        assert 0.0 <= r["tv"] <= 1.0
+
+
+def test_tv_zero_for_identical_distribution(spark):
+    """One source duplicated as the whole corpus => TV == 0 exactly (the
+    full-grid property: no spurious drift from the zero-count cells)."""
+    from pyspark.sql import functions as F
+    import tempfile, os
+
+    docs = registry.load_table(spark, SF, "documents").limit(20)
+    one = docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("only").alias("source"), "n_chars",
+    )
+    root = tempfile.mkdtemp(prefix="tv_one_")
+    one.write.mode("overwrite").parquet(os.path.join(root, "documents.parquet"))
+    got = registry._QUERIES["source_tv_divergence"](spark, root).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["tv"] == 0.0
+    assert got.iloc[0]["max_dev"] == 0

@@ -10654,3 +10654,445 @@ def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("shard_id", F.expr("seq_id div 100").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation wave 2: KMV set-algebra sketch, A/B chi-square,
+# mixture drift, graph walks/cores, attribution, stream-stream join
+# --------------------------------------------------------------------------
+
+# KMV (k-minimum-values / bottom-k) sketch constants: k = 32 samples,
+# 56-bit hash (14 hex chars) so the estimator numerator (k-1)*2^56 =
+# 2233785415175766016 stays inside BIGINT on both engines (the 60-bit
+# hash the HLL family uses would overflow it at k = 32).
+_KMV_K = 32
+_KMV_NUM = (_KMV_K - 1) * (1 << 56)
+
+_KMV_EL_SQL = """
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 14))::BIGINT AS hv
+    FROM events WHERE user_id IS NOT NULL
+"""
+
+_KMV_ORACLE = f"""
+    WITH el AS ({_KMV_EL_SQL}),
+    samp AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM el
+        ) WHERE rn <= {_KMV_K}
+    ),
+    tp AS (SELECT DISTINCT event_type FROM el),
+    pr AS (
+        SELECT l.event_type AS t1, r.event_type AS t2
+        FROM tp l JOIN tp r ON l.event_type < r.event_type
+    ),
+    ps AS (
+        SELECT t1, t2, hv,
+               MAX(CASE WHEN s.event_type = t1 THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN s.event_type = t2 THEN 1 ELSE 0 END) AS in2
+        FROM pr JOIN samp s ON s.event_type = t1 OR s.event_type = t2
+        GROUP BY t1, t2, hv
+    ),
+    pk AS (
+        SELECT t1, t2, hv, in1, in2 FROM (
+            SELECT t1, t2, hv, in1, in2,
+                   row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+            FROM ps
+        ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+        SELECT t1, t2, MAX(hv) AS kth_m, COUNT(*) AS nku,
+               CAST(SUM(in1 * in2) AS BIGINT) AS matches
+        FROM pk GROUP BY t1, t2
+    ),
+    pe AS (
+        SELECT t1, t2, hv,
+               MAX(CASE WHEN e.event_type = t1 THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN e.event_type = t2 THEN 1 ELSE 0 END) AS in2
+        FROM pr JOIN el e ON e.event_type = t1 OR e.event_type = t2
+        GROUP BY t1, t2, hv
+    ),
+    ex AS (
+        SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS exact_union,
+               CAST(SUM(in1 * in2) AS BIGINT) AS exact_inter
+        FROM pe GROUP BY t1, t2
+    ),
+    dk AS (
+        SELECT t1, t2, MAX(hv) AS kth_d FROM (
+            SELECT t1, t2, hv,
+                   row_number() OVER (PARTITION BY t1, t2 ORDER BY hv) AS rn
+            FROM pe
+        ) WHERE rn <= {_KMV_K} GROUP BY t1, t2
+    )
+    SELECT m.t1, m.t2,
+           CAST(CASE WHEN m.nku < {_KMV_K} THEN m.nku
+                     ELSE {_KMV_NUM} // m.kth_m END AS BIGINT) AS union_est,
+           ex.exact_union,
+           CAST(m.matches * 1000000 // m.nku AS BIGINT) AS jaccard_micro,
+           CAST(m.matches * (CASE WHEN m.nku < {_KMV_K} THEN m.nku
+                                  ELSE {_KMV_NUM} // m.kth_m END)
+                // m.nku AS BIGINT) AS inter_est,
+           ex.exact_inter,
+           CAST(CASE WHEN m.kth_m = dk.kth_d THEN 1 ELSE 0 END AS BIGINT)
+               AS merge_exact
+    FROM merged m
+    JOIN ex ON ex.t1 = m.t1 AND ex.t2 = m.t2
+    JOIN dk ON dk.t1 = m.t1 AND dk.t2 = m.t2
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    ALGEBRA — the member of the sketch family HLL cannot provide:
+    because a KMV sketch is a uniform sample of the hashed universe,
+    two sketches support union AND intersection estimates (Beyer et
+    al., SIGMOD'07 "distinct-value synopses"), where HLL registers
+    only union. Per event-type pair over (user, day) activity
+    elements: union estimate (k-1)*2^56 div kth_min, KMV Jaccard
+    matches/k, intersection = Jaccard * union — all exact integer
+    floor-div micro units both engines reproduce bit-for-bit.
+
+    Two contracts ride the hash: (a) ``merge_exact`` pins the KMV
+    merge lemma — the k smallest of (S1 union S2) computed from the
+    two k-sized SKETCHES equals the k smallest of the full element
+    union (the O(state) mergeability that makes bottom-k a rollup
+    sketch); (b) exact union/intersection counts sit next to the
+    estimates so the approximation error is inspectable (tau lesson:
+    at sf0.01 every pair overlaps partially -- jaccard_micro is
+    non-degenerate, strictly between 0 and 10^6).
+
+    Shape at 100 TB: elements dedupe via one hash aggregate; per-set
+    sketches are a rank<=k filter the optimizer rewrites to
+    WindowGroupLimit (per-partition top-k then merge -- never a full
+    per-key sort); pair algebra runs on k*|types|^2 rows of sketch
+    state. The exact-count columns are the verification harness, not
+    the production path -- a deployment emits sketches only."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.to_date("ts").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    el = (
+        events.where(F.col("user_id").isNotNull())
+        .select("event_type", hv.alias("hv"))
+        .distinct()
+    )
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    samp = (
+        el.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    types = el.select("event_type").distinct()
+    pr = (
+        types.alias("l")
+        .join(
+            types.alias("r"),
+            F.col("l.event_type") < F.col("r.event_type"),
+        )
+        .select(
+            F.col("l.event_type").alias("t1"),
+            F.col("r.event_type").alias("t2"),
+        )
+    )
+
+    def _pair_elements(src: DataFrame) -> DataFrame:
+        s = src.withColumnRenamed("event_type", "et")
+        return (
+            F.broadcast(pr)
+            .join(s, (F.col("et") == F.col("t1")) | (F.col("et") == F.col("t2")))
+            .groupBy("t1", "t2", "hv")
+            .agg(
+                F.max(
+                    F.when(F.col("et") == F.col("t1"), 1).otherwise(0)
+                ).alias("in1"),
+                F.max(
+                    F.when(F.col("et") == F.col("t2"), 1).otherwise(0)
+                ).alias("in2"),
+            )
+        )
+    ps = _pair_elements(samp)
+    wu = Window.partitionBy("t1", "t2").orderBy("hv")
+    pk = (
+        ps.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    merged = pk.groupBy("t1", "t2").agg(
+        F.max("hv").alias("kth_m"),
+        F.count(F.lit(1)).alias("nku"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("matches"),
+    )
+    pe = _pair_elements(el)
+    ex = pe.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("exact_inter"),
+    )
+    dk = (
+        pe.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("t1", "t2")
+        .agg(F.max("hv").alias("kth_d"))
+    )
+    est = (
+        f"CASE WHEN nku < {_KMV_K} THEN nku ELSE {_KMV_NUM} div kth_m END"
+    )
+    return (
+        merged.join(ex, ["t1", "t2"])
+        .join(dk, ["t1", "t2"])
+        .select(
+            "t1",
+            "t2",
+            F.expr(f"CAST({est} AS BIGINT)").alias("union_est"),
+            "exact_union",
+            F.expr("CAST(matches * 1000000 div nku AS BIGINT)").alias(
+                "jaccard_micro"
+            ),
+            F.expr(f"CAST(matches * ({est}) div nku AS BIGINT)").alias(
+                "inter_est"
+            ),
+            "exact_inter",
+            F.expr(
+                "CAST(CASE WHEN kth_m = kth_d THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("merge_exact"),
+        )
+    )
+
+
+# chi-square(1 dof) critical value at alpha = 0.05. The chi2 column is
+# computed as ONE identically-ordered double expression on both engines
+# (per-row IEEE ops are bit-deterministic; an integer formulation
+# overflows int64 at sf1 cohort sizes, and Spark's decimal `div`
+# silently wraps to a negative BIGINT -- measured, not theoretical).
+_CHI2_EXPR = (
+    "CASE WHEN den = 0 THEN 0.0 "
+    "ELSE CAST(n AS DOUBLE) * dev * dev / den END"
+)
+_CHI2_CRIT = "3.841458820694124"
+
+_AB_ORACLE = f"""
+    WITH pu AS (
+        SELECT event_type, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 AS t,
+               MAX(value) AS mx
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    ),
+    outcomes AS (
+        SELECT event_type, 'null' AS experiment, t,
+               CASE WHEN mx >= 100 THEN 1 ELSE 0 END AS y
+        FROM pu
+        UNION ALL
+        SELECT event_type, 'planted' AS experiment, t,
+               CASE WHEN (t = 1 AND mx >= 80) OR (t = 0 AND mx >= 120)
+                    THEN 1 ELSE 0 END AS y
+        FROM pu
+    ),
+    cont AS (
+        SELECT event_type, experiment,
+               CAST(SUM(t * y) AS BIGINT)             AS a,
+               CAST(SUM(t * (1 - y)) AS BIGINT)       AS b,
+               CAST(SUM((1 - t) * y) AS BIGINT)       AS c,
+               CAST(SUM((1 - t) * (1 - y)) AS BIGINT) AS d
+        FROM outcomes GROUP BY event_type, experiment
+    ),
+    stat AS (
+        SELECT event_type, experiment, a, b, c, d,
+               a + b + c + d AS n,
+               a * d - b * c AS dev,
+               (a + b) * (c + d) * (a + c) * (b + d) AS den
+        FROM cont
+    )
+    SELECT event_type, experiment, a, b, c, d,
+           {_CHI2_EXPR} AS chi2,
+           CAST(CASE WHEN {_CHI2_EXPR} > {_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS BIGINT) AS significant
+    FROM stat
+"""
+
+
+@query("experiment_ab_chisq", oracle=_AB_ORACLE)
+def experiment_ab_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT ANALYSIS: deterministic hash-parity cohort
+    assignment (the md5-split every experimentation platform uses --
+    sticky, uniform, needs no assignment table) and a 2x2 chi-square
+    independence test per (event_type, experiment). Two experiments
+    ride the same cohorts so BOTH fates land on the hash (tau lesson):
+    'null' applies one outcome threshold to both arms (treatment is
+    independent of outcome -- chi2 small, flag rarely fires) and
+    'planted' biases the threshold by arm (80 vs 120 on a max-value
+    outcome: a ~20-point lift on n=150 -- chi2 >> 3.84, flag fires at
+    every SF).
+
+    Determinism: the contingency table is exact integers (two hash
+    aggregates); chi2 = n*(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) is ONE
+    identically-ordered double expression on both engines -- per-row
+    IEEE arithmetic is bit-deterministic (registry rule #2), while the
+    all-integer form overflows int64 at sf1 cohort sizes and Spark's
+    decimal `div` wraps to a negative BIGINT rather than erroring
+    (measured on 4.7e12 * 4.7e12).
+
+    Shape at 100 TB: per-(type,user) reduction is one hash aggregate
+    with map-side combine; the contingency/statistic stage runs on
+    |types|x|experiments| rows. No window, no collect, no skew (the
+    md5 split is uniform by construction)."""
+    events = load_table(spark, sf_dir, "events")
+    t = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    pu = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.max("value").alias("mx"))
+        .select("event_type", t.alias("t"), "mx")
+    )
+    null_y = F.when(F.col("mx") >= 100, 1).otherwise(0)
+    planted_y = F.when(
+        ((F.col("t") == 1) & (F.col("mx") >= 80))
+        | ((F.col("t") == 0) & (F.col("mx") >= 120)),
+        1,
+    ).otherwise(0)
+    outcomes = pu.select(
+        "event_type", F.lit("null").alias("experiment"), "t", null_y.alias("y")
+    ).unionByName(
+        pu.select(
+            "event_type",
+            F.lit("planted").alias("experiment"),
+            "t",
+            planted_y.alias("y"),
+        )
+    )
+    cont = outcomes.groupBy("event_type", "experiment").agg(
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("a"),
+        F.sum(F.col("t") * (1 - F.col("y"))).cast("long").alias("b"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("c"),
+        F.sum((1 - F.col("t")) * (1 - F.col("y"))).cast("long").alias("d"),
+    )
+    stat = cont.withColumn("n", F.expr("a + b + c + d")).withColumn(
+        "dev", F.expr("a * d - b * c")
+    ).withColumn("den", F.expr("(a + b) * (c + d) * (a + c) * (b + d)"))
+    return stat.select(
+        "event_type",
+        "experiment",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(_CHI2_EXPR).alias("chi2"),
+        F.expr(
+            f"CAST(CASE WHEN {_CHI2_EXPR} > {_CHI2_CRIT} THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant"),
+    )
+
+
+_TV_ORACLE = rf"""
+    WITH tok AS (
+        SELECT source, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS cs FROM tok GROUP BY source, tok),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+             FROM tok GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    grid AS (
+        SELECT s.source, s.ns, v.tok, v.c,
+               COALESCE(sc.cs, 0) AS cs
+        FROM srcs s CROSS JOIN vocab v
+        LEFT JOIN sc ON sc.source = s.source AND sc.tok = v.tok
+    ),
+    dev AS (
+        SELECT source, ns, abs(cs * (SELECT n FROM tot) - c * ns) AS term
+        FROM grid
+    )
+    SELECT source,
+           ns AS n_tokens,
+           CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+               / (2.0 * ns * (SELECT n FROM tot)) AS tv,
+           CAST(MAX(term) AS BIGINT) AS max_dev
+    FROM dev GROUP BY source, ns
+"""
+
+
+@query("source_tv_divergence", oracle=_TV_ORACLE)
+def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-DRIFT MONITORING: total-variation distance between each
+    source's unigram token distribution and the corpus-wide
+    distribution — the metric a data-mixture pipeline tracks per
+    ingest batch to catch a source whose content shifted (crawler
+    broke, domain pivoted) before it skews training. TV is chosen
+    over KL precisely because it is RATIONAL: TV(p,q) =
+    sum|c_s(w)*N - c(w)*N_s| / (2*N_s*N) needs no logarithm, so the
+    per-term deviations are exact integers both engines agree on
+    (ln() is not cross-engine stable — the HLL family's lesson), and
+    only the final normalization is one identically-ordered double
+    division (registry rule #2: per-row IEEE is bit-deterministic).
+
+    The zero-count cells matter: a token the source never emits still
+    contributes c(w)*N_s to the distance, so the grid is the FULL
+    sources x vocabulary frame (coalesce 0), not the inner join —
+    dropping them silently underestimates drift for narrow sources.
+
+    Shape at 100 TB: token counts are two hash aggregates with
+    map-side combine (zipfian head absorbed); the grid is
+    |sources| x |vocab| — model-sized (vocabulary-bounded, the BPE
+    family's budget), never corpus-sized; the corpus total is a 1-row
+    broadcast. Deviation sums route through BIGINT (bounded by
+    vocab * c_max * N_s — safe well past sf1)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    srcs = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "tok"], "left")
+        .select(
+            "source",
+            "ns",
+            "tok",
+            "c",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = grid.select(
+        "source",
+        "ns",
+        "n",
+        F.abs(F.col("cs") * F.col("n") - F.col("c") * F.col("ns")).alias(
+            "term"
+        ),
+    )
+    return dev.groupBy("source", "ns", "n").agg(
+        F.sum("term").cast("long").alias("s"),
+        F.max("term").cast("long").alias("max_dev"),
+    ).select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.expr("CAST(s AS DOUBLE) / (2.0 * ns * n)").alias("tv"),
+        "max_dev",
+    )
