@@ -215,3 +215,126 @@ def test_triangle_hub_with_open_wedges(spark):
     assert got[0]["degree"] == 5 and got[0]["n_triangles"] == 1
     assert got[0]["lcc_micro"] == (2 * 1 * 1_000_000) // (5 * 4)
     assert got[1]["n_triangles"] == 1 and got[2]["n_triangles"] == 1
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def _kcore_replica(edges, k):
+    """Reference peeling over a python adjacency: returns
+    {node: (peel_round, core_deg)}."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    peel_round = {n: 0 for n in adj}
+    r = 0
+    while True:
+        r += 1
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        for n in doomed:
+            peel_round[n] = r
+        alive -= doomed
+    return {
+        n: (peel_round[n], len(adj[n] & alive) if n in alive else 0)
+        for n in adj
+    }
+
+
+def _run_kcore(spark, edges, k=2):
+    from wistia_etl_pipeline_spark.functions.graph import kcore_peel
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        r["node"]: (r["peel_round"], r["core_deg"])
+        for r in kcore_peel(df, k=k, src="a_id", dst="b_id").collect()
+    }
+    assert got == _kcore_replica(edges, k)
+
+
+def test_kcore_path_graph_peels_completely(spark):
+    # path 0-1-2-3-4: endpoints peel r1, next pair r2, center r3
+    _run_kcore(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle 0-1-2 survives; tail 2-3-4 peels outward-in
+    _run_kcore(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+
+
+def test_kcore_k3_on_k4_and_pendant(spark):
+    # K4 survives the 3-core; the pendant and its anchor logic peel
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    _run_kcore(spark, k4 + [(3, 9)], k=3)
+
+
+def test_kcore_random_graph_matches_replica(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (a, b)
+        for a in range(24)
+        for b in range(24)
+        if a < b and rng.random() < 0.12
+    ]
+    noisy = edges + [(b, a) for a, b in edges[::4]] + edges[::7]
+    _run_kcore(spark, noisy)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_match_python_replay(spark):
+    import hashlib
+
+    from wistia_etl_pipeline_spark.functions.graph import random_walks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    adj = {n: sorted(set(v)) for n, v in adj.items()}
+
+    def step(cur, walk, t):
+        h = int(
+            hashlib.md5(f"{cur}:{walk}:{t}".encode()).hexdigest()[:15], 16
+        )
+        return adj[cur][h % len(adj[cur])]
+
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = random_walks(
+        df, walks_per_node=2, walk_length=3, src="a_id", dst="b_id"
+    ).collect()
+    assert len(got) == len(adj) * 2
+    for r in got:
+        cur, path = r["node"], [r["node"]]
+        for t in (1, 2, 3):
+            cur = step(cur, r["walk_id"], t)
+            path.append(cur)
+        assert r["path"] == "-".join(str(p) for p in path), r
+        assert r["end_node"] == cur
+
+
+def test_random_walks_cover_all_neighbors_eventually(spark):
+    """On a star graph every leaf's single neighbor is the hub, and the
+    hub's walks land on hash-chosen leaves — paths stay inside the edge
+    set (no invented transitions)."""
+    from wistia_etl_pipeline_spark.functions.graph import random_walks
+
+    edges = [(0, i) for i in range(1, 6)]
+    allowed = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    for r in random_walks(df, src="a_id", dst="b_id").collect():
+        seq = [int(x) for x in r["path"].split("-")]
+        assert all((a, b) in allowed for a, b in zip(seq, seq[1:])), r

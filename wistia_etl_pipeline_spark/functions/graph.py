@@ -347,3 +347,202 @@ def triangle_stats(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             ).alias("lcc_micro"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    k: int = 2,
+    max_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Matula & Beck 1983).
+
+    Repeatedly remove nodes of degree < k (recomputing degrees on the
+    surviving subgraph) until a fixpoint; the survivors are the k-core.
+    On a near-dup graph the 2-core DISCRIMINATES structure the degree
+    alone cannot: an exact-dup pair is a degree-1 appendage that peels,
+    while a near-dup group forms a clique whose members all survive —
+    so core membership separates "isolated duplicate" from "dense
+    duplicate neighborhood" (the spam/template signal corpus-quality
+    pipelines threshold on).
+
+    Returns ``(node, peel_round, core_deg)`` for every node incident to
+    an edge: ``peel_round`` is the 1-based round the node was removed
+    (0 = survived: in the k-core), ``core_deg`` its degree within the
+    final core (0 if peeled). Raises if no fixpoint within
+    ``max_rounds`` — callers unrolling the rounds elsewhere (the
+    differential oracle) rely on the bound being real.
+
+    Shape at 100 TB: each round is one hash-aggregate (degrees) and one
+    semi-join (edge restriction); rounds are bounded by the graph's
+    degeneracy ordering depth, tiny for dedup graphs. Lineage is cut
+    per round with lazy localCheckpoints (the iterative-join rule the
+    module docstring explains); the convergence probe doubles as the
+    materializing action, one job per round.
+    """
+    sym = (
+        _symmetric(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    peeled_parts: list[DataFrame] = []
+    cur_edges = sym
+    cur_nodes = nodes
+    for r in range(1, max_rounds + 1):
+        degs = cur_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        dn = cur_nodes.join(degs, F.col("node") == F.col("src"), "left").select(
+            "node", F.coalesce("d", F.lit(0)).alias("d")
+        )
+        peeled = dn.where(F.col("d") < k).select(
+            "node", F.lit(r).alias("peel_round")
+        )
+        n_peeled = peeled.count()
+        if n_peeled == 0:
+            break
+        peeled_parts.append(peeled.localCheckpoint(eager=True))
+        cur_nodes = dn.where(F.col("d") >= k).select("node").localCheckpoint(
+            eager=False
+        )
+        keep = cur_nodes.select(F.col("node"))
+        cur_edges = (
+            cur_edges.join(keep, F.col("src") == F.col("node"), "left_semi")
+            .join(keep, F.col("dst") == F.col("node"), "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(f"kcore_peel: no fixpoint in {max_rounds} rounds")
+
+    core_deg = cur_edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+    removed = None
+    if peeled_parts:
+        from functools import reduce
+
+        removed = reduce(lambda a, b: a.unionByName(b), peeled_parts)
+    out = nodes.join(core_deg, F.col("node") == F.col("src"), "left").select(
+        "node", F.coalesce("core_deg", F.lit(0)).alias("core_deg")
+    )
+    if removed is None:
+        return out.select(
+            "node", F.lit(0).cast("long").alias("peel_round"), "core_deg"
+        )
+    return out.join(removed, "node", "left").select(
+        "node",
+        F.coalesce("peel_round", F.lit(0)).cast("long").alias("peel_round"),
+        "core_deg",
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    *,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks (the DeepWalk / node2vec
+    p=q=1 corpus generator, Perozzi et al. KDD'14) over an undirected
+    edge list.
+
+    Every step draws the next neighbor by rank ``1 + h % deg(cur)``
+    where ``h`` = 60-bit md5 of ``"cur:walk:step"`` and neighbors are
+    ranked by ascending node id — a hash-seeded draw both engines (and
+    any replayer) reproduce bit-for-bit, the same
+    derandomization-by-content rule as the sampling family. Walks
+    restart nowhere and never terminate early: every node incident to
+    an edge has degree >= 1 by construction.
+
+    Returns ``(node, walk_id, path, end_node)`` with ``path`` the
+    '-'-joined node sequence (length ``walk_length + 1``).
+
+    Shape at 100 TB: the neighbor ranking is one per-source window
+    (partition-bounded by the max degree — dedup graphs are
+    clique-bounded, power-law graphs would cap via the triangle
+    family's degree-orientation trick); each step is one equi join of
+    the walk frontier against the ranked adjacency, walk state is one
+    row per (node, walk). Python never sees a row.
+    """
+    sym = (
+        _symmetric(
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = sym.select(
+        F.col("src").alias("nsrc"),
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("nrank"),
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("dsrc"), "d"
+    )
+    starts = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                sym.sparkSession.range(1, walks_per_node + 1).select(
+                    F.col("id").alias("walk_id")
+                )
+            )
+        )
+    )
+    cur = starts.select(
+        "node",
+        "walk_id",
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for step in range(1, walk_length + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("cur").cast("string"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cur = (
+            cur.join(deg, F.col("cur") == F.col("dsrc"))
+            .withColumn("rank", (h % F.col("d") + 1).cast("int"))
+            .join(
+                nbr,
+                (F.col("cur") == F.col("nsrc"))
+                & (F.col("rank") == F.col("nrank")),
+            )
+            .select(
+                "node",
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.concat_ws("-", "path", F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return cur.select(
+        "node", "walk_id", "path", F.col("cur").alias("end_node")
+    )

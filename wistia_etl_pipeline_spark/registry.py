@@ -11096,3 +11096,187 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s AS DOUBLE) / (2.0 * ns * n)").alias("tv"),
         "max_dev",
     )
+
+
+def _minhash_pairs_ctes(corpus_sql: str) -> str:
+    """The DuckDB CTE chain re-deriving the MinHash near-dup edge list
+    (identical parameters to ``dedup_clusters``: 16 hashes, 4 bands,
+    2-shingles, tau = 0.8) over the given corpus — shared by every
+    graph-family oracle so the edge set is provably the same one."""
+    return rf"""corpus AS ({corpus_sql}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS MATERIALIZED (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    )"""
+
+
+def _walk_step_sql(step: int) -> str:
+    prev = f"s{step - 1}"
+    return f"""s{step} AS (
+        SELECT s.node, s.walk_id, n.dst AS cur,
+               s.path || '-' || CAST(n.dst AS VARCHAR) AS path
+        FROM {prev} s
+        JOIN deg d ON d.src = s.cur
+        JOIN nbr n ON n.src = s.cur
+         AND n.nrank = 1 + ('0x' || substr(md5(CAST(s.cur AS VARCHAR)
+             || ':' || CAST(s.walk_id AS VARCHAR) || ':{step}'), 1, 15))::BIGINT
+             % d.d
+    )"""
+
+
+_WALKS_ORACLE = f"""
+    WITH {_minhash_pairs_ctes(_DUP_CORPUS_SQL)},
+    nbr AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS nrank
+        FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    s0 AS (
+        SELECT d.src AS node, w.range AS walk_id, d.src AS cur,
+               CAST(d.src AS VARCHAR) AS path
+        FROM deg d, range(1, 3) w
+    ),
+    {_walk_step_sql(1)},
+    {_walk_step_sql(2)},
+    {_walk_step_sql(3)}
+    SELECT node, CAST(walk_id AS BIGINT) AS walk_id, path,
+           cur AS end_node
+    FROM s3
+"""
+
+
+@query("random_walks_dup_graph", oracle=_WALKS_ORACLE)
+def random_walks_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-WALK CORPUS over the near-dup graph — the DeepWalk /
+    node2vec (p=q=1) sequence generator (Perozzi et al. KDD'14) that
+    turns a graph into training sentences for embedding models: 2
+    walks x 3 steps from every node, next hop drawn uniformly from the
+    ranked adjacency by a content-derived hash (md5 of
+    "cur:walk:step"), so the walk corpus is bit-reproducible with no
+    stored RNG state — the derandomization rule every sampling query
+    in this engine follows. The oracle replays every hop with unrolled
+    CTEs over the identical edge list, so the hash proves path-exact
+    equality, not just distributional agreement.
+
+    Walks never dead-end: in the doubled corpus every node has its
+    exact copy as a neighbor (degree >= 1 everywhere — the tau lesson
+    checked before shipping: 906 degree-1 nodes, 94 higher).
+
+    Shape at 100 TB: see functions/graph.random_walks — per-step equi
+    joins of the walk frontier (1 row per node x walk) against the
+    ranked adjacency; no driver state, no Python row path."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import random_walks
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    return random_walks(pairs, walks_per_node=2, walk_length=3,
+                        src="a_id", dst="b_id")
+
+
+def _kcore_round_sql(r: int, k: int) -> str:
+    prev_e = "edges" if r == 1 else f"e{r - 1}"
+    prev_n = "n0" if r == 1 else f"n{r - 1}"
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round's frames multiple times, and DuckDB inlines plain CTEs —
+    # the 6-round chain would otherwise expand the MinHash mining
+    # 3^6 times (measured: file-handle exhaustion, not just slowness).
+    return f"""d{r} AS MATERIALIZED (
+        SELECT n.node, COALESCE(c.d, 0) AS d
+        FROM {prev_n} n LEFT JOIN (
+            SELECT src, COUNT(*) AS d FROM {prev_e} GROUP BY src
+        ) c ON c.src = n.node
+    ),
+    p{r} AS (SELECT node FROM d{r} WHERE d < {k}),
+    n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev_e} e
+        JOIN n{r} a ON a.node = e.src
+        JOIN n{r} b ON b.node = e.dst
+    )"""
+
+
+_KCORE_ROUNDS = 6
+
+_KCORE_ORACLE = f"""
+    WITH {_minhash_pairs_ctes(_DUP_CORPUS_SQL)},
+    n0 AS (SELECT DISTINCT src AS node FROM edges),
+    {','.join(_kcore_round_sql(r, 2) for r in range(1, _KCORE_ROUNDS + 1))},
+    peeled AS (
+        {' UNION ALL '.join(f"SELECT node, {r} AS pr FROM p{r}" for r in range(1, _KCORE_ROUNDS + 1))}
+    ),
+    fin AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS cd
+        FROM e{_KCORE_ROUNDS} GROUP BY src
+    )
+    SELECT n.node,
+           CAST(COALESCE(MIN(p.pr), 0) AS BIGINT) AS peel_round,
+           CAST(COALESCE(MIN(f.cd), 0) AS BIGINT) AS core_deg
+    FROM n0 n
+    LEFT JOIN peeled p ON p.node = n.node
+    LEFT JOIN fin f ON f.node = n.node
+    GROUP BY n.node
+"""
+
+
+@query("kcore_decomposition", oracle=_KCORE_ORACLE)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-CORE of the near-dup graph by iterative peeling
+    (functions/graph.kcore_peel, Matula-Beck): exact-dup pairs are
+    degree-1 appendages that peel in round 1, near-dup groups are
+    cliques whose members survive with their within-core degree — the
+    structural quality signal (template farms, mirrored spam) that
+    degree counts alone cannot separate from honest one-off
+    duplicates. Both fates dominate the output at every SF (906
+    peeled / 94 core members at sf0.01 — tau-checked before shipping).
+
+    The oracle UNROLLS the peel as 6 fixed rounds of CTEs; the Spark
+    side iterates to fixpoint and RAISES if it exceeds the same bound,
+    so the differential hash proves round-for-round equality and the
+    bound's honesty simultaneously (a graph needing more rounds fails
+    loudly on the engine side, never silently on the oracle side).
+
+    Shape at 100 TB: each round is one hash aggregate + two semi-joins
+    (see kcore_peel); rounds bounded by degeneracy depth — 2 on dedup
+    graphs, never corpus-scale."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import kcore_peel
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    return kcore_peel(pairs, k=2, max_rounds=_KCORE_ROUNDS,
+                      src="a_id", dst="b_id")
