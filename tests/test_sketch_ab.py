@@ -126,3 +126,58 @@ def test_tv_zero_for_identical_distribution(spark):
     assert len(got) == 1
     assert got.iloc[0]["tv"] == 0.0
     assert got.iloc[0]["max_dev"] == 0
+
+
+def test_attribution_conserves_credit_exactly(spark):
+    """Sum of attributed micro-cents over ALL channels ==
+    10^6 x sum of purchase cents — exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    got = registry._QUERIES["attribution_position_weighted"](
+        spark, SF
+    ).toPandas()
+    purch = (
+        registry.load_table(spark, SF, "events")
+        .where("event_type = 'purchase' AND user_id IS NOT NULL")
+        .select(F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .toPandas()
+    )
+    assert int(got["attributed_micro_cents"].sum()) == int(
+        purch["cents"].sum()
+    ) * 1_000_000
+    # both fates: touched channels AND direct credit appear
+    assert {"view", "click", "direct"} <= set(got["channel"])
+
+
+def test_attribution_weights_replica():
+    """The U-shaped weight rule sums to exactly 10^6 for every n."""
+    def w(pos, n):
+        if n == 1:
+            return 1_000_000
+        if n == 2:
+            return 500_000
+        if pos == 1:
+            return 400_000 + (200_000 - (n - 2) * (200_000 // (n - 2)))
+        if pos == n:
+            return 400_000
+        return 200_000 // (n - 2)
+
+    for n in range(1, 40):
+        assert sum(w(p, n) for p in range(1, n + 1)) == 1_000_000, n
+
+
+def test_inverted_index_matches_pandas(spark):
+    got = registry._QUERIES["inverted_index_postings"](spark, SF).toPandas()
+    docs = (
+        registry.load_table(spark, SF, "documents")
+        .selectExpr("doc_id", "explode(split(trim(text), '\\\\s+')) AS tok")
+        .toPandas()
+    )
+    dt = docs.groupby(["tok", "doc_id"]).size().rename("tf").reset_index()
+    for _, r in got.iterrows():
+        sub = dt[dt["tok"] == r["tok"]].sort_values("doc_id")
+        assert r["df"] == len(sub)
+        assert r["cf"] == sub["tf"].sum()
+        assert r["max_tf"] == sub["tf"].max()
+        want = "-".join(str(d) for d in sub["doc_id"].head(12))
+        assert r["head_postings"] == want, r["tok"]

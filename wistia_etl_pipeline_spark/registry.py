@@ -11280,3 +11280,202 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a_id", "b_id")
     return kcore_peel(pairs, k=2, max_rounds=_KCORE_ROUNDS,
                       src="a_id", dst="b_id")
+
+
+# U-shaped (position-based) multi-touch weights in micro units, exact:
+# n=1 -> 10^6; n=2 -> 500000 each; n>=3 -> 400000 first and last,
+# floor(200000/(n-2)) per middle, remainder added to the FIRST touch so
+# per-purchase weights sum to exactly 10^6 (credit conservation is an
+# invariant, not an approximation).
+_ATTR_W = """
+    CASE WHEN n = 1 THEN 1000000
+         WHEN n = 2 THEN 500000
+         WHEN pos = 1 THEN 400000 + (200000 - (n - 2) * (200000 {D} (n - 2)))
+         WHEN pos = n THEN 400000
+         ELSE 200000 {D} (n - 2) END
+"""
+
+_ATTR_ORACLE = f"""
+    WITH purch AS (
+        SELECT event_id AS pid, user_id, ts AS pts,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(ts AS DATE) AS dt
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    touch AS (
+        SELECT p.pid, p.dt, p.cents, e.event_type AS channel,
+               e.ts AS tts, e.event_id AS tid
+        FROM purch p
+        JOIN events e ON e.user_id = p.user_id
+         AND e.event_type IN ('view', 'click')
+         AND e.ts < p.pts
+         AND e.ts >= p.pts - INTERVAL 3 DAY
+    ),
+    pos AS (
+        SELECT pid, dt, cents, channel,
+               row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS pos,
+               COUNT(*) OVER (PARTITION BY pid) AS n
+        FROM touch
+    ),
+    credited AS (
+        SELECT channel, dt, cents * ({_ATTR_W.format(D='//')}) AS micro
+        FROM pos
+        UNION ALL
+        SELECT 'direct' AS channel, p.dt, p.cents * 1000000 AS micro
+        FROM purch p
+        WHERE NOT EXISTS (SELECT 1 FROM touch t WHERE t.pid = p.pid)
+    )
+    SELECT channel, dt,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(micro) AS BIGINT) AS attributed_micro_cents
+    FROM credited GROUP BY channel, dt
+"""
+
+
+@query("attribution_position_weighted", oracle=_ATTR_ORACLE)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION, position-based (U-shaped): every
+    purchase distributes its revenue over the user's view/click
+    touchpoints in the preceding 3 days — 40% to the first touch, 40%
+    to the last, the middle 20% split evenly across interior touches —
+    and purchases with no preceding touch credit a 'direct' channel
+    (both fates on the hash). The weights are exact integer micro
+    units with the floor-division remainder pinned to the first touch,
+    so per-purchase credit sums to exactly 10^6 x value: conservation
+    is an invariant the hash enforces, where a float split would leak
+    ulps per purchase.
+
+    Revenue enters as floor(value*100) cents (per-row IEEE double ops
+    are bit-deterministic — registry rule #2); everything after is
+    integer.
+
+    Shape at 100 TB: the purchase-touch association is an equi join on
+    user_id with a bounded time-range predicate (the as-of/range-join
+    family's shape — state bounded by 3 days per user, never the full
+    history); position/count windows are per-purchase, bounded by
+    touches-in-3-days; the rollup is one hash aggregate. The
+    NOT EXISTS for direct credit is an anti join on the purchase key."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.to_date("ts").alias("dt"),
+    )
+    touches = events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    touch = purch.join(
+        touches,
+        (purch["user_id"] == touches["user_id"])
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAY")),
+    ).select("pid", "dt", "cents", "channel", "tts", "tid")
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("pid")
+    pos = touch.select(
+        "pid",
+        "dt",
+        "cents",
+        "channel",
+        F.row_number().over(wp.orderBy("tts", "tid")).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credited = pos.select(
+        "channel",
+        "dt",
+        F.expr(f"cents * ({_ATTR_W.format(D='div')})").alias("micro"),
+    ).unionByName(
+        purch.join(touch.select("pid").distinct(), "pid", "left_anti").select(
+            F.lit("direct").alias("channel"),
+            "dt",
+            (F.col("cents") * F.lit(1000000)).alias("micro"),
+        )
+    )
+    return credited.groupBy("channel", "dt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("micro").cast("long").alias("attributed_micro_cents"),
+    )
+
+
+_INVIDX_TOP = 12
+
+_INVIDX_ORACLE = rf"""
+    WITH tok AS (
+        SELECT doc_id, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    dt AS (
+        SELECT tok, doc_id, COUNT(*) AS tf
+        FROM tok GROUP BY tok, doc_id
+    ),
+    ranked AS (
+        SELECT tok, doc_id, tf,
+               row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        FROM dt
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT)  AS cf,
+           CAST(MAX(tf) AS BIGINT)  AS max_tf,
+           string_agg(CASE WHEN rn <= {_INVIDX_TOP}
+                           THEN CAST(doc_id AS VARCHAR) END, '-'
+                      ORDER BY doc_id) AS head_postings
+    FROM ranked GROUP BY tok
+"""
+
+
+@query("inverted_index_postings", oracle=_INVIDX_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX BUILD — the batch side of lexical retrieval
+    (BM25's storage layer): per token, document frequency, collection
+    frequency, max within-doc tf, and the HEAD of the posting list
+    (first 12 doc ids ascending, '-'-joined) — the index page a
+    search shard serves. Emitting the head rather than the full list
+    is the scale contract: per-token state in the final aggregate is
+    capped at 12 ids, while df/cf/max_tf summarize the tail — a full
+    posting string would make one zipfian stopword token hold a
+    corpus-sized row (the anti-pattern this query exists to show
+    avoided).
+
+    Shape at 100 TB: explode -> (tok, doc) hash aggregate with
+    map-side combine; the head selection is rank <= 12 under a
+    per-token window the optimizer rewrites to WindowGroupLimit
+    (per-partition top-k, then merge — never a full per-token sort of
+    the posting list); final per-token aggregate carries bounded
+    state. Postings ride as a string so the differential hash
+    byte-compares ordered list content cross-engine."""
+    from pyspark.sql import Window
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    dt = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = dt.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("tok").orderBy("doc_id")),
+    )
+    return ranked.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= _INVIDX_TOP, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            "-",
+        ).alias("head_postings"),
+    )
