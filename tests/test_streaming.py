@@ -667,3 +667,46 @@ def test_streaming_gold_rollup_registry_is_multi_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_stream_join_matches_batch_interval_join(spark):
+    """The 4th streaming driver row: two watermarked file streams,
+    inner interval join, append file sink — result must equal the
+    batch interval join exactly (no watermark drops under time-ordered
+    staging), with both sides contributing real multi-batch replay
+    (6 staged files per side at maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark import registry
+    from wistia_etl_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = registry._QUERIES["streaming_stream_join"](spark, sf)
+    ev = load_table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("pv"),
+    )
+    want = (
+        v.join(
+            p,
+            F.expr(
+                "vu = pu AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"
+            ),
+        )
+        .groupBy(F.to_date("vts").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("vu").cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("pv").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("purchase_value"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0

@@ -11479,3 +11479,118 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-",
         ).alias("head_postings"),
     )
+
+
+_STREAM_JOIN_SQL = """
+    SELECT CAST(v.ts AS DATE) AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(p.value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS purchase_value
+    FROM events v
+    JOIN events p ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.user_id IS NOT NULL
+    GROUP BY CAST(v.ts AS DATE)
+"""
+
+
+@query("streaming_stream_join", oracle=_STREAM_JOIN_SQL)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM INTERVAL JOIN — the marquee Structured Streaming
+    operator the other three streaming rows don't touch: a views
+    stream joined to a purchases stream on user with purchase time
+    inside [view, view + 1h), BOTH sides watermarked 30 minutes so
+    join state is bounded (a view is evicted once the watermark passes
+    view + 1h — it can no longer match an on-time purchase; without
+    the time-range condition Spark would have to hold every view
+    forever). Inner join, so matched pairs emit as soon as both sides
+    arrive; the oracle is the plain batch interval join, making the
+    driver hash the stream==batch equivalence proof for two-sided
+    state.
+
+    Why no rows drop: both streams stage on the SAME calendar cuts,
+    one write job per range (the mtime lesson — FileStreamSource
+    replays oldest-mtime-first, and equal mtimes randomize replay
+    order, silently dropping months-late events under the watermark;
+    measured in streaming_session_windows). Range k+1 events are all
+    newer than watermark(k), and evicted views can only have matched
+    purchases that already passed — so the streamed join is EXACTLY
+    the batch join, which is what the hash checks.
+
+    Shape at 100 TB: state is per-user views within a 90-minute
+    horizon (watermark + interval), independent of stream length;
+    the post-join rollup is a batch aggregate over the transactional
+    file sink's output."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_join_")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("p_value"),
+    )
+    cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
+            "2024-06-01", "2100-01-01"]
+
+    def _stage(df: DataFrame, ts_col: str, name: str) -> str:
+        path = os.path.join(root, name)
+        lo = None
+        for hi in cuts:
+            part = df.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
+            if lo is not None:
+                part = part.filter(
+                    F.col(ts_col) >= F.lit(lo).cast("timestamp")
+                )
+            part.coalesce(1).write.mode("append").parquet(path)
+            lo = hi
+        return path
+
+    v_path = _stage(views, "vts", "views")
+    p_path = _stage(purch, "pts", "purchases")
+    v_stream = (
+        spark.readStream.schema(spark.read.parquet(v_path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_path)
+        .withWatermark("vts", "30 minutes")
+    )
+    p_stream = (
+        spark.readStream.schema(spark.read.parquet(p_path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_path)
+        .withWatermark("pts", "30 minutes")
+    )
+    joined = v_stream.join(
+        p_stream,
+        F.expr(
+            "v_user = p_user AND pts >= vts"
+            " AND pts <= vts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    out = os.path.join(root, "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(out)
+    return pairs.groupBy(F.to_date("vts").alias("dt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("v_user").cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.col("p_value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("purchase_value"),
+    )
