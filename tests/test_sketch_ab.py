@@ -181,3 +181,59 @@ def test_inverted_index_matches_pandas(spark):
         assert r["max_tf"] == sub["tf"].max()
         want = "-".join(str(d) for d in sub["doc_id"].head(12))
         assert r["head_postings"] == want, r["tok"]
+
+
+def test_item_cooccurrence_matches_pandas(spark):
+    got = registry._QUERIES["item_cooccurrence_topk"](spark, SF).toPandas()
+    ev = (
+        registry.load_table(spark, SF, "events")
+        .selectExpr(
+            "user_id",
+            "CAST(get_json_object(props, '$.k') AS BIGINT) AS item",
+            "ts",
+        )
+        .where("user_id IS NOT NULL")
+        .toPandas()
+    )
+    ui = (
+        ev.groupby(["user_id", "item"])["ts"].max().rename("last_ts")
+        .reset_index()
+    )
+    ui = ui.sort_values(
+        ["user_id", "last_ts", "item"], ascending=[True, False, True]
+    )
+    ui["rn"] = ui.groupby("user_id").cumcount() + 1
+    recent = ui[ui["rn"] <= 32]
+    from collections import Counter
+
+    cooc, n_i = Counter(), Counter()
+    for _, grp in recent.groupby("user_id"):
+        items = sorted(grp["item"])
+        n_i.update(items)
+        for i, a in enumerate(items):
+            for b in items[i + 1:]:
+                cooc[(a, b)] += 1
+    for _, r in got.iterrows():
+        a, b = int(r["item"]), int(r["other"])
+        c = cooc[(min(a, b), max(a, b))]
+        assert r["cooc_users"] == c, (a, b)
+        assert r["jaccard_micro"] == c * 1_000_000 // (
+            n_i[a] + n_i[b] - c
+        ), (a, b)
+    # exactly top-5 per item, ranks dense from 1
+    per = got.groupby("item")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all() and (per["count"] <= 5).all()
+
+
+def test_mad_matches_numpy_lower_median(spark):
+    got = registry._QUERIES["mad_robust_outliers"](spark, SF).toPandas()
+    assert got["is_outlier"].sum() > 0  # tau lesson
+    for et, grp in got.groupby("event_type"):
+        xs = sorted(grp["n_events"])
+        med = xs[(len(xs) + 1) // 2 - 1]  # lower median, value at rank
+        ads = sorted(abs(x - med) for x in xs)
+        mad = ads[(len(ads) + 1) // 2 - 1]
+        assert (grp["med"] == med).all(), et
+        assert (grp["mad"] == mad).all(), et
+        want = (grp["n_events"] - med).abs() > 2 * mad
+        assert (grp["is_outlier"] == want.astype(int)).all(), et

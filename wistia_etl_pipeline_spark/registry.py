@@ -11594,3 +11594,258 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p_value").cast("decimal(25,6)")).cast("double"), 6
         ).alias("purchase_value"),
     )
+
+
+_COOC_CAP = 32
+_COOC_TOPK = 5
+
+_COOC_ORACLE = f"""
+    WITH ui AS (
+        SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               MAX(ts) AS last_ts
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id, item
+    ),
+    recent AS (
+        SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY last_ts DESC, item
+                   ) AS rn
+            FROM ui
+        ) WHERE rn <= {_COOC_CAP}
+    ),
+    cooc AS (
+        SELECT a.item AS i1, b.item AS i2, COUNT(*) AS c
+        FROM recent a JOIN recent b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    ni AS (SELECT item, COUNT(*) AS n FROM recent GROUP BY item),
+    sym AS (
+        SELECT i1 AS item, i2 AS other, c FROM cooc
+        UNION ALL
+        SELECT i2 AS item, i1 AS other, c FROM cooc
+    ),
+    sim AS (
+        SELECT s.item, s.other, s.c,
+               s.c * 1000000 // (n1.n + n2.n - s.c) AS jaccard_micro
+        FROM sym s
+        JOIN ni n1 ON n1.item = s.item
+        JOIN ni n2 ON n2.item = s.other
+    )
+    SELECT item, other, CAST(c AS BIGINT) AS cooc_users,
+           CAST(jaccard_micro AS BIGINT) AS jaccard_micro,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT item, other, c, jaccard_micro,
+               row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY jaccard_micro DESC, other
+               ) AS rn
+        FROM sim
+    ) WHERE rn <= {_COOC_TOPK}
+"""
+
+
+@query("item_cooccurrence_topk", oracle=_COOC_ORACLE)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-TO-ITEM COLLABORATIVE FILTERING (Linden et al., the
+    Amazon item-item paper, IEEE IC'03): users who touched item A also
+    touched B — co-occurrence counts over per-user interaction sets,
+    scored by exact-integer Jaccard c*10^6 div (nA + nB - c), top-5
+    similar items per item (rank ties broken by item id — the
+    deterministic-top-k rule).
+
+    The load-bearing scale decision is the PER-USER CAP: interactions
+    dedupe to (user, item) and only the 32 most-RECENT items per user
+    enter the pair expansion, so the self-join fans out at most
+    cap*(cap-1)/2 pairs per user regardless of how heavy a power user
+    is — without the cap the expansion is quadratic in per-user
+    history and one crawler account dominates the shuffle (the
+    documented reason every production item-item pipeline caps or
+    samples). Recency is the cap's ordering so the similarity tracks
+    current behavior; the cap is part of the query's SEMANTICS (the
+    oracle applies it identically), not a silent approximation.
+
+    Shape at 100 TB: (user, item, max ts) hash aggregate; per-user
+    top-32 via WindowGroupLimit; bounded pair explosion -> (i1, i2)
+    hash aggregate; item-degree join is |items|-sized; final top-5 per
+    item again WindowGroupLimit. Item ids come from the VARIANT path
+    (parse_json once, typed variant_get — the Spark 4 idiom)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ui = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.variant_get(F.parse_json("props"), "$.k", "bigint").alias(
+                "item"
+            ),
+            "ts",
+        )
+        .groupBy("user_id", "item")
+        .agg(F.max("ts").alias("last_ts"))
+    )
+    recent = (
+        ui.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("last_ts").desc(), "item"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _COOC_CAP)
+        .select("user_id", "item")
+    )
+    a, b = recent.alias("a"), recent.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ni = recent.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    sym = cooc.select(
+        F.col("i1").alias("item"), F.col("i2").alias("other"), "c"
+    ).unionByName(
+        cooc.select(
+            F.col("i2").alias("item"), F.col("i1").alias("other"), "c"
+        )
+    )
+    sim = (
+        sym.join(ni.select(F.col("item"), F.col("n").alias("n1")), "item")
+        .join(
+            ni.select(
+                F.col("item").alias("other"), F.col("n").alias("n2")
+            ),
+            "other",
+        )
+        .select(
+            "item",
+            "other",
+            "c",
+            F.expr("c * 1000000 div (n1 + n2 - c)").alias("jaccard_micro"),
+        )
+    )
+    ranked = sim.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("item").orderBy(
+                F.col("jaccard_micro").desc(), "other"
+            )
+        ),
+    ).filter(F.col("rn") <= _COOC_TOPK)
+    return ranked.select(
+        "item",
+        "other",
+        F.col("c").cast("long").alias("cooc_users"),
+        F.col("jaccard_micro").cast("long").alias("jaccard_micro"),
+        F.col("rn").cast("long").alias("rank"),
+    )
+
+
+_MAD_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+        SELECT event_type, n_events AS med FROM (
+            SELECT event_type, n_events,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY n_events, dt
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT d.event_type, d.dt, d.n_events, m.med,
+               abs(d.n_events - m.med) AS ad
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+        SELECT event_type, ad AS mad FROM (
+            SELECT event_type, ad,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY ad, dt
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.dt,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CAST(d.med AS BIGINT) AS med,
+           CAST(m.mad AS BIGINT) AS mad,
+           CAST(CASE WHEN d.ad > 2 * m.mad THEN 1 ELSE 0 END AS BIGINT)
+               AS is_outlier
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+"""
+
+
+@query("mad_robust_outliers", oracle=_MAD_ORACLE)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier flags via MEDIAN ABSOLUTE DEVIATION — the
+    breakdown-resistant twin of anomaly_days_zscore: mean/sigma flags
+    move when the outlier itself inflates sigma (masking), while
+    median/MAD have a 50% breakdown point, so a burst day cannot hide
+    itself. Flags |x - med| > 2*MAD per (event_type, day) — every
+    quantity exact integers: the median follows the engine-pinned
+    value-at-rank-(n+1) div 2 convention (the lower median — same
+    rank selection family as customer_rfm_boundaries, tie order
+    (value, dt) so the selected VALUE is deterministic), the MAD is
+    the median of integer absolute deviations, and the comparison
+    needs no scaling because 2*MAD stays integral. No sqrt, no float
+    anywhere (the anomaly_days_zscore trick, one step further: even
+    the centre is integral).
+
+    Shape at 100 TB: the day grain is bounded (|types| x |days|), so
+    the two value-at-rank windows run on a model-sized frame — this is
+    the token_budget_selection bounded-global-window budget, not a
+    data-sized sort; the daily reduction itself is one hash aggregate
+    with map-side combine. Medians broadcast back onto the day grain."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number()
+            .over(w.orderBy(F.col(col), F.col("dt")))
+            .alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        return ranked.filter(
+            F.col("rn") == F.expr("(n + 1) div 2")
+        ).select("event_type", F.col(col).alias(out))
+
+    med = _median_of(daily, "n_events", "med")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = _median_of(dev, "ad", "mad")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "dt",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.expr(
+            "CAST(CASE WHEN ad > 2 * mad THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_outlier"),
+    )
