@@ -482,15 +482,22 @@ def random_walks(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The ranked adjacency and the degree table are joined against the
+    # walk frontier at EVERY step — lazy checkpoints pin each to one
+    # computation instead of walk_length re-derivations (the triangle
+    # family's consumer-fan-out lesson).
     nbr = sym.select(
         F.col("src").alias("nsrc"),
         "dst",
         F.row_number()
         .over(Window.partitionBy("src").orderBy("dst"))
         .alias("nrank"),
-    )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("src").alias("dsrc"), "d"
+    ).localCheckpoint(eager=False)
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("src").alias("dsrc"), "d")
+        .localCheckpoint(eager=False)
     )
     starts = (
         sym.select(F.col("src").alias("node"))

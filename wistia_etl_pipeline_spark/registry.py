@@ -10789,10 +10789,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
+    # The element frame feeds four consumers (per-type sketches, the
+    # pair-element grid twice, the type dimension); a lazy checkpoint
+    # pins the dedupe scan to one computation.
     el = (
         events.where(F.col("user_id").isNotNull())
         .select("event_type", hv.alias("hv"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     wt = Window.partitionBy("event_type").orderBy("hv")
     samp = (
@@ -11372,12 +11376,18 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").alias("tts"),
         F.col("event_id").alias("tid"),
     )
+    # The association result feeds the position windows AND the direct-
+    # credit anti join; the purchase slice feeds the join and the anti
+    # join — lazy checkpoints pin each to one events scan.
+    purch = purch.localCheckpoint(eager=False)
     touch = purch.join(
         touches,
         (purch["user_id"] == touches["user_id"])
         & (F.col("tts") < F.col("pts"))
         & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAY")),
-    ).select("pid", "dt", "cents", "channel", "tts", "tid")
+    ).select(
+        "pid", "dt", "cents", "channel", "tts", "tid"
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     wp = Window.partitionBy("pid")
@@ -11690,6 +11700,9 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "item")
         .agg(F.max("ts").alias("last_ts"))
     )
+    # Three consumers (both self-join sides + the degree table) would
+    # re-scan events and re-run the top-32 window; one lazy checkpoint
+    # pins the capped interaction set to a single computation.
     recent = (
         ui.withColumn(
             "rn",
@@ -11701,6 +11714,7 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _COOC_CAP)
         .select("user_id", "item")
+        .localCheckpoint(eager=False)
     )
     a, b = recent.alias("a"), recent.alias("b")
     cooc = (
@@ -11816,9 +11830,13 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("dt")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Day grain feeds both median passes and the final frame — pin the
+    # scan+aggregate to one computation (model-sized: |types| x |days|).
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
 
     def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
         w = Window.partitionBy("event_type")
