@@ -237,3 +237,97 @@ def test_mad_matches_numpy_lower_median(spark):
         assert (grp["mad"] == mad).all(), et
         want = (grp["n_events"] - med).abs() > 2 * mad
         assert (grp["is_outlier"] == want.astype(int)).all(), et
+
+
+def test_cohort_triangle_matches_pandas(spark):
+    got = registry._QUERIES["user_ltv_cohort"](spark, SF).toPandas()
+    ev = (
+        registry.load_table(spark, SF, "events")
+        .selectExpr(
+            "user_id", "to_date(ts) AS d", "event_type",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .where("user_id IS NOT NULL")
+        .toPandas()
+    )
+    import pandas as pd
+
+    d0 = ev.groupby("user_id")["d"].min().rename("d0")
+    ev = ev.join(d0, on="user_id")
+    origin = pd.Timestamp("2024-01-01").date()
+    ev["cohort_day"] = (
+        pd.to_datetime(ev["d0"]) - pd.Timestamp(origin)
+    ).dt.days
+    ev["offset_week"] = (
+        (pd.to_datetime(ev["d"]) - pd.to_datetime(ev["d0"])).dt.days // 7
+    )
+    sizes = d0.reset_index()
+    sizes["cohort_day"] = (
+        pd.to_datetime(sizes["d0"]) - pd.Timestamp(origin)
+    ).dt.days
+    csize = sizes.groupby("cohort_day")["user_id"].nunique()
+    for _, r in got.iterrows():
+        cell = ev[
+            (ev["cohort_day"] == r["cohort_day"])
+            & (ev["offset_week"] == r["offset_week"])
+        ]
+        assert r["n_active"] == cell["user_id"].nunique()
+        assert r["cohort_size"] == csize[r["cohort_day"]]
+        assert r["retention_micro"] == (
+            r["n_active"] * 1_000_000 // r["cohort_size"]
+        )
+        assert r["revenue_cents"] == int(
+            cell[cell["event_type"] == "purchase"]["cents"].sum()
+        )
+    # retention at offset 0 is 10^6 by construction (everyone active
+    # in their own first week)
+    assert (
+        got[got["offset_week"] == 0]["retention_micro"] == 1_000_000
+    ).all()
+
+
+def test_churn_hazard_suffix_sum(spark):
+    got = registry._QUERIES["churn_hazard_curve"](spark, SF).toPandas()
+    got = got.sort_values("day_offset").reset_index(drop=True)
+    # at_risk is the suffix sum of churned; the last offset's hazard is 1
+    total = got["churned"].sum()
+    suffix = total - got["churned"].cumsum() + got["churned"]
+    assert (got["at_risk"] == suffix).all()
+    assert got.iloc[-1]["hazard_micro"] == 1_000_000
+    assert (
+        got["hazard_micro"]
+        == got["churned"] * 1_000_000 // got["at_risk"]
+    ).all()
+
+
+def test_zipf_fit_matches_numpy(spark):
+    got = registry._QUERIES["zipf_fit_tokens"](spark, SF).toPandas().iloc[0]
+    docs = (
+        registry.load_table(spark, SF, "documents")
+        .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+        .toPandas()
+    )
+    vocab = docs.groupby("tok").size().sort_values(ascending=False)
+    # rank ties broken by token text — mirror before ranking
+    freqs = (
+        vocab.reset_index()
+        .sort_values([0, "tok"], ascending=[False, True])[0]
+        .to_numpy()
+    )
+    x = np.array([len(bin(r)) - 3 for r in range(1, len(freqs) + 1)])
+    y = np.array([len(bin(int(c))) - 3 for c in freqs])
+    n = len(x)
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = n * (x * x).sum() - x.sum() ** 2
+
+    def tdiv(a, b):  # Spark `div` / DuckDB `//` truncate toward zero
+        q = abs(int(a)) // abs(int(b))
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope = tdiv(num * 1_000_000, den)
+    assert got["n_tokens"] == n
+    assert got["slope_micro"] == slope
+    assert got["intercept_micro"] == tdiv(
+        y.sum() * 1_000_000 - slope * x.sum(), n
+    )
+    assert got["slope_micro"] <= 0  # frequencies non-increasing in rank

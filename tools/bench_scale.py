@@ -64,6 +64,19 @@ QUERIES = [
     "peak_concurrency_daily",
     "contiguous_doc_ids",
     "streaming_dedup_ingest",
+    # r5 continuation wave 2: graph walks/cores, KMV set algebra,
+    # item-item CF, attribution, retrieval index, stream-stream join,
+    # experimentation + drift + robust-stats aggregates
+    "random_walks_dup_graph",
+    "kcore_decomposition",
+    "sketch_kmv_distinct",
+    "item_cooccurrence_topk",
+    "attribution_position_weighted",
+    "inverted_index_postings",
+    "streaming_stream_join",
+    "experiment_ab_chisq",
+    "source_tv_divergence",
+    "mad_robust_outliers",
 ]
 N_RUNS = 3
 

@@ -11867,3 +11867,272 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN ad > 2 * mad THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("is_outlier"),
     )
+
+
+_COHORT_ORACLE = """
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, d0,
+               date_diff('day', DATE '2024-01-01', d0) AS cohort_day
+        FROM firstd
+    ),
+    sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_size
+        FROM cohorts GROUP BY cohort_day
+    ),
+    activity AS (
+        SELECT DISTINCT c.cohort_day, c.user_id,
+               date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 AS offset_week
+        FROM cohorts c JOIN events e ON e.user_id = c.user_id
+    ),
+    revenue AS (
+        SELECT c.cohort_day,
+               date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 AS offset_week,
+               CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM cohorts c JOIN events e ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.cohort_day, date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7
+    ),
+    act AS (
+        SELECT cohort_day, offset_week,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity GROUP BY cohort_day, offset_week
+    )
+    SELECT a.cohort_day, a.offset_week, a.n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT)
+               AS retention_micro,
+           COALESCE(r.revenue_cents, 0) AS revenue_cents
+    FROM act a
+    JOIN sizes s ON s.cohort_day = a.cohort_day
+    LEFT JOIN revenue r ON r.cohort_day = a.cohort_day
+     AND r.offset_week = a.offset_week
+"""
+
+
+@query("user_ltv_cohort", oracle=_COHORT_ORACLE)
+def user_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT-RETENTION TRIANGLE with LTV — the growth-analytics
+    artifact behind every retention dashboard: users cohorted by
+    first-activity DAY, tracked per week-offset since their OWN start
+    (not calendar weeks — the triangle's defining diagonal), with
+    distinct-user retention in exact micro units and cumulative-able
+    purchase revenue in integer cents per (cohort, offset) cell. Day
+    cohorts x week offsets because the testdata's arrival pattern
+    concentrates first activity into a few days — week cohorts
+    collapse to one row and verify nothing (the tau lesson, applied
+    before shipping).
+
+    Time indices are day-diffs from a fixed origin (offset floor-div
+    7), NOT date_trunc('week', ...): the engines agree on datediff
+    arithmetic unconditionally, while week truncation drags in
+    locale/ISO start-of-week conventions — the same
+    divergence-avoidance rule as the datetime_surface family. Revenue
+    enters as floor(value*100) cents (rule #2).
+
+    Shape at 100 TB: first-activity is one hash aggregate; the
+    activity join is user-keyed (co-partitioned with the cohort
+    frame); cells are |days| x |weeks|-bounded — the triangle is
+    model-sized however large the corpus. Cohort sizes broadcast onto
+    the cells."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    firstd = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    cohorts = firstd.select(
+        "user_id",
+        "d0",
+        F.expr("datediff(d0, DATE '2024-01-01')").alias("cohort_day"),
+    ).localCheckpoint(eager=False)
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ej = events.join(cohorts, "user_id").withColumn(
+        "offset_week", F.expr("datediff(to_date(ts), d0) div 7")
+    )
+    act = (
+        ej.select("cohort_day", "user_id", "offset_week")
+        .distinct()
+        .groupBy("cohort_day", "offset_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    rev = (
+        ej.where(F.col("event_type") == "purchase")
+        .groupBy("cohort_day", "offset_week")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_day")
+        .join(rev, ["cohort_day", "offset_week"], "left")
+        .select(
+            "cohort_day",
+            "offset_week",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr(
+                "CAST(n_active * 1000000 div cohort_size AS BIGINT)"
+            ).alias("retention_micro"),
+            F.coalesce("revenue_cents", F.lit(0)).alias("revenue_cents"),
+        )
+    )
+
+
+_HAZARD_ORACLE = """
+    WITH life AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS lifetime
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    byl AS (SELECT lifetime, COUNT(*) AS churned FROM life GROUP BY lifetime),
+    curve AS (
+        SELECT lifetime, churned,
+               SUM(churned) OVER (
+                   ORDER BY lifetime DESC ROWS UNBOUNDED PRECEDING
+               ) AS at_risk
+        FROM byl
+    )
+    SELECT lifetime AS day_offset,
+           CAST(churned AS BIGINT) AS churned,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(churned * 1000000 // at_risk AS BIGINT) AS hazard_micro
+    FROM curve
+"""
+
+
+@query("churn_hazard_curve", oracle=_HAZARD_ORACLE)
+def churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-TIME CHURN HAZARD — the survival-analysis summary
+    (lifetime = days between a user's first and last event; hazard at
+    offset d = users churning at d over users still at risk at d). The
+    at-risk denominator is a SUFFIX sum over the lifetime grain — one
+    descending cumulative window on a |days|-bounded frame, the
+    standard life-table construction — so the whole curve needs no
+    per-user window at all. Hazard lands in exact integer micro units;
+    the Kaplan-Meier cumulative product is deliberately NOT emitted
+    (an exact rational product overflows, a float product is
+    order-fragile cross-engine; the hazard curve carries the same
+    information losslessly).
+
+    Shape at 100 TB: one (user -> min/max day) hash aggregate, one
+    |days|-bounded grain, one bounded window. Nothing else."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    life = events.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifetime"
+        )
+    )
+    byl = life.groupBy("lifetime").agg(F.count(F.lit(1)).alias("churned"))
+    w = Window.orderBy(F.col("lifetime").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = byl.withColumn("at_risk", F.sum("churned").over(w))
+    return curve.select(
+        F.col("lifetime").alias("day_offset"),
+        F.col("churned").cast("long").alias("churned"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.expr("CAST(churned * 1000000 div at_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+    )
+
+
+_ZIPF_ORACLE = rf"""
+    WITH tok AS (
+        SELECT tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        FROM vocab
+    ),
+    pts AS (
+        SELECT length(bin(r)) - 1 AS x, length(bin(c)) - 1 AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_tokens,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
+               AS intercept_micro
+    FROM s
+"""
+
+
+@query("zipf_fit_tokens", oracle=_ZIPF_ORACLE)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT of the token frequency distribution: OLS slope of
+    log2(freq) against log2(rank) — the corpus-law profile that flags
+    a scraped batch whose head is too flat (template spam) or too
+    steep (boilerplate collapse) before it trains. Logarithms are
+    FLOOR-log2 via bit length (length(bin(x)) - 1): exact integers
+    both engines agree on, where ln/log10 are not cross-engine stable
+    (the HLL lesson) — the quantization is part of the metric's
+    definition, not an approximation of a float fit. The slope then
+    falls out of the five integer sufficient sums exactly as
+    user_activity_trend's per-key OLS, with ranks tie-broken by token
+    text so the rank assignment is deterministic.
+
+    Shape at 100 TB: one token hash aggregate (map-side combine
+    absorbs the zipfian head), a vocabulary-bounded rank window (the
+    BPE family's budget), a 1-row sufficient-statistics aggregate."""
+    from pyspark.sql import Window
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = vocab.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "tok"))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        (F.length(F.bin("r")) - 1).alias("x"),
+        (F.length(F.bin("c")) - 1).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx)) * sx) div n AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
