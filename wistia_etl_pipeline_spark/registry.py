@@ -12136,3 +12136,186 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sxx - sx * sx)) * sx) div n AS BIGINT)"
         ).alias("intercept_micro"),
     )
+
+
+_BITMAP_ORACLE = """
+    WITH cells AS (
+        SELECT CAST(ts AS DATE) AS dt,
+               user_id // 32 AS word_idx,
+               1::BIGINT << CAST(user_id % 32 AS INTEGER) AS bit
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    words AS (
+        SELECT dt, word_idx, bit_or(bit) AS bits
+        FROM cells GROUP BY dt, word_idx
+    ),
+    active AS (
+        SELECT dt, CAST(SUM(bit_count(bits)) AS BIGINT) AS active_users
+        FROM words GROUP BY dt
+    ),
+    retained AS (
+        SELECT a.dt,
+               CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS retained_next
+        FROM words a
+        JOIN words b ON b.word_idx = a.word_idx AND b.dt = a.dt + 1
+        GROUP BY a.dt
+    )
+    SELECT a.dt, a.active_users,
+           CAST(COALESCE(r.retained_next, 0) AS BIGINT) AS retained_next
+    FROM active a LEFT JOIN retained r ON r.dt = a.dt
+"""
+
+
+@query("bitmap_retention_rollup", oracle=_BITMAP_ORACLE)
+def bitmap_retention_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP-INDEX DISTINCT ROLLUP — the Druid/ClickHouse groupBitmap
+    pattern: users land in 32-bit words (word = id div 32, one BIGINT
+    per word so 1<<31 never wraps), per-(day, word) segments are built
+    with ONE bit_or hash aggregate over the raw scan, and every
+    distinct-user question after that is set algebra on the segments:
+    daily actives = sum(bit_count(word)), day-over-day retention =
+    bit_count(AND) under a word-aligned equi-join. The raw event table
+    is touched exactly once; COUNT(DISTINCT) never appears.
+
+    Shape at 100 TB: segment state is |user-space|/32 words per day —
+    independent of event count — and word_idx is a dense uniform key,
+    so both the bit_or aggregate and the self-join shard evenly. This
+    is the precomputed-bitmap answer to the same question
+    retention_7d answers with a distinct-pair join: build once, then
+    every cohort/retention/overlap query is bitwise math on bounded
+    state.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cells = ev.select(
+        F.to_date("ts").alias("dt"),
+        F.expr("user_id div 32").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("bit"),
+    )
+    words = cells.groupBy("dt", "word_idx").agg(
+        F.expr("bit_or(bit)").alias("bits")
+    )
+    active = words.groupBy("dt").agg(
+        F.expr("CAST(SUM(bit_count(bits)) AS BIGINT)").alias("active_users")
+    )
+    nxt = words.select(
+        F.date_sub("dt", 1).alias("dt"), "word_idx",
+        F.col("bits").alias("bits_next"),
+    )
+    retained = (
+        words.join(nxt, ["dt", "word_idx"])
+        .groupBy("dt")
+        .agg(
+            F.expr(
+                "CAST(SUM(bit_count(bits & bits_next)) AS BIGINT)"
+            ).alias("retained_next")
+        )
+    )
+    return (
+        active.join(retained, "dt", "left")
+        .select(
+            "dt", "active_users",
+            F.coalesce("retained_next", F.lit(0)).cast("long").alias(
+                "retained_next"
+            ),
+        )
+    )
+
+
+_INTERVAL_ORACLE = """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000
+                   + 60 * CAST(floor(value) AS BIGINT) + 60 AS e
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN s <= COALESCE(MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e, new_island
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    extents AS (
+        SELECT user_id, island_id,
+               COUNT(*) AS n_iv, MAX(e) - MIN(s) AS covered
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(covered) AS BIGINT) AS covered_seconds
+    FROM extents GROUP BY user_id
+"""
+
+
+@query("interval_union_coverage", oracle=_INTERVAL_ORACLE)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (gaps-and-islands) — each event claims the span
+    [ts, ts + 60*floor(value) + 60] seconds and the engine reports, per
+    user, the measure of the UNION of those spans: total covered
+    seconds, interval count, and merged-island count. The classic
+    construction: one running MAX(end) over a per-user ordered window
+    flags island starts (an interval whose start exceeds every prior
+    end), a running SUM turns flags into island ids, and each island
+    contributes max(end) - min(start) — overlap-proof because islands
+    are contiguous by construction. Complements peak_concurrency_daily
+    (sweep-line MAX) with the union-MEASURE question sweep lines
+    cannot answer without carrying counters.
+
+    Determinism: all arithmetic in integer epoch seconds; the window
+    order (s, e, event_id) is a total order per user, and the island
+    running-sum orders by (s, e, new_island) so tied flags accumulate
+    identically on both engines. Touching intervals ([a,b],[b,c])
+    merge (<=, not <) — pinned in tests.
+
+    Shape at 100 TB: both windows are partitioned by user_id — a hash
+    exchange on the natural key and a per-partition sort, never a
+    global window; the island aggregate reuses the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    iv = ev.select(
+        "user_id", "event_id", "value",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+    ).withColumn(
+        "e", F.col("s") + 60 * F.floor("value").cast("long") + 60
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(
+            F.col("s") <= F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 0
+        ).otherwise(1).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "new_island")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    extents = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("e") - F.min("s")).alias("covered"),
+    )
+    return extents.groupBy("user_id").agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_seconds"),
+    )
