@@ -12319,3 +12319,235 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum("covered").cast("long").alias("covered_seconds"),
     )
+
+
+_BFS_ROUNDS = 10
+
+
+def _bfs_round_sql(r: int) -> str:
+    prev, vprev = f"f{r - 1}", f"v{r - 1}"
+    return f"""f{r} AS MATERIALIZED (
+        SELECT DISTINCT s.dst AS node
+        FROM sym s JOIN {prev} p ON p.node = s.src
+        WHERE NOT EXISTS (SELECT 1 FROM {vprev} v WHERE v.node = s.dst)
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT node FROM {vprev} UNION ALL SELECT node FROM f{r}
+    )"""
+
+
+_BFS_ORACLE = f"""
+    WITH e AS (
+        SELECT o_custkey AS c, l_suppkey AS s
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+    ),
+    sym AS MATERIALIZED (
+        SELECT 'C' || c AS src, 'S' || s AS dst FROM e
+        UNION ALL
+        SELECT 'S' || s AS src, 'C' || c AS dst FROM e
+    ),
+    f0 AS MATERIALIZED (
+        SELECT DISTINCT 'C' || c_custkey AS node FROM customer
+        WHERE c_nationkey = 8
+          AND 'C' || c_custkey IN (SELECT src FROM sym)
+    ),
+    v0 AS (SELECT node FROM f0),
+    {','.join(_bfs_round_sql(r) for r in range(1, _BFS_ROUNDS + 1))}
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM (
+        {' UNION ALL '.join(f"SELECT node, {r} AS dist FROM f{r}" for r in range(0, _BFS_ROUNDS + 1))}
+    )
+"""
+
+
+@query("bfs_customer_supplier_reach", oracle=_BFS_ORACLE)
+def bfs_customer_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE BFS (functions/graph.bfs_layers) over the
+    customer-supplier trading graph: nodes are customers and suppliers,
+    an edge means >= 3 lineitems shipped between the pair (the
+    threshold keeps the bipartite graph sparse enough to have real
+    multi-hop structure — 6 populated layers at the sf0.01 gate,
+    simulated before shipping; unthresholded the graph is a dense
+    near-clique and every BFS is depth 2, the tau trap). Seeds are
+    nation-8 customers; ``dist`` is the supply-chain hop distance —
+    the reachability question behind contagion/exposure analyses
+    (which suppliers are N trading hops from a sanctioned region).
+
+    The oracle unrolls 10 frontier CTEs with NOT EXISTS visited
+    checks; the engine raises past the same bound, so the hash proves
+    layer-for-layer equality and the bound's honesty (kcore's
+    contract). Unreached nodes are absent on both sides by design.
+
+    Shape at 100 TB: per-round cost is frontier-proportional (join +
+    distinct + anti-join on the node key); the edge list checkpoints
+    once; rounds bound by graph diameter, small-world small."""
+    from .functions.graph import bfs_layers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    seeds = cust.where(F.col("c_nationkey") == 8).select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    return bfs_layers(e, seeds, max_rounds=_BFS_ROUNDS)
+
+
+_HISTQ_B = 256
+_HISTQ_ORACLE = f"""
+    WITH vals AS (
+        SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(v) AS lo, MAX(v) + 1 AS hi FROM vals
+    ),
+    hist AS (
+        SELECT event_type, (v - lo) * {_HISTQ_B} // (hi - lo) AS bucket,
+               COUNT(*) AS cnt
+        FROM vals, bounds GROUP BY event_type, bucket, lo, hi
+    ),
+    cum AS (
+        SELECT event_type, bucket, cnt,
+               SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    est AS (
+        SELECT c.event_type, p.p,
+               MIN(c.bucket) AS qbucket
+        FROM cum c, (VALUES (50), (90), (99)) p(p)
+        WHERE c.cum_cnt >= (p.p * c.n + 99) // 100
+        GROUP BY c.event_type, p.p
+    ),
+    exact AS (
+        SELECT event_type, p, v AS exact_v FROM (
+            SELECT c.event_type, p.p, v.v,
+                   row_number() OVER (
+                       PARTITION BY c.event_type, p.p ORDER BY v.v
+                   ) AS rn,
+                   (p.p * c.n + 99) // 100 AS target
+            FROM (SELECT DISTINCT event_type, n FROM cum) c
+            JOIN vals v USING (event_type),
+                 (VALUES (50), (90), (99)) p(p)
+        ) WHERE rn = target
+    )
+    SELECT e.event_type, CAST(e.p AS BIGINT) AS p,
+           CAST(b.lo + (e.qbucket + 1) * (b.hi - b.lo) // {_HISTQ_B}
+                AS BIGINT) AS est_hi_millis,
+           CAST(x.exact_v AS BIGINT) AS exact_millis,
+           CAST((b.hi - b.lo + {_HISTQ_B} - 1) // {_HISTQ_B} AS BIGINT)
+               AS bound_millis,
+           CAST(CASE WHEN b.lo + (e.qbucket + 1) * (b.hi - b.lo) // {_HISTQ_B}
+                          - x.exact_v
+                     BETWEEN 0 AND (b.hi - b.lo + {_HISTQ_B} - 1) // {_HISTQ_B}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est e JOIN exact x ON x.event_type = e.event_type AND x.p = e.p,
+         bounds b
+"""
+
+
+@query("histogram_quantile_estimate", oracle=_HISTQ_ORACLE)
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-HISTOGRAM QUANTILES — the bounded-state sketch every
+    warehouse uses when exact percentiles stop fitting: one global
+    (min, max) probe (1-row broadcast), values binned into 256 equal
+    integer-millis buckets under ONE hash aggregate, and the p50/90/99
+    estimate read off the cumulative bucket counts as the upper edge
+    of the bucket containing rank ceil(p*n/100). The same query also
+    computes the EXACT rank-statistic per group and emits estimate,
+    exact, the a-priori error bound (one bucket width, rounded up),
+    and a within-bound flag — so the differential hash certifies not
+    just cross-engine agreement but that the sketch's error CONTRACT
+    holds on real data (the flag is pinned to 1 in tests; upper edge
+    means the signed error sits in [0, width]).
+
+    Per-(event_type, bucket) state is at most 5*256 rows regardless of
+    event count — the histogram merges associatively across partitions
+    (map-side combine does it for free), which is why this family
+    scales where sort-based exact quantiles do not; the exact column's
+    per-group sort window is the AUDIT, priced accordingly.
+
+    All arithmetic integer: millis = floor(value*1000) (bit-identical
+    IEEE multiply per row on both engines), bucket and edge math in
+    BIGINT floor-division."""
+    from pyspark.sql import Window
+
+    B = _HISTQ_B
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("v")
+    )
+    bounds = vals.agg(
+        F.min("v").alias("lo"), (F.max("v") + 1).alias("hi")
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr(f"(v - lo) * {B} div (hi - lo)").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "bucket",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    ps = spark.range(1).selectExpr("explode(array(50, 90, 99)) AS p")
+    est = (
+        cum.crossJoin(F.broadcast(ps))
+        .where(F.expr("cum_cnt >= (p * n + 99) div 100"))
+        .groupBy("event_type", "p")
+        .agg(F.min("bucket").alias("qbucket"))
+    )
+    n_per = cum.select("event_type", "n").distinct()
+    w_rank = Window.partitionBy("event_type", "p").orderBy("v")
+    exact = (
+        vals.join(n_per, "event_type")
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "event_type", "p", "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.expr("(p * n + 99) div 100").alias("target"),
+        )
+        .where(F.col("rn") == F.col("target"))
+        .select("event_type", "p", F.col("v").alias("exact_v"))
+    )
+    return (
+        est.join(exact, ["event_type", "p"])
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("p"),
+            F.expr(f"lo + (qbucket + 1) * (hi - lo) div {B}")
+            .cast("long").alias("est_hi_millis"),
+            F.col("exact_v").cast("long").alias("exact_millis"),
+            F.expr(f"(hi - lo + {B} - 1) div {B}").cast("long").alias(
+                "bound_millis"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN lo + (qbucket + 1) * (hi - lo) div {B}"
+                f" - exact_v BETWEEN 0 AND (hi - lo + {B} - 1) div {B}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("within_bound"),
+        )
+    )
