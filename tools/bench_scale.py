@@ -77,6 +77,12 @@ QUERIES = [
     "experiment_ab_chisq",
     "source_tv_divergence",
     "mad_robust_outliers",
+    # r5 continuation wave 3: bitmap index, interval union, BFS layers,
+    # histogram quantile sketch
+    "bitmap_retention_rollup",
+    "interval_union_coverage",
+    "bfs_customer_supplier_reach",
+    "histogram_quantile_estimate",
 ]
 N_RUNS = 3
 

@@ -614,3 +614,65 @@ def bfs_layers(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007,
+    arXiv:0709.2938) made DETERMINISTIC: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors AND itself, ties broken by the smallest label. The
+    self-vote is load-bearing, not a flourish: pure synchronous LPA
+    OSCILLATES on bipartite structure — an isolated edge {a, b} swaps
+    labels forever, so after any even round count the pair disagrees
+    (observed here before the fix; GraphFrames documents the same
+    failure mode) — while the self-inclusive vote is the published
+    damping variant that converges on such components. The classic
+    randomized tie-break is replaced by the (count DESC, label ASC)
+    total order — part of this operator's contract — and a FIXED
+    round count replaces convergence detection (callers unroll the
+    same rounds in SQL; equality is round-for-round).
+
+    Returns ``(node, community)`` for every node incident to an edge.
+
+    Shape at 100 TB: each round is one join (edges x labels, both
+    hash-partitioned on the node key), one (node, label) count
+    aggregate, and one per-node top-1 window — frontier-free but
+    bounded state; labels checkpoint per round (iterative-join rule).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        _symmetric(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym.dst == labels.node)
+            .select("src", "label")
+            .unionByName(labels.select(F.col("node").alias("src"), "label"))
+        )
+        counts = votes.groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -12551,3 +12551,150 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""l{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT v.node, v.label,
+                   row_number() OVER (
+                       PARTITION BY v.node
+                       ORDER BY COUNT(*) DESC, v.label
+                   ) AS rn
+            FROM (
+                SELECT s.src AS node, l.label
+                FROM sym s JOIN l{r - 1} l ON l.node = s.dst
+                UNION ALL
+                SELECT node, label FROM l{r - 1}
+            ) v
+            GROUP BY v.node, v.label
+        ) WHERE rn = 1
+    )"""
+
+
+_LPA_ORACLE = f"""
+    WITH {_minhash_pairs_ctes(_DUP_CORPUS_SQL)},
+    sym AS MATERIALIZED (SELECT src, dst FROM edges),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM sym
+    ),
+    {','.join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))}
+    SELECT node, CAST(label AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}
+"""
+
+
+@query("label_propagation_communities", oracle=_LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by deterministic synchronous label
+    propagation (functions/graph.label_propagation) over the same
+    MinHash near-dup edge set every graph-family query shares. Where
+    connected components answers "which docs are transitively linked",
+    LPA answers the finer question inside big mixed components — which
+    DENSE cores exist — the template-farm fingerprint quality
+    pipelines act on. Four fixed rounds, (count DESC, label ASC) tie
+    order; the oracle unrolls the identical rounds so the differential
+    hash proves round-for-round label equality, convergence or not.
+
+    Shape at 100 TB: per round one edge-label join + one (node, label)
+    count + one per-node top-1 window, all partitioned on node ids;
+    no frontier shrinkage needed because work is edge-bounded, not
+    iteration-accumulating (labels checkpoint per round)."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import label_propagation
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    ).select("a_id", "b_id")
+    return label_propagation(
+        pairs, rounds=_LPA_ROUNDS, src="a_id", dst="b_id"
+    ).select(F.col("node"), F.col("community").cast("long").alias("community"))
+
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    grid AS (
+        SELECT t.event_type, g.dt, COALESCE(d.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(MIN(dt), MAX(dt),
+                                          INTERVAL 1 DAY))::DATE AS dt
+            FROM daily
+        ) g
+        LEFT JOIN daily d ON d.event_type = t.event_type AND d.dt = g.dt
+    ),
+    scored AS (
+        SELECT event_type, dt, n,
+               lag(n, 7) OVER (
+                   PARTITION BY event_type ORDER BY dt
+               ) AS f
+        FROM grid
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(abs(f - n) * 1000000 // (f + n)) // COUNT(*)
+                AS BIGINT) AS smape_micro,
+           CAST(SUM(abs(f - n)) * 1000000 // COUNT(*) AS BIGINT)
+               AS mae_micro
+    FROM scored WHERE f IS NOT NULL AND f + n > 0
+    GROUP BY event_type
+"""
+
+
+@query("seasonal_forecast_backtest", oracle=_SEASONAL_ORACLE)
+def seasonal_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST BACKTEST — the baseline every real
+    forecaster must beat: predict each day's event count with the
+    count seven days earlier and score sMAPE + MAE per event type in
+    exact integer micro units (per-day ratios floor-divided, then
+    floor-averaged — both engines reproduce the sums bit-for-bit,
+    where a float mean would be summation-order fragile).
+
+    The calendar is DENSIFIED first (sequence over the min..max day
+    range, missing days as 0) so lag(7) is truly "same weekday last
+    week" — over observed days only, a gap silently shifts the season
+    and the backtest scores the wrong baseline; the zero-filled grid
+    is the honest contract (days where forecast+actual are both 0 are
+    excluded from scoring, documented, none at test SFs).
+
+    Shape at 100 TB: one hash aggregate to day grain, a |types x days|
+    bounded grid, one per-type lag window — forecast-grain state,
+    never event-grain."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.agg(F.min("dt").alias("d0"), F.max("dt").alias("d1"))
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("dt")
+    )
+    grid = (
+        daily.select("event_type").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "dt"], "left")
+        .select("event_type", "dt", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dt")
+    scored = grid.withColumn("f", F.lag("n", 7).over(w)).where(
+        F.col("f").isNotNull() & (F.col("f") + F.col("n") > 0)
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.expr(
+            "CAST(SUM(abs(f - n) * 1000000 div (f + n)) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("smape_micro"),
+        F.expr(
+            "CAST(SUM(abs(f - n)) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("mae_micro"),
+    )
