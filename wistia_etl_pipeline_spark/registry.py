@@ -12698,3 +12698,183 @@ def seasonal_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(abs(f - n)) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("mae_micro"),
     )
+
+
+_NOVELTY_BATCH = 25
+
+_NOVELTY_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id // {_NOVELTY_BATCH} AS batch, {_TOKS} AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT batch, g
+        FROM toks, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN [array_to_string(t[i:i+2], ' ')
+                       for i in range(1, len(t) - 1)]
+                 ELSE [] END
+        ) AS u(g)
+    ),
+    first_seen AS (
+        SELECT g, MIN(batch) AS fb FROM grams GROUP BY g
+    )
+    SELECT g.batch,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.fb = g.batch) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE f.fb = g.batch) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams g JOIN first_seen f ON f.g = g.g
+    GROUP BY g.batch
+"""
+
+
+@query("ngram_novelty_by_batch", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS NOVELTY DECAY — the freshness metric crawl pipelines
+    watch to decide when another scrape of a source stops paying for
+    itself: documents arrive in fixed-width doc_id batches, and each
+    batch reports how many of its distinct token trigrams were never
+    seen in ANY earlier batch (novelty = new/total, exact micro
+    units). A collapsing curve means the source is re-serving the
+    same material; a flat one means it still yields training signal.
+
+    Two hash aggregates end to end: distinct (batch, gram) — map-side
+    combine absorbs within-doc repeats — then gram -> min(batch)
+    (the first-seen index), joined back on the gram key. No windows,
+    no ordering; the gram key is a uniform string hash so both
+    shuffles shard evenly at any corpus size.
+
+    Trigram extraction is guarded for short docs (< 3 tokens yields
+    no grams, not a sequence() error — Spark's sequence(1, n) runs
+    DESCENDING for n < 1, a silent corruption, not a crash)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            F.expr(f"doc_id div {_NOVELTY_BATCH}").alias("batch"),
+            tokens(F.col("text")).alias("t"),
+        )
+        .select(
+            "batch",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
+                    "           i -> array_join(slice(t, i, 3), ' '))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("batch").alias("fb"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.expr("CASE WHEN fb = batch THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_new"),
+            F.expr(
+                "CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+    )
+
+
+_FUNNEL_W = 43_200  # 12 h, chosen by measurement: every level populated
+                    # AND discriminating at the sf0.01 gate (150/136/36);
+                    # 1 h gives level3 = 0 at every SF (the tau trap),
+                    # 24 h saturates level2 at 147/150.
+
+_FUNNEL_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) // 1000000 AS t
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+    l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (
+        SELECT DISTINCT v.user_id
+        FROM v JOIN c ON c.user_id = v.user_id
+         AND c.t > v.t AND c.t <= v.t + {_FUNNEL_W}
+    ),
+    l3 AS (
+        SELECT DISTINCT v.user_id
+        FROM v
+        JOIN c ON c.user_id = v.user_id
+         AND c.t > v.t AND c.t <= v.t + {_FUNNEL_W}
+        JOIN p ON p.user_id = v.user_id
+         AND p.t > c.t AND p.t <= v.t + {_FUNNEL_W}
+    )
+    SELECT l1.user_id,
+           CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                     WHEN l2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_level
+    FROM l1
+    LEFT JOIN l2 ON l2.user_id = l1.user_id
+    LEFT JOIN l3 ON l3.user_id = l1.user_id
+"""
+
+
+@query("window_funnel_levels", oracle=_FUNNEL_ORACLE)
+def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW FUNNEL (ClickHouse windowFunnel semantics): per user, the
+    deepest prefix of view -> click -> purchase completed with every
+    step inside a 12 h window ANCHORED AT THE VIEW — strictly
+    increasing timestamps, later steps may not outrun the anchor's
+    window. Distinct from funnel_view_to_purchase (unordered lifetime
+    conversion): here ORDER and PROXIMITY are the conditions, which is
+    what makes it the attribution-grade funnel.
+
+    Level tests are EXISTS semantics (left-semi joins after an equi
+    join on user_id plus range predicates), so the intermediate
+    (view, click) pair frame is bounded by per-user activity within
+    one window — rate x window, not activity², and never leaves the
+    user's hash partition. The window constant is a measured choice
+    (see _FUNNEL_W) so every level discriminates at the gate SF.
+
+    Shape at 100 TB: three equi-joins on the natural user key; no
+    global ordering, no per-user windows, no state beyond the pair
+    frame."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    e = ev.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("t"),
+    )
+    v = e.where(F.col("event_type") == "view").select("user_id", F.col("t").alias("tv"))
+    c = e.where(F.col("event_type") == "click").select("user_id", F.col("t").alias("tc"))
+    p = e.where(F.col("event_type") == "purchase").select("user_id", F.col("t").alias("tp"))
+    l1 = v.select("user_id").distinct()
+    vc = v.join(c, "user_id").where(
+        (F.col("tc") > F.col("tv"))
+        & (F.col("tc") <= F.col("tv") + _FUNNEL_W)
+    )
+    l2 = vc.select("user_id").distinct()
+    l3 = (
+        vc.join(p, "user_id")
+        .where(
+            (F.col("tp") > F.col("tc"))
+            & (F.col("tp") <= F.col("tv") + _FUNNEL_W)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        l1.join(l2.withColumn("is2", F.lit(1)), "user_id", "left")
+        .join(l3.withColumn("is3", F.lit(1)), "user_id", "left")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(CASE WHEN is3 = 1 THEN 3 WHEN is2 = 1 THEN 2"
+                " ELSE 1 END AS BIGINT)"
+            ).alias("funnel_level"),
+        )
+    )
