@@ -12978,9 +12978,10 @@ def systematic_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     production deployment keeps only the sample branch (documented
     asymmetry, same shape as histogram_quantile_estimate).
 
-    Error observed at the sf0.01 gate: <= ~5% on counts — consistent
-    with 1/sqrt(n) for per-type sample sizes of ~200, and the error
-    itself rides the hash so a silently biased sample fails the gate.
+    Error observed at the sf0.01 gate: 0-8% on counts — consistent
+    with 1/sqrt(n) ~ 7% for per-type sample sizes of ~200, and the
+    error itself rides the hash so a silently biased sample fails the
+    gate.
 
     Shape at 100 TB: the sample predicate pushes to the scan (modulo
     on a stored column) — the 10x scan saving is real, not post-scan
