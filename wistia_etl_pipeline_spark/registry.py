@@ -13016,3 +13016,351 @@ def systematic_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("cents_err_micro"),
     )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS nd
+        FROM daily GROUP BY event_type
+    ),
+    cum AS (
+        SELECT d.event_type, d.dt,
+               row_number() OVER (
+                   PARTITION BY d.event_type ORDER BY d.dt
+               ) AS i,
+               CAST(SUM(d.n) OVER (
+                   PARTITION BY d.event_type ORDER BY d.dt
+               ) AS BIGINT) AS p,
+               t.s, t.nd
+        FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    stat AS (
+        SELECT event_type, dt, abs(nd * p - i * s) AS c_abs, nd, s
+        FROM cum
+    )
+    SELECT event_type, dt AS change_dt,
+           CAST(c_abs AS BIGINT) AS cusum_abs,
+           CAST(nd AS BIGINT) AS n_days,
+           s AS total_events
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY c_abs DESC, dt
+        ) AS rn FROM stat
+    ) WHERE rn = 1
+"""
+
+
+@query("cusum_changepoint_days", oracle=_CUSUM_ORACLE)
+def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection: for each event type's daily-count
+    series, the most likely changepoint is the day maximising the
+    centered cumulative sum |C_i| = |N*P_i - i*S| (P_i = prefix sum,
+    S = total, N = #days) -- the classic offline CUSUM statistic with
+    the mean CLEARED of its denominator, so every quantity stays an
+    exact integer (the anomaly_days_zscore denominator-clearing trick
+    applied to a sequential statistic). Ties break to the earliest
+    day, so the argmax row is deterministic.
+
+    Shape at 100 TB: the raw scan reduces to the (type x day) grain in
+    one hash aggregate with map-side combine; both windows (prefix sum
+    and argmax rank) run per-type over that model-sized frame -- a
+    day-count-bounded partition, never a data-sized sort (the
+    token_budget_selection bounded-global-window budget). Totals join
+    back by broadcast. C_i fits int64 out to ~10 years of 1e12
+    events/day (nd*p ~ 3.6e3 * 1e15)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.partitionBy("event_type").orderBy("dt")
+    cum = (
+        daily.withColumn("i", F.row_number().over(w))
+        .withColumn("p", F.sum("n").over(w))
+        .join(F.broadcast(tot), "event_type")
+        .withColumn("c_abs", F.abs(F.col("nd") * F.col("p") - F.col("i") * F.col("s")))
+    )
+    top = Window.partitionBy("event_type").orderBy(
+        F.col("c_abs").desc(), F.col("dt")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(top))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dt").alias("change_dt"),
+            F.col("c_abs").cast("long").alias("cusum_abs"),
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("total_events"),
+        )
+    )
+
+
+_ACF_RNUM = (
+    "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+)
+_ACF_VX = (
+    "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+)
+_ACF_VY = (
+    "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+)
+_ACF_R = (
+    f"CAST(CASE WHEN ({_ACF_VX}) * ({_ACF_VY}) <= 0 THEN 0"
+    f" ELSE floor((1000000.0 * ({_ACF_RNUM}))"
+    f" / sqrt(({_ACF_VX}) * ({_ACF_VY}))) END AS BIGINT)"
+)
+
+_ACF_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    pairs AS (
+        SELECT a.event_type, l.k,
+               CAST(a.cnt AS BIGINT) AS x, CAST(b.cnt AS BIGINT) AS y
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.dt = a.dt + CAST(l.k AS INTEGER)
+    ),
+    suff AS (
+        SELECT event_type, k, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY event_type, k
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS lag_k,
+           CAST(n AS BIGINT) AS n_pairs,
+           {_ACF_R} AS r_micro
+    FROM suff
+"""
+
+
+@query("acf_daily_lags", oracle=_ACF_ORACLE)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function at calendar lags 1..7 of each type's
+    daily-count series -- the seasonality diagnostic that motivates
+    seasonal_forecast_backtest's weekly period. Pearson r over the
+    (day, day+k) pairs from five integer sufficient statistics (the
+    user_activity_trend OLS pattern); the final r needs a sqrt, so the
+    last step runs in DOUBLE -- safe cross-engine because every input
+    is an exactly-summed integer and the identical IEEE expression
+    tree (cast, *, -, /, sqrt, floor) is bit-deterministic on both
+    engines; only SUM ORDER is engine-unstable for doubles, and there
+    are no double sums here. Zero-variance series guard to 0.
+
+    Shape at 100 TB: the scan reduces to the (type x day) grain once;
+    the lag pairing is a self-equi-join of that model-sized frame on
+    (type, dt+k) fanned by a 7-row broadcast lag dim -- never a
+    window over the raw events, and gaps in the calendar simply drop
+    pairs (no fill needed, n_pairs is per-lag exact)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("dt").alias("bdt"),
+        F.col("cnt").alias("y"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("bt") == F.col("a.event_type"))
+        & (F.col("bdt") == F.expr("date_add(a.dt, k)")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "k",
+        F.col("a.cnt").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    suff = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return suff.select(
+        "event_type",
+        F.col("k").cast("long").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(_ACF_R).alias("r_micro"),
+    )
+
+
+_DRIFT_ORACLE = rf"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    cnt AS (
+        SELECT half, tok, COUNT(*) AS c FROM tok GROUP BY half, tok
+    ),
+    ranked AS (
+        SELECT half, tok, c,
+               row_number() OVER (
+                   PARTITION BY half ORDER BY c DESC, tok
+               ) AS rnk
+        FROM cnt
+    )
+    SELECT a.tok,
+           CAST(a.c AS BIGINT) AS count_a,
+           CAST(b.c AS BIGINT) AS count_b,
+           CAST(a.rnk AS BIGINT) AS rank_a,
+           CAST(b.rnk AS BIGINT) AS rank_b,
+           CAST(abs(a.rnk - b.rnk) AS BIGINT) AS footrule
+    FROM ranked a
+    JOIN ranked b ON b.tok = a.tok AND a.half = 0 AND b.half = 1
+"""
+
+
+@query("vocab_rank_drift", oracle=_DRIFT_ORACLE)
+def vocab_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT by rank comparison: token frequency RANKS in
+    two corpus halves (doc_id parity split), joined per token with the
+    Spearman-footrule contribution |rank_a - rank_b| -- the rank-based
+    train/serving-skew diagnostic that, unlike the PSI/KL family,
+    needs no logarithms, so every output is an exact integer and the
+    drift signal is robust to absolute-volume differences between the
+    windows (source_tv_divergence measures mass drift; this measures
+    ORDER drift). Rank ties break (count DESC, token ASC) -- the
+    NOTES_r2 deterministic-top-k rule. Inner join: a token scoring in
+    only one half has no rank pair (none at this vocabulary, where
+    both halves see all 31 tokens).
+
+    Shape at 100 TB: explode -> one hash aggregate to the
+    (half, token) grain with map-side combine absorbing the zipf head;
+    the rank windows partition BY HALF but run over vocabulary-sized
+    rows (the model-sized-window budget), and the final join is
+    vocab x vocab tiny."""
+    from pyspark.sql import Window
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("half", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("half").orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    a = ranked.where(F.col("half") == 0).select(
+        "tok", F.col("c").alias("count_a"), F.col("rnk").alias("rank_a")
+    )
+    b = ranked.where(F.col("half") == 1).select(
+        "tok", F.col("c").alias("count_b"), F.col("rnk").alias("rank_b")
+    )
+    return a.join(b, "tok").select(
+        "tok",
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+        F.abs(F.col("rank_a") - F.col("rank_b"))
+        .cast("long")
+        .alias("footrule"),
+    )
+
+
+_GINI_ORACLE = rf"""
+    WITH tok AS (
+        SELECT source, tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    cnt AS (
+        SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS v,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS s,
+               CAST(MAX(c) AS BIGINT) AS cmax
+        FROM cnt GROUP BY source
+    )
+    SELECT source,
+           n AS n_tokens,
+           CAST(v AS BIGINT) AS n_distinct,
+           CAST(v * 1000000 // n AS BIGINT) AS ttr_micro,
+           CAST(CASE WHEN n <= 1 THEN 0 ELSE
+               floor(1000000.0 * (1.0 - CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+           END AS BIGINT) AS simpson_micro,
+           CAST(floor((1000000.0 * CAST(cmax AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS BIGINT) AS dominance_micro
+    FROM agg
+"""
+
+
+@query("token_diversity_gini", oracle=_GINI_ORACLE)
+def token_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per source: unbiased Gini-Simpson index
+    1 - sum c(c-1)/(n(n-1)) -- the collision-probability diversity
+    measure that (unlike Shannon entropy) needs NO logarithm, so the
+    heavy lifting stays in exact integers; plus type-token ratio and
+    Berger-Parker dominance (top-token share). A data-mixing signal:
+    a source whose diversity collapses is boilerplate/templated text
+    (the text_repetition_stats signal at corpus rather than document
+    grain). Final ratios in micro via the identical-IEEE-expression
+    rule (integer inputs, per-row double math, no double sums).
+
+    Shape at 100 TB: explode -> (source, token) hash aggregate with
+    map-side combine -> source-grain reduce; all model-sized after
+    the first aggregate. n(n-1) would overflow int64 scaled by 1e6 at
+    n ~ 1e7, hence the double path rather than integer div."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("s"),
+        F.max("c").alias("cmax"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_distinct"),
+        F.expr("CAST(v * 1000000 div n AS BIGINT)").alias("ttr_micro"),
+        F.expr(
+            "CAST(CASE WHEN n <= 1 THEN 0 ELSE"
+            " floor(1000000.0 * (1.0 - CAST(s AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))"
+            " END AS BIGINT)"
+        ).alias("simpson_micro"),
+        F.expr(
+            "CAST(floor((1000000.0 * CAST(cmax AS DOUBLE))"
+            " / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("dominance_micro"),
+    )
