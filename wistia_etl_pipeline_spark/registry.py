@@ -13364,3 +13364,245 @@ def token_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n AS DOUBLE)) AS BIGINT)"
         ).alias("dominance_micro"),
     )
+
+
+_MG_K = 8
+_MG_KEY = (
+    "CASE WHEN event_id % 4 = 0 THEN 'hot_a'"
+    " WHEN event_id % 4 = 1 THEN 'hot_b'"
+    " ELSE concat('u', CAST(coalesce(user_id % 500, -1) AS STRING)) END"
+)
+_MG_KEY_SQL = (
+    "CASE WHEN event_id % 4 = 0 THEN 'hot_a'"
+    " WHEN event_id % 4 = 1 THEN 'hot_b'"
+    " ELSE 'u' || CAST(COALESCE(user_id % 500, -1) AS VARCHAR) END"
+)
+
+_MG_ORACLE = f"""
+    WITH keyed AS (
+        SELECT {_MG_KEY_SQL} AS item FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM keyed),
+    exact AS (SELECT item, COUNT(*) AS c FROM keyed GROUP BY item)
+    SELECT e.item, CAST(e.c AS BIGINT) AS exact_n,
+           CAST(1 AS BIGINT) AS found,
+           CAST(1 AS BIGINT) AS no_overcount,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM exact e, tot t WHERE e.c * {_MG_K + 1} > t.n
+"""
+
+
+@query("heavy_hitters_mg", oracle=_MG_ORACLE)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED MISRA-GRIES heavy hitters with the mergeable-
+    summaries contract CERTIFIED by the differential hash (Agarwal et
+    al., PODS 2012): per-partition MG(k) automata (O(k) state, no
+    shuffle — `functions/sketches.py`) merge into one MG(k) summary;
+    the query emits, for every TRUE heavy hitter (exact > n/(k+1)),
+    the three theorem facts — found (total recall), no_overcount
+    (est <= exact), within_bound ((exact-est)·(k+1) <= n). The MG
+    estimates themselves are arrival-order-dependent and so excluded
+    from the verified columns; the FLAGS are order-independent
+    theorems, so a broken automaton (wrong eviction mass, bad merge
+    decrement) flips a flag and fails the hash. Exact counts are the
+    audit branch (systematic_sample_estimate asymmetry — production
+    keeps only the sketch).
+
+    The item stream derives a deterministically SKEWED key (two 25%
+    hot keys over a ~500-key tail) because the corpus vocabulary is
+    near-uniform (max share 3.6% — no true heavy hitter exists to
+    certify; the CMS fire-the-rule lesson), and |keys| >> k keeps the
+    eviction path constantly exercised.
+
+    Shape at 100 TB: the sketch branch is scan-local fold + a
+    model-sized (P·k rows) merge; CMS answers point queries with
+    overcounts, MG returns exactly the candidate set with
+    undercounts — together they bracket the truth."""
+    from .functions.sketches import misra_gries_merge, misra_gries_partition
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.expr(_MG_KEY).alias("item")).localCheckpoint(
+        eager=False
+    )
+    mg = misra_gries_merge(
+        misra_gries_partition(keyed, "item", _MG_K), _MG_K
+    )
+    exact = keyed.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    tot = keyed.agg(F.count(F.lit(1)).alias("n"))
+    hh = exact.crossJoin(F.broadcast(tot)).where(
+        F.col("exact_n") * (_MG_K + 1) > F.col("n")
+    )
+    return hh.join(mg, "item", "left").select(
+        "item",
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("est").isNotNull().cast("long").alias("found"),
+        F.coalesce(F.col("est") <= F.col("exact_n"), F.lit(False))
+        .cast("long")
+        .alias("no_overcount"),
+        F.coalesce(
+            (F.col("exact_n") - F.col("est")) * (_MG_K + 1) <= F.col("n"),
+            F.lit(False),
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )
+
+
+_MEDIAN_BUCKET = 65536
+
+_MEDIAN_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    r AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS median_cents,
+           CAST(cents // {_MEDIAN_BUCKET} AS BIGINT) AS median_bucket,
+           (SELECT CAST(COUNT(DISTINCT cents // {_MEDIAN_BUCKET}) AS BIGINT)
+            FROM c) AS n_buckets
+    FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+@query("exact_median_two_pass", oracle=_MEDIAN_ORACLE)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median WITHOUT a global sort — the distributed
+    selection algorithm: pass 1 histograms the value domain into
+    65536-cent buckets (one hash aggregate; bucket count is bounded by
+    the VALUE DOMAIN, not the row count — ~161 buckets on this price
+    range at any SF), the driver locates the bucket containing rank
+    (n+1) div 2 from the model-sized bucket counts; pass 2 counts each
+    distinct value inside that single bucket (<= 65536 groups by
+    construction) and the driver reads the value at the residual
+    offset. Two scans, two bounded collects, zero sorts — the oracle
+    is the naive global ROW_NUMBER selection, so the hash proves the
+    two-pass selection exact, same proof shape as contiguous_doc_ids.
+    The lower-median convention (n+1) div 2 matches the engine-pinned
+    rank selection family (customer_rfm_boundaries, mad_robust_
+    outliers).
+
+    Shape at 100 TB: a global sort of 10^12 rows is the worst plan in
+    the book; this is 2 map-side-combined aggregates whose outputs are
+    domain-bounded. Pathological skew (every row in one bucket) would
+    recurse on the bucket — one extra level per 65536x concentration,
+    noted, not needed on any realistic value domain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+        ).alias("cents")
+    )
+    cents = li.localCheckpoint(eager=False)
+    buckets = (
+        cents.groupBy(
+            F.expr(f"cents div {_MEDIAN_BUCKET}").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    buckets = sorted(
+        ((r["b"], r["cnt"]) for r in buckets), key=lambda t: t[0]
+    )
+    n = sum(cnt for _, cnt in buckets)
+    rank = (n + 1) // 2
+    cum = 0
+    med_bucket, offset = None, 0
+    for b, cnt in buckets:
+        if cum + cnt >= rank:
+            med_bucket, offset = b, rank - cum
+            break
+        cum += cnt
+    inner = (
+        cents.where(
+            F.expr(f"cents div {_MEDIAN_BUCKET}") == med_bucket
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    cum = 0
+    median = None
+    for v, cnt in sorted((r["cents"], r["cnt"]) for r in inner):
+        cum += cnt
+        if cum >= offset:
+            median = v
+            break
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_rows"),
+        F.lit(median).cast("long").alias("median_cents"),
+        F.lit(med_bucket).cast("long").alias("median_bucket"),
+        F.lit(len(buckets)).cast("long").alias("n_buckets"),
+    )
+
+
+_OOF_ORACLE = """
+    WITH base AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_orderkey % 5 AS fold,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    pf AS (
+        SELECT nationkey, fold, COUNT(*) AS n_fold,
+               CAST(SUM(cents) AS BIGINT) AS s_fold
+        FROM base GROUP BY nationkey, fold
+    ),
+    tot AS (
+        SELECT nationkey, CAST(SUM(n_fold) AS BIGINT) AS n,
+               CAST(SUM(s_fold) AS BIGINT) AS s
+        FROM pf GROUP BY nationkey
+    )
+    SELECT p.nationkey, CAST(p.fold AS BIGINT) AS fold,
+           CAST(p.n_fold AS BIGINT) AS n_fold,
+           CAST(CASE WHEN t.n > p.n_fold THEN
+               (t.s - p.s_fold) // (t.n - p.n_fold)
+           END AS BIGINT) AS oof_mean_cents
+    FROM pf p JOIN tot t ON t.nationkey = p.nationkey
+"""
+
+
+@query("target_encoding_oof", oracle=_OOF_ORACLE)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE TARGET ENCODING — the K-fold out-of-fold mean that
+    feature pipelines substitute for high-cardinality categoricals:
+    rows in fold f receive their group's target mean computed WITHOUT
+    fold f ((S_g - S_gf) / (n_g - n_gf)), so no row's own target
+    leaks into its feature (the training-side twin of
+    split_leakage_audit's eval-side check). Folds are deterministic
+    (o_orderkey % 5 — co-located, reproducible, the dataset_split
+    hash-draw rule); means are exact integer floor-division on cents.
+    A group confined to one fold encodes NULL (guarded in both
+    engines) — the correct answer, not an error: there is no
+    out-of-fold evidence.
+
+    Shape at 100 TB: one fact-dim equi-join (AQE picks broadcast
+    when customer fits, shuffle join when SF-scaled — the star-join
+    rule), then two nested hash aggregates on the model-sized
+    (group x fold) grain; the encodings broadcast back to rows at
+    apply time as a |groups|·K table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    pf = base.groupBy("nationkey", "fold").agg(
+        F.count(F.lit(1)).alias("n_fold"), F.sum("cents").alias("s_fold")
+    )
+    tot = pf.groupBy("nationkey").agg(
+        F.sum("n_fold").alias("n"), F.sum("s_fold").alias("s")
+    )
+    return pf.join(tot, "nationkey").select(
+        "nationkey",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_fold").cast("long").alias("n_fold"),
+        F.expr(
+            "CAST(CASE WHEN n > n_fold THEN"
+            " (s - s_fold) div (n - n_fold) END AS BIGINT)"
+        ).alias("oof_mean_cents"),
+    )
