@@ -13606,3 +13606,457 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (s - s_fold) div (n - n_fold) END AS BIGINT)"
         ).alias("oof_mean_cents"),
     )
+
+
+_SPAN_N = 5
+
+_SPANRM_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    spans AS (
+        SELECT doc_id, p,
+               md5(array_to_string(t[p+1:p+{_SPAN_N}], ' ')) AS fp
+        FROM toks,
+             unnest(range(0, greatest(len(t) - {_SPAN_N - 1}, 0))) AS u(p)
+    ),
+    grp AS (
+        SELECT fp, MIN(doc_id) AS keeper, COUNT(DISTINCT doc_id) AS nd
+        FROM spans GROUP BY fp
+    ),
+    cover AS (
+        SELECT DISTINCT s.doc_id, s.p + o AS cp
+        FROM spans s
+        JOIN grp g USING (fp), unnest(range(0, {_SPAN_N})) AS v(o)
+        WHERE g.nd > 1 AND s.doc_id <> g.keeper
+    ),
+    pos AS (
+        SELECT doc_id, q, t[q+1] AS tok
+        FROM toks, unnest(range(0, len(t))) AS w(q)
+    ),
+    kept AS (
+        SELECT p.doc_id,
+               COUNT(*) AS n_kept,
+               array_to_string(list(p.tok ORDER BY p.q), ' ') AS cleaned
+        FROM pos p
+        LEFT JOIN cover c ON c.doc_id = p.doc_id AND c.cp = p.q
+        WHERE c.doc_id IS NULL
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.cleaned, '') AS cleaned
+    FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id
+"""
+
+
+@query("duplicate_span_removal", oracle=_SPANRM_ORACLE)
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP WITH TEXT SURGERY (the ExactSubstr
+    operator of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022, re-expressed relationally): a
+    token span occurring in more than one document is REMOVED from
+    every document except the lowest-doc_id holder, and each
+    document's text is REBUILT from its surviving token positions.
+    This is removal, not flagging — the other dedup queries decide
+    which documents to drop; this one edits documents in place, the
+    within-corpus repeated-passage operation that suffix-array
+    pipelines do with a giant sort. Span width 5 here (the paper's 50
+    scaled to this corpus' ~100-token documents); on this vocabulary
+    the birthday bound makes natural 5-gram collisions plentiful, so
+    the removal path is exercised without an injected corpus.
+
+    Relational decomposition: fingerprint every span start (scan-
+    local), ONE hash aggregate per fingerprint for (keeper, ndocs),
+    join back to mark losing occurrences, explode each to its covered
+    positions, anti-join the position table, and re-assemble text with
+    a per-document sort_array over position structs (partition-local,
+    bounded by document length). Everything is exact integers/strings.
+
+    Shape at 100 TB: the only shuffles are the fp aggregate + join
+    (uniform 128-bit keys) and the doc_id re-assembly aggregate; no
+    suffix array, no global sort, and driver state is zero. The
+    cleaned text column makes the differential hash a byte-exact
+    proof of the surgery."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).localCheckpoint(eager=False)
+    spans = toks.selectExpr(
+        "doc_id",
+        f"""posexplode(
+            CASE WHEN size(t) >= {_SPAN_N}
+                 THEN transform(sequence(0, size(t) - {_SPAN_N}),
+                      p -> md5(concat_ws(' ', slice(t, p + 1, {_SPAN_N}))))
+                 ELSE array() END
+        ) AS (p, fp)""",
+    )
+    grp = spans.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count_distinct("doc_id").alias("nd"),
+    )
+    cover = (
+        spans.join(grp, "fp")
+        .where((F.col("nd") > 1) & (F.col("doc_id") != F.col("keeper")))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(p, p + {_SPAN_N - 1})")).alias("cp"),
+        )
+        .distinct()
+    )
+    pos = toks.selectExpr("doc_id", "posexplode(t) AS (q, tok)")
+    kept = (
+        pos.join(
+            cover,
+            (pos["doc_id"] == cover["doc_id"]) & (pos["q"] == cover["cp"]),
+            "left_anti",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "concat_ws(' ', transform(sort_array(collect_list("
+                "struct(q, tok))), s -> s.tok))"
+            ).alias("cleaned"),
+        )
+    )
+    return toks.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
+
+
+_MAXCOV_K = 8
+
+
+def _maxcov_oracle(k: int = _MAXCOV_K) -> str:
+    """Unrolled greedy max-coverage rounds (the coreset_kcenter oracle
+    idiom): each round picks the not-yet-selected doc with the largest
+    count of uncovered bigrams (ties to the smaller doc_id), then
+    accumulates its bigrams into the covered set."""
+    parts = [
+        r"""base AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[p+1:p+2], ' ')
+                              for p in range(0, len(t) - 1)]) AS bgs
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0)
+    )""",
+        "c0 AS MATERIALIZED (SELECT []::VARCHAR[] AS cov)",
+    ]
+    prev_sel = []
+    for t in range(k):
+        notin = (
+            f" AND doc_id NOT IN ({', '.join(f'(SELECT doc_id FROM r{j})' for j in prev_sel)})"
+            if prev_sel
+            else ""
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT doc_id, bgs,"
+            f" len(list_filter(bgs, x -> NOT list_contains(cov, x)))"
+            f" AS gain FROM base, c{t} WHERE TRUE{notin}"
+            f" ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        parts.append(
+            f"c{t + 1} AS MATERIALIZED (SELECT list_distinct(c.cov || r.bgs) AS cov"
+            f" FROM c{t} c, r{t} r)"
+        )
+        prev_sel.append(t)
+    rounds = "\n        UNION ALL ".join(
+        f"SELECT {t} AS round, r{t}.doc_id, r{t}.gain,"
+        f" (SELECT len(cov) FROM c{t + 1}) AS covered_total FROM r{t}"
+        for t in range(k)
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT CAST(round AS BIGINT) AS round, doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(covered_total AS BIGINT) AS covered_total
+    FROM ({rounds})
+    """
+
+
+@query("greedy_max_coverage_docs", oracle=_maxcov_oracle())
+def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBMODULAR DATA SELECTION — greedy MAX-COVERAGE over bigram
+    sets: pick k documents maximising the number of distinct bigrams
+    covered, the facility-location-family objective behind
+    diversity-driven corpus subset selection (greedy is the classic
+    (1-1/e)-approximation; Nemhauser et al. 1978). The geometric
+    sibling is coreset_kcenter_embeddings (max-min distance); this is
+    the set-cover axis (max coverage), and the two select very
+    different subsets. Bigrams, not unigrams: the 31-token vocabulary
+    saturates after two documents (a rule the data must fire).
+
+    Per round ONE aggregate job: gain = size(array_except(bgs,
+    covered-literal)) folded through max(struct(gain, -doc_id, ...))
+    — the (gain, -id) tie rule, an argmax without any sort; the
+    covered set is DRIVER-state bounded by k x max-document-length
+    bigrams (model-sized by construction — it is the union of the
+    SELECTED docs' bigrams only), shipped each round as a literal
+    array, exactly the k-center pattern. Oracle unrolls all k rounds
+    in SQL and the differential hash pins every pick, gain, and
+    coverage count.
+
+    Shape at 100 TB: k scans with scan-local set arithmetic and a
+    1-row aggregate each — no shuffle at all; the classic
+    distributed-greedy refinement (GreeDi, Mirzasoleiman et al. 2013)
+    would run per-partition greedy then re-greedy the union, trading
+    exactness for one round — noted, not needed while k is small."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    from .functions.text import tokens
+
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(0, size(t) - 2),"
+                " p -> concat_ws(' ', slice(t, p + 1, 2)))"
+                " ELSE array() END)"
+            ).alias("bgs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    covered: set[str] = set()
+    selected: list[int] = []
+    rows = []
+    for r in range(_MAXCOV_K):
+        cov_lit = (
+            F.array(*[F.lit(x) for x in sorted(covered)])
+            if covered
+            else F.array().cast("array<string>")
+        )
+        cand = base
+        if selected:
+            cand = cand.where(~F.col("doc_id").isin(selected))
+        top = cand.select(
+            F.max(
+                F.struct(
+                    F.size(F.array_except(F.col("bgs"), cov_lit)).alias(
+                        "gain"
+                    ),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("bgs").alias("bgs"),
+                )
+            ).alias("s")
+        ).first()["s"]
+        covered.update(top["bgs"])
+        selected.append(top["doc_id"])
+        rows.append((r, top["doc_id"], top["gain"], len(covered)))
+    return spark.createDataFrame(
+        rows, "round long, doc_id long, gain long, covered_total long"
+    )
+
+
+_LP_MIN_DISTINCT = 25
+_LP_THRESHOLD = 0.79
+
+_LP_CORPUS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
+          AND len(list_distinct(regexp_split_to_array({_NORM}, '\\s+')))
+              >= {_LP_MIN_DISTINCT}
+"""
+
+
+def _lp_branch_sql(shift: int, prefix: str, m: int, parity: str = "") -> str:
+    return f"""
+        SELECT doc_id + {shift} AS doc_id,
+               text || ' ' || array_to_string(
+                   [('{prefix}_' || doc_id || '_' || i)
+                    for i in range(1, {m + 1})], ' ') AS text
+        FROM ({_LP_CORPUS_SQL}){parity}
+"""
+
+
+_LP_ORACLE = rf"""
+    WITH corpus AS (
+        {_LP_CORPUS_SQL}
+        UNION ALL {_lp_branch_sql(_DUP_SHIFT, 'lpa', 4)}
+        UNION ALL {_lp_branch_sql(2 * _DUP_SHIFT, 'lpc', 6)}
+        UNION ALL {_lp_branch_sql(3 * _DUP_SHIFT, 'lpd', 5, ' WHERE doc_id % 2 = 0')}
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS sh
+        FROM corpus
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a_id, b_id FROM (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                   ROUND(len(list_intersect(l.sh, r.sh))
+                         / len(list_distinct(l.sh || r.sh)), 6) AS j
+            FROM banded l
+            JOIN banded r ON l.b = r.b AND l.key = r.key
+                          AND l.doc_id < r.doc_id
+        ) WHERE j >= {_LP_THRESHOLD}
+    ),
+    edges AS MATERIALIZED (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION
+        SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
+    wed AS (
+        SELECT e1.s AS a, e2.d AS b, e1.d AS z
+        FROM edges e1 JOIN edges e2 ON e2.s = e1.d
+        WHERE e1.s < e2.d
+    ),
+    cand AS (
+        SELECT a, b, z FROM wed w
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.a_id = w.a AND p.b_id = w.b)
+    ),
+    sc AS (
+        SELECT c.a, c.b, COUNT(*) AS cn,
+               CAST(SUM(1000000 // d.dg) AS BIGINT) AS ra
+        FROM cand c JOIN deg d ON d.s = c.z
+        GROUP BY c.a, c.b
+    )
+    SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
+           ra AS ra_micro, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY a ORDER BY ra DESC, b) AS rnk FROM sc)
+    WHERE rnk <= 3
+"""
+
+
+@query("link_prediction_ra", oracle=_LP_ORACLE)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the near-dup graph by RESOURCE-ALLOCATION
+    scoring (Zhou/Lu/Zhang 2009 — the 1/deg(z) cousin of Adamic-Adar
+    that needs NO logarithm, so per-term 10^6 div deg floors are exact
+    integers): for every open wedge a-z-b (2-hop non-edge), score
+    sum_z 1/deg(z) and keep each node's top-3 predictions — the
+    "these two documents are probably dups the LSH missed" candidate
+    generator, and on interaction graphs the people-you-may-know
+    primitive. Rank ties (score DESC, b ASC) — the deterministic
+    top-k rule.
+
+    Graph: MinHash (16 hashes, 4x4 bands, unigram shingles, tau=0.79)
+    over a WEDGE-INJECTED corpus — each sampled doc (>= 25 distinct
+    tokens, capping |shingle-set| in [25,31] on this vocab) gets
+    salt-extended branches of 4/6/5 unique tokens, making
+    branch<->base Jaccard >= 25/31 = .806 > tau and branch<->branch
+    <= 31/40 = .775 < tau BY CONSTRUCTION at every SF (the triangle
+    triple-injection lesson: raw bigram-shingle docs have zero edges
+    to predict over); natural unigram-level near-dups add real edges
+    on top, giving the scorer non-degenerate degrees.
+
+    Shape at 100 TB: the wedge join is bounded by sum-of-deg^2 — the
+    inherent output of 2-hop scoring (the dedup_simhash_pairs
+    output-bound caveat); production caps per-node degree before
+    wedging (drop hubs: a 10^6-degree node's wedges are noise), and
+    the top-3 cut runs per-node, never a global sort."""
+    from pyspark.sql import Window
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(
+        (F.col("doc_id") % 5 == 0)
+        & (F.length(F.trim(F.col("text"))) > 0)
+        & (
+            F.size(F.array_distinct(tokens(normalize_text(F.col("text")))))
+            >= _LP_MIN_DISTINCT
+        )
+    ).select("doc_id", "text")
+
+    def branch(df: DataFrame, shift: int, prefix: str, m: int) -> DataFrame:
+        return df.select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            F.expr(
+                f"concat(text, ' ', concat_ws(' ',"
+                f" transform(sequence(1, {m}),"
+                f" i -> concat('{prefix}_', doc_id, '_', i))))"
+            ).alias("text"),
+        )
+
+    corpus = (
+        base.unionByName(branch(base, _DUP_SHIFT, "lpa", 4))
+        .unionByName(branch(base, 2 * _DUP_SHIFT, "lpc", 6))
+        .unionByName(
+            branch(
+                base.where(F.col("doc_id") % 2 == 0),
+                3 * _DUP_SHIFT,
+                "lpd",
+                5,
+            )
+        )
+    )
+    pairs = (
+        minhash_near_dup_pairs(
+            corpus, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_k=1,
+            jaccard_threshold=_LP_THRESHOLD,
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    e = pairs.select(
+        F.col("a_id").alias("s"), F.col("b_id").alias("d")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    wed = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.d") == F.col("e2.s"))
+        .where(F.col("e1.s") < F.col("e2.d"))
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e2.d").alias("b"),
+            F.col("e1.d").alias("z"),
+        )
+    )
+    cand = wed.join(
+        pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    sc = (
+        cand.join(deg.select(F.col("s").alias("z"), "dg"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000 div dg")).alias("ra"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("ra").desc(), F.col("b"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "a",
+            "b",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("ra").cast("long").alias("ra_micro"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
