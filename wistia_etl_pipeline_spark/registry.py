@@ -14060,3 +14060,311 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rank"),
         )
     )
+
+
+_JS_DEPTH = 4
+_JS_WIDTH = 4096
+
+
+def _js_bucket_sql(key: str, j: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || ':cms' || {j}),"
+        f" 1, 15))::BIGINT % {_JS_WIDTH}"
+    )
+
+
+_JS_ORACLE = f"""
+    WITH rows_j AS (SELECT unnest(range(0, {_JS_DEPTH})) AS j),
+    a AS (
+        SELECT j, {_js_bucket_sql('user_id', 'j')} AS w, COUNT(*) AS c
+        FROM events, rows_j WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT j, {_js_bucket_sql('o_custkey', 'j')} AS w, COUNT(*) AS c
+        FROM orders, rows_j GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM a JOIN b ON b.j = a.j AND b.w = a.w GROUP BY a.j
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_est FROM dots),
+    ex AS (
+        SELECT CAST(COALESCE(SUM(x.c * y.c), 0) AS BIGINT) AS exact_size
+        FROM (SELECT user_id AS k, COUNT(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id) x
+        JOIN (SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+              GROUP BY o_custkey) y ON y.k = x.k
+    )
+    SELECT ex.exact_size, est.cms_est,
+           CAST(CASE WHEN est.cms_est >= ex.exact_size THEN 1 ELSE 0 END
+               AS BIGINT) AS no_undercount,
+           CAST((est.cms_est - ex.exact_size) * 1000000 // ex.exact_size
+               AS BIGINT) AS overcount_micro
+    FROM ex, est
+"""
+
+
+@query("sketch_join_size_cms", oracle=_JS_ORACLE)
+def sketch_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from two count-min sketches — the
+    pre-join cardinality estimator (AMS/CMS inner-product theorem,
+    Cormode & Muthukrishnan 2005): |A join B| = sum_k cA(k)·cB(k) is
+    estimated by min_j <CMS_A[j], CMS_B[j]>, which NEVER undercounts
+    (every row's dot product >= the true inner product since
+    colliding keys only add cross terms) and overcounts by at most
+    ~nA·nB/width per row. A planner consults this before choosing a
+    join strategy; at 100 TB the sketches are the only thing that
+    moves (depth x 4096 cells each), built in one map-side-combined
+    aggregate per side — the join itself never runs. The exact
+    inner-product branch here is the audit path (the
+    systematic_sample_estimate asymmetry): its (key,count) join IS
+    the expensive thing production avoids. The no_undercount flag is
+    the theorem; the observed overcount (~width-bounded, measured
+    0.4x at this width/SF) rides the hash so a broken bucket hash or
+    a dropped row flips the output. Width 4096 keeps noise
+    (~nA·nB/width) the same order as the true size, so the estimate
+    is informative, not saturated (the CMS width-16 query makes the
+    opposite choice to force collisions — both documented)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    od = load_table(spark, sf_dir, "orders")
+    js = spark.range(_JS_DEPTH).select(F.col("id").cast("int").alias("j"))
+
+    def cms(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(js))
+            .select(
+                "j",
+                F.expr(
+                    f"conv(substring(md5(concat(CAST({key} AS STRING),"
+                    f" ':cms', j)), 1, 15), 16, 10) % {_JS_WIDTH}"
+                ).cast("long").alias("w"),
+            )
+            .groupBy("j", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    a, b = cms(ev, "user_id"), cms(od, "o_custkey")
+    dots = (
+        a.join(b.select("j", "w", F.col("c").alias("c2")), ["j", "w"])
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("long").alias("cms_est"))
+    ex = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            od.groupBy(F.col("o_custkey").alias("k")).agg(
+                F.count(F.lit(1)).alias("c2")
+            ),
+            "k",
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+            .cast("long")
+            .alias("exact_size")
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_size"))
+        .cast("long")
+        .alias("no_undercount"),
+        F.expr(
+            "CAST((cms_est - exact_size) * 1000000 div exact_size"
+            " AS BIGINT)"
+        ).alias("overcount_micro"),
+    )
+
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford relaxations (the kcenter/maxcov oracle
+    idiom; MATERIALIZED — chained CTEs otherwise re-expand
+    exponentially under inlining, the maxcov lesson)."""
+    parts = [
+        """e AS MATERIALIZED (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+               MIN(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY s.s_nationkey, c.c_nationkey
+    )""",
+        "d0 AS MATERIALIZED (SELECT 0 AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT e.cn AS node, d.dist + e.w AS dist
+            FROM d{r - 1} d JOIN e ON e.sn = d.node
+        ) GROUP BY node
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT node, CAST(dist AS BIGINT) AS dist_cents
+    FROM d{rounds}
+"""
+
+
+@query("sssp_nation_graph", oracle=_sssp_oracle())
+def sssp_nation_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SOURCE SHORTEST PATHS (Bellman-Ford) over the trade
+    graph distilled from the fact tables: nations are nodes, an edge
+    sn -> cn carries the MINIMUM line-item cost ever shipped from a
+    supplier in sn to a customer in cn, and the query relaxes 6
+    rounds from nation 0 — the weighted companion of
+    bfs_customer_supplier_reach (hop counts) and the last missing
+    classic of the graph family (components / PageRank / k-core /
+    LPA / triangles / BFS / walks are all registered). MIN-relaxation
+    is order-free, so results are deterministic however partitions
+    arrive; all weights exact cents.
+
+    Shape at 100 TB: the fact scan reduces to a nation-grain edge
+    list in ONE aggregate (the 10^12-row join feeds a |V|^2-bounded
+    frame); each relaxation is then a broadcast-join + hash-min over
+    model-sized frontiers, with a lazy localCheckpoint per round
+    pinning the frontier so round r+1's lineage doesn't re-run
+    rounds 1..r (the pagerank persisted-frame discipline). Six
+    rounds bound path length |V|-1 style for this diameter;
+    production uses delta-stepping buckets when |V| is large."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(od, od["o_orderkey"] == li["l_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .join(su, su["s_suppkey"] == li["l_suppkey"])
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("sn"),
+            F.col("c_nationkey").alias("cn"),
+        )
+        .agg(
+            F.min(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(
+            F.broadcast(edges), dist["node"] == edges["sn"]
+        ).select(F.col("cn").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist_cents"))
+
+
+_PATTERN_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt,
+               array_to_string(list(substr(event_type, 1, 1)
+                   ORDER BY ts, event_id), '') AS s
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    m AS (
+        SELECT user_id, dt, s,
+               len(regexp_extract_all(s, 'v[^ep]*p')) AS n_funnels,
+               CASE WHEN regexp_matches(s, 'vc*p') THEN 1 ELSE 0 END
+                   AS has_strict,
+               len(regexp_extract_all(s, 'ee+')) AS n_error_bursts
+        FROM seq
+    )
+    SELECT user_id, dt,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(n_funnels AS BIGINT) AS n_funnels,
+           CAST(has_strict AS BIGINT) AS has_strict,
+           CAST(n_error_bursts AS BIGINT) AS n_error_bursts
+    FROM m
+    WHERE n_funnels > 0 OR n_error_bursts > 0
+"""
+
+
+@query("event_pattern_match", oracle=_PATTERN_ORACLE)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE, relationally: per (user, day) the event
+    stream collapses to an ordered initial-letter string (v/c/s/e/p
+    for view/click/signup/error/purchase — first letters are distinct
+    on this taxonomy) and row-pattern predicates become REGEXES over
+    it: 'v[^ep]*p' counts error-free view->purchase funnels (the
+    excluded-class form: a lazy 'v[^ep]*p' means the same but leans on
+    cross-engine lazy-quantifier agreement; excluding p from the class
+    pins first-p termination in pure leftmost semantics),
+    'vc*p' tests the strict clicks-only path, 'ee+' counts error
+    bursts. This is the SQL:2016 row-pattern operator the window
+    funnels approximate with per-level MAX — regex backtracking
+    expresses reluctant/greedy quantifiers those rollups cannot
+    (window_funnel_levels counts level attainment; this counts
+    non-overlapping full matches). Order ties break (ts, event_id) —
+    the established total-order rule — and both engines' regex
+    engines agree on these POSIX-safe patterns (no lookaround, no
+    engine-specific classes).
+
+    Shape at 100 TB: one hash aggregate to the (user, day) grain
+    with a sort_array-ordered collect (partition-local, bounded by a
+    user-day's events), then scan-local regex — no window over raw
+    events, no cross-row state machine; the pattern library extends
+    by adding columns, not operators."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("dt"),
+            F.struct("ts", "event_id", F.expr("substring(event_type, 1, 1)").alias("ch")).alias("o"),
+        )
+        .groupBy("user_id", "dt")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(sort_array(collect_list(o)),"
+                " s -> s.ch))"
+            ).alias("s")
+        )
+    )
+    m = seq.select(
+        "user_id",
+        "dt",
+        "s",
+        F.expr("size(regexp_extract_all(s, 'v[^ep]*p', 0))").alias(
+            "n_funnels"
+        ),
+        F.expr("CASE WHEN s RLIKE 'vc*p' THEN 1 ELSE 0 END").alias(
+            "has_strict"
+        ),
+        F.expr("size(regexp_extract_all(s, 'ee+', 0))").alias(
+            "n_error_bursts"
+        ),
+    )
+    return m.where(
+        (F.col("n_funnels") > 0) | (F.col("n_error_bursts") > 0)
+    ).select(
+        "user_id",
+        "dt",
+        F.length("s").cast("long").alias("n_events"),
+        F.col("n_funnels").cast("long").alias("n_funnels"),
+        F.col("has_strict").cast("long").alias("has_strict"),
+        F.col("n_error_bursts").cast("long").alias("n_error_bursts"),
+    )
