@@ -13885,8 +13885,10 @@ def _lp_branch_sql(shift: int, prefix: str, m: int, parity: str = "") -> str:
 """
 
 
-_LP_ORACLE = rf"""
-    WITH corpus AS (
+#: Shared CTE prefix: the wedge-injected minhash graph (corpus ->
+#: pairs -> symmetric edges -> degrees). Used by link_prediction_ra
+#: and graph_assortativity so both verify the SAME graph.
+_LP_GRAPH_SQL = rf"""corpus AS (
         {_LP_CORPUS_SQL}
         UNION ALL {_lp_branch_sql(_DUP_SHIFT, 'lpa', 4)}
         UNION ALL {_lp_branch_sql(2 * _DUP_SHIFT, 'lpc', 6)}
@@ -13922,7 +13924,10 @@ _LP_ORACLE = rf"""
         UNION
         SELECT b_id AS s, a_id AS d FROM pairs
     ),
-    deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s),
+    deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY s)"""
+
+_LP_ORACLE = rf"""
+    WITH {_LP_GRAPH_SQL},
     wed AS (
         SELECT e1.s AS a, e2.d AS b, e1.d AS z
         FROM edges e1 JOIN edges e2 ON e2.s = e1.d
@@ -13947,34 +13952,10 @@ _LP_ORACLE = rf"""
 """
 
 
-@query("link_prediction_ra", oracle=_LP_ORACLE)
-def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LINK PREDICTION on the near-dup graph by RESOURCE-ALLOCATION
-    scoring (Zhou/Lu/Zhang 2009 — the 1/deg(z) cousin of Adamic-Adar
-    that needs NO logarithm, so per-term 10^6 div deg floors are exact
-    integers): for every open wedge a-z-b (2-hop non-edge), score
-    sum_z 1/deg(z) and keep each node's top-3 predictions — the
-    "these two documents are probably dups the LSH missed" candidate
-    generator, and on interaction graphs the people-you-may-know
-    primitive. Rank ties (score DESC, b ASC) — the deterministic
-    top-k rule.
-
-    Graph: MinHash (16 hashes, 4x4 bands, unigram shingles, tau=0.79)
-    over a WEDGE-INJECTED corpus — each sampled doc (>= 25 distinct
-    tokens, capping |shingle-set| in [25,31] on this vocab) gets
-    salt-extended branches of 4/6/5 unique tokens, making
-    branch<->base Jaccard >= 25/31 = .806 > tau and branch<->branch
-    <= 31/40 = .775 < tau BY CONSTRUCTION at every SF (the triangle
-    triple-injection lesson: raw bigram-shingle docs have zero edges
-    to predict over); natural unigram-level near-dups add real edges
-    on top, giving the scorer non-degenerate degrees.
-
-    Shape at 100 TB: the wedge join is bounded by sum-of-deg^2 — the
-    inherent output of 2-hop scoring (the dedup_simhash_pairs
-    output-bound caveat); production caps per-node degree before
-    wedging (drop hubs: a 10^6-degree node's wedges are noise), and
-    the top-3 cut runs per-node, never a global sort."""
-    from pyspark.sql import Window
+def _lp_graph_frames(spark: SparkSession, sf_dir: str):
+    """The wedge-injected minhash graph as (pairs, directed edges,
+    degrees) — the Spark twin of _LP_GRAPH_SQL, shared by
+    link_prediction_ra and graph_assortativity."""
     from .functions.dedupe import minhash_near_dup_pairs
     from .functions.text import normalize_text, tokens
 
@@ -14025,6 +14006,39 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
     ).localCheckpoint(eager=False)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    return pairs, e, deg
+
+
+@query("link_prediction_ra", oracle=_LP_ORACLE)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the near-dup graph by RESOURCE-ALLOCATION
+    scoring (Zhou/Lu/Zhang 2009 — the 1/deg(z) cousin of Adamic-Adar
+    that needs NO logarithm, so per-term 10^6 div deg floors are exact
+    integers): for every open wedge a-z-b (2-hop non-edge), score
+    sum_z 1/deg(z) and keep each node's top-3 predictions — the
+    "these two documents are probably dups the LSH missed" candidate
+    generator, and on interaction graphs the people-you-may-know
+    primitive. Rank ties (score DESC, b ASC) — the deterministic
+    top-k rule.
+
+    Graph: MinHash (16 hashes, 4x4 bands, unigram shingles, tau=0.79)
+    over a WEDGE-INJECTED corpus — each sampled doc (>= 25 distinct
+    tokens, capping |shingle-set| in [25,31] on this vocab) gets
+    salt-extended branches of 4/6/5 unique tokens, making
+    branch<->base Jaccard >= 25/31 = .806 > tau and branch<->branch
+    <= 31/40 = .775 < tau BY CONSTRUCTION at every SF (the triangle
+    triple-injection lesson: raw bigram-shingle docs have zero edges
+    to predict over); natural unigram-level near-dups add real edges
+    on top, giving the scorer non-degenerate degrees.
+
+    Shape at 100 TB: the wedge join is bounded by sum-of-deg^2 — the
+    inherent output of 2-hop scoring (the dedup_simhash_pairs
+    output-bound caveat); production caps per-node degree before
+    wedging (drop hubs: a 10^6-degree node's wedges are noise), and
+    the top-3 cut runs per-node, never a global sort."""
+    from pyspark.sql import Window
+
+    pairs, e, deg = _lp_graph_frames(spark, sf_dir)
     wed = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.d") == F.col("e2.s"))
@@ -14367,4 +14381,232 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_funnels").cast("long").alias("n_funnels"),
         F.col("has_strict").cast("long").alias("has_strict"),
         F.col("n_error_bursts").cast("long").alias("n_error_bursts"),
+    )
+
+
+_ASSORT_ORACLE = rf"""
+    WITH {_LP_GRAPH_SQL},
+    pe AS (
+        SELECT CAST(d1.dg AS BIGINT) AS x, CAST(d2.dg AS BIGINT) AS y
+        FROM edges e
+        JOIN deg d1 ON d1.s = e.s
+        JOIN deg d2 ON d2.s = e.d
+    ),
+    suff AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pe
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           {_ACF_R} AS assortativity_micro
+    FROM suff
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the near-dup graph: the
+    Pearson correlation of (deg(u), deg(v)) over directed edge
+    endpoints — positive means hubs attach to hubs (a crawl whose
+    boilerplate pages all near-match each other), negative means
+    hub-and-spoke (one template with many one-off variants: exactly
+    the salt-branch injection here, so the measured value is
+    NEGATIVE by construction and the sign itself is a tripwire).
+    Same integer sufficient-statistics + identical-IEEE finisher as
+    acf_daily_lags (shared _ACF_R fragment); same graph, both
+    engines, as link_prediction_ra (shared _LP_GRAPH_SQL /
+    _lp_graph_frames), so the two queries cross-validate one
+    construction.
+
+    Shape at 100 TB: two broadcast-sized joins of the degree table
+    onto the edge list (degree tables are node-sized), one global
+    1-row aggregate with map-side partials. No windows, no sorts."""
+    pairs, e, deg = _lp_graph_frames(spark, sf_dir)
+    pe = (
+        e.join(deg.select(F.col("s"), F.col("dg").alias("x")), "s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("dg").alias("y")), "d"
+        )
+        .select(F.col("x").cast("long"), F.col("y").cast("long"))
+    )
+    suff = pe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return suff.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.col("sx").cast("long").alias("sum_deg"),
+        F.expr(_ACF_R).alias("assortativity_micro"),
+    )
+
+
+_MARKOV_ROUNDS = 8
+_MARKOV_SCALE = 1_000_000_000
+
+
+def _markov_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
+    parts = [
+        """tr AS MATERIALIZED (
+        SELECT v, w, COUNT(*) AS c FROM (
+            SELECT event_type AS v,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS w
+            FROM events WHERE user_id IS NOT NULL
+        ) WHERE w IS NOT NULL GROUP BY v, w
+    )""",
+        """rs AS MATERIALIZED (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS r FROM tr GROUP BY v
+    )""",
+        f"""p0 AS MATERIALIZED (
+        SELECT v AS state,
+               CAST({_MARKOV_SCALE} // (SELECT COUNT(*) FROM rs)
+                   AS BIGINT) AS pi
+        FROM rs
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+        SELECT tr.w AS state,
+               CAST(SUM((p.pi * tr.c) // rs.r) AS BIGINT) AS pi
+        FROM p{t - 1} p
+        JOIN tr ON tr.v = p.state
+        JOIN rs ON rs.v = p.state
+        GROUP BY tr.w
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT state, CAST(pi // 1000 AS BIGINT) AS pi_micro
+    FROM p{rounds}
+"""
+
+
+@query("markov_stationary_events", oracle=_markov_oracle())
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the user event-transition Markov
+    chain by POWER ITERATION — event_transition_matrix estimates the
+    chain, this query answers what it converges to: the long-run
+    share of each event type under the observed dynamics (the
+    behavioural equilibrium that detects drift when compared to the
+    raw type mix). Eight rounds of pi <- pi P in integer fixed-point
+    (pi scaled 10^9; each term floors (pi_v * c_vw) div r_v — the
+    deterministic-replication rule: both engines floor the SAME
+    per-term integers, and the per-round mass leak from flooring is
+    < |states|^2 parts per 10^9, far below the reported micro
+    precision). The pagerank persisted-frame discipline: the
+    transition matrix builds once, each round is a broadcast join
+    over a |states|-row frontier.
+
+    Shape at 100 TB: the window that extracts consecutive pairs
+    partitions by user (bounded per-user sequences), reduces to a
+    |states|^2 model-sized matrix in one hash aggregate; iterations
+    never touch the raw events again."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("v"),
+            F.lead("event_type").over(w).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rs = tr.groupBy("v").agg(F.sum("c").alias("r"))
+    mat = tr.join(rs, "v").localCheckpoint(eager=False)
+    n_states = rs.count()
+    pi = rs.select(
+        F.col("v").alias("state"),
+        F.lit(_MARKOV_SCALE // n_states).cast("long").alias("pi"),
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        pi = (
+            pi.join(F.broadcast(mat), pi["state"] == mat["v"])
+            .select(
+                F.col("w").alias("state"),
+                F.expr("(pi * c) div r").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("long").alias("pi"))
+            .localCheckpoint(eager=False)
+        )
+    return pi.select(
+        "state", F.expr("CAST(pi div 1000 AS BIGINT)").alias("pi_micro")
+    )
+
+
+_FANO_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    suff AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(y * y) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s * 1000000 // n AS BIGINT) AS mean_micro,
+           CAST((n * q - s * s) * 1000000 // (n * s) AS BIGINT)
+               AS fano_micro,
+           CAST(CASE WHEN n * q - s * s > n * s THEN 1 ELSE 0 END
+               AS BIGINT) AS overdispersed
+    FROM suff WHERE s > 0
+"""
+
+
+@query("burstiness_fano", oracle=_FANO_ORACLE)
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS via the FANO FACTOR (variance-to-mean ratio of
+    daily counts): a Poisson-like arrival process has F ~ 1;
+    F >> 1 flags bursty/clumped traffic (incident storms, bot
+    bursts), F << 1 metronomic generators — the dispersion
+    diagnostic that tells you whether anomaly thresholds should be
+    Poisson or negative-binomial shaped (anomaly_days_zscore and
+    mad_robust_outliers pick thresholds; this checks their model
+    assumption). Denominators cleared everywhere: F>1 iff
+    nQ - S^2 > nS on raw integer sums (population-variance
+    convention), ratio reported in exact floor micro.
+
+    Shape at 100 TB: one reduction to the (type, day) grain, one
+    model-sized aggregate over it. Nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    suff = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    return suff.where(F.col("s") > 0).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(s * 1000000 div n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((n * q - s * s) * 1000000 div (n * s) AS BIGINT)"
+        ).alias("fano_micro"),
+        F.expr(
+            "CAST(CASE WHEN n * q - s * s > n * s THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("overdispersed"),
     )
