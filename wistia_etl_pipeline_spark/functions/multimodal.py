@@ -183,3 +183,56 @@ def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         run, "media_id string, feature array<float>"
     )
+
+
+def pcm_window_energy(
+    df: DataFrame, *, window_samples: int = 8
+) -> DataFrame:
+    """Windowed mean-square energy over 16-bit little-endian PCM
+    payloads — the audio-feature sibling of ``decode_media_meta``:
+    input rows carry (media_id, payload binary); output rows carry one
+    (media_id, win, ms_energy) per non-overlapping sample window,
+    where ms_energy = sum(sample^2) div window (exact integers — the
+    RMS would need a sqrt; downstream thresholds compare squares).
+
+    Arrow-batched ``mapInPandas``: payload bytes -> numpy int16 ->
+    reshaped (n_win, window) -> per-window int64 reduction, vectorized
+    per batch. Trailing samples that do not fill a window are dropped
+    (documented; a production framer pads instead). This is the real
+    100 TB plumbing — binary column in, typed feature rows out, no
+    driver involvement; only a real codec (for compressed audio) is
+    env-blocked, PCM needs none.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, wins, energies = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                s = np.frombuffer(bytes(payload), dtype="<i2")
+                n_win = len(s) // window_samples
+                if n_win == 0:
+                    continue
+                m = (
+                    s[: n_win * window_samples]
+                    .astype(np.int64)
+                    .reshape(n_win, window_samples)
+                )
+                e = (m * m).sum(axis=1) // window_samples
+                ids.extend([mid] * n_win)
+                wins.extend(range(n_win))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "win": pd.Series(wins, dtype="int64"),
+                    "ms_energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, "media_id string, win long, ms_energy long"
+    )

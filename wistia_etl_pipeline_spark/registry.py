@@ -14610,3 +14610,230 @@ def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("overdispersed"),
     )
+
+
+_PCM_BLOCKS = 4  # md5 blocks per doc -> 16 bytes -> 8 int16 samples each
+
+_PCM_ORACLE = f"""
+    WITH h AS (
+        SELECT doc_id, w, md5('pcm_' || doc_id || '_' || w) AS hx
+        FROM documents, range(0, {_PCM_BLOCKS}) t(w)
+    ),
+    vals AS (
+        SELECT doc_id, w,
+               [(('0x' || substr(hx, i*4+1, 2))::BIGINT
+                 + 256 * (('0x' || substr(hx, i*4+3, 2))::BIGINT)
+                 + CASE WHEN ('0x' || substr(hx, i*4+3, 2))::BIGINT >= 128
+                        THEN -65536 ELSE 0 END)
+                for i in range(0, 8)] AS s
+        FROM h
+    )
+    SELECT 'd' || doc_id AS media_id, CAST(w AS BIGINT) AS win,
+           CAST(list_sum([v * v for v in s]) // 8 AS BIGINT) AS ms_energy
+    FROM vals
+"""
+
+
+@query("multimodal_audio_rms", oracle=_PCM_ORACLE)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FEATURE EXTRACTION over binary PCM columns: synthesize a
+    64-byte deterministic 16-bit LE PCM payload per document (md5
+    keystream — the decode_stats synth idiom), then compute windowed
+    MEAN-SQUARE ENERGY (8-sample windows) with the Arrow-batched
+    numpy kernel ``multimodal.pcm_window_energy`` — binary in, typed
+    feature rows out, the envelope/silence-detection primitive of an
+    audio curation pipeline. Squares, not RMS: staying pre-sqrt keeps
+    every value an exact integer (thresholds compare squares equally
+    well). The oracle re-derives the identical samples arithmetically
+    (hex pairs -> signed int16) and the hash pins byte order,
+    sign handling, window framing, and the integer reduction — the
+    full decode path, not just row counts.
+
+    Shape at 100 TB: one mapInPandas over the media frame (payload
+    bytes never leave the executor), output fans out x n_windows;
+    features land grouped by media_id for downstream joins. Only a
+    compressed-audio codec would need the env-blocked library slot
+    (functions/multimodal.py:75); raw PCM framing needs none."""
+    import hashlib
+
+    import pandas as pd
+
+    from .functions.multimodal import pcm_window_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                blob = b"".join(
+                    hashlib.md5(f"pcm_{d}_{w}".encode()).digest()
+                    for w in range(_PCM_BLOCKS)
+                )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].map(lambda d: f"d{d}"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id string, payload binary"
+    )
+    return pcm_window_energy(media, window_samples=8)
+
+
+import math as _math
+
+_BENFORD_MICRO = {
+    d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000))
+    for d in range(1, 10)
+}
+
+_BENFORD_CASE_SQL = " ".join(
+    f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+)
+
+_BENFORD_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM c GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT o.d AS first_digit,
+           CAST(o.n AS BIGINT) AS n_obs,
+           CAST(o.n * 1000000 // t.total AS BIGINT) AS obs_micro,
+           CAST(CASE o.d {_BENFORD_CASE_SQL} END AS BIGINT) AS benford_micro,
+           CAST(abs(o.n * 1000000 // t.total
+                - CASE o.d {_BENFORD_CASE_SQL} END) AS BIGINT) AS dev_micro
+    FROM obs o, tot t
+"""
+
+
+@query("benford_price_audit", oracle=_BENFORD_ORACLE)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW first-digit audit on line-item prices — the
+    classic fabricated-data detector (real multiplicative quantities
+    put ~30.1% of first digits at 1; uniform or hand-typed numbers
+    don't): observed first-digit shares vs the log10(1+1/d)
+    expectation, both in exact micro units. The first digit comes
+    from the DECIMAL STRING of integer cents — a floor(log10) would
+    lean on libm rounding at power-of-ten boundaries (log10 is not
+    correctly-rounded; the one IEEE trap the identical-expression
+    rule does not cover), while string truncation is exact on both
+    engines. The Benford expectations are module-time Python literals
+    shared by both sides. (This synthetic price column is ~uniform,
+    so deviations are LARGE — the audit firing on non-Benford data is
+    the correct answer, and dev_micro riding the hash proves the
+    comparison, the data_quality_suite philosophy.)
+
+    Shape at 100 TB: one 9-group hash aggregate over a scan-local
+    string op; the total joins back as a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 0
+    )
+    obs = (
+        li.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(l_extendedprice * 100)"
+                " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    case = f"CASE d {_BENFORD_CASE_SQL} END"
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("obs_micro"),
+        F.expr(f"CAST({case} AS BIGINT)").alias("benford_micro"),
+        F.expr(
+            f"CAST(abs(n * 1000000 div total - {case}) AS BIGINT)"
+        ).alias("dev_micro"),
+    )
+
+
+_HELL_ORACLE = rf"""
+    WITH tok AS (
+        SELECT source, tok FROM documents, unnest({_TOKS}) AS u(tok)
+        WHERE length(trim(text)) > 0
+    ),
+    cnt AS (
+        SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    ),
+    ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source
+    ),
+    g AS (SELECT tok, COUNT(*) AS cg FROM tok GROUP BY tok),
+    ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    terms AS (
+        SELECT c.source,
+               CAST(floor(1000000.0 * sqrt(
+                   (CAST(c.c AS DOUBLE) / CAST(ns.n AS DOUBLE))
+                   * (CAST(g.cg AS DOUBLE) / CAST(ng.n AS DOUBLE))
+               )) AS BIGINT) AS t
+        FROM cnt c
+        JOIN ns ON ns.source = c.source
+        JOIN g ON g.tok = c.tok, ng
+    )
+    SELECT source,
+           CAST(SUM(t) AS BIGINT) AS bc_micro,
+           CAST(1000000 - SUM(t) AS BIGINT) AS hellinger2_micro
+    FROM terms GROUP BY source
+"""
+
+
+@query("hellinger_source_divergence", oracle=_HELL_ORACLE)
+def hellinger_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELLINGER AFFINITY of each source's token distribution against
+    the global corpus — the geometric-mean divergence that completes
+    the drift triptych: source_tv_divergence measures worst-case mass
+    displacement (L1), vocab_rank_drift measures order changes, the
+    Bhattacharyya coefficient BC = sum sqrt(p_i q_i) here measures
+    overlap sensitive to the TAILS (a source missing tokens entirely
+    is punished multiplicatively, which TV barely notices). H^2 =
+    1 - BC in micro. The sqrt is per-term on exactly-counted integer
+    ratios (identical IEEE expression, no double sums: each floored
+    micro term is an integer BEFORE the sum — the acf_daily_lags
+    discipline; the <= |vocab| micro flooring slack is identical on
+    both engines, not approximately so).
+
+    Shape at 100 TB: two hash aggregates ((source, token) and token
+    marginals), one broadcast of the vocabulary-sized global table
+    back onto the (source, token) grain. All model-sized after the
+    first reduce."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ns = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    g = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cg"))
+    ng = tok.agg(F.count(F.lit(1)).alias("ngt"))
+    terms = (
+        cnt.join(ns, "source")
+        .join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.expr(
+                "CAST(floor(1000000.0 * sqrt("
+                "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * (CAST(cg AS DOUBLE) / CAST(ngt AS DOUBLE))"
+                ")) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t").cast("long").alias("bc_micro"),
+        (F.lit(1000000) - F.sum("t")).cast("long").alias("hellinger2_micro"),
+    )
