@@ -28,6 +28,14 @@ Conventions:
 - Determinism rule #10 (r3): window ORDER BY defaults diverge — Spark
   ASC is NULLS FIRST, DuckDB ASC is NULLS LAST. Oracles spell
   ``NULLS FIRST`` explicitly wherever an order column could be NULL.
+- Determinism rule #11 (r5): timestamp arithmetic must truncate to the
+  SAME grain on both engines before any difference/frame/bucket math.
+  DuckDB ``epoch(ts)`` keeps fractional seconds and
+  ``date_diff('minute', ...)`` counts boundary crossings; Spark
+  ``CAST(ts AS LONG)`` truncates to whole seconds. Mixing them can
+  agree on one SF's data and diverge on the next (observed live on
+  time_to_convert_quantiles); use floor(epoch())-based whole seconds
+  on both sides.
 
 Domain mapping (FIXTURES.md §3): ``events`` stands in for the Wistia
 event stream (event_type ↔ media discriminator, user_id ↔ visitor_key,
@@ -14836,4 +14844,165 @@ def hellinger_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.sum("t").cast("long").alias("bc_micro"),
         (F.lit(1000000) - F.sum("t")).cast("long").alias("hellinger2_micro"),
+    )
+
+
+_RATE_ORACLE = """
+    WITH w AS (
+        SELECT user_id,
+               COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN CURRENT ROW AND 3599 FOLLOWING
+               ) AS c
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(MAX(c) AS BIGINT) AS max_in_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CASE WHEN MAX(c) >= 3 THEN 1 ELSE 0 END AS BIGINT)
+               AS flagged
+    FROM w GROUP BY user_id
+"""
+
+
+@query("rate_limit_audit", oracle=_RATE_ORACLE)
+def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW RATE-LIMIT AUDIT: each user's maximum event
+    count inside ANY 3600-second window — the abuse/bot screen that
+    tumbling hourly buckets get wrong (a burst straddling the bucket
+    boundary halves; hopping windows quantize). The forward RANGE
+    frame (CURRENT ROW to +3599 FOLLOWING on epoch seconds) anchors
+    a window at every event, which is sufficient: the max over
+    arbitrary windows is attained at a window starting ON an event.
+    RANGE (value-based, tie-inclusive — equal-timestamp peers count
+    regardless of row order) rather than ROWS, so the frame is
+    deterministic without a total order; threshold 3 fires on 31
+    event-windows at sf0.01 (measured, the fire-the-rule check).
+    Determinism note: the order column is WHOLE epoch seconds on both
+    engines — DuckDB's epoch() keeps fractional seconds while Spark's
+    CAST(ts AS LONG) truncates, and a RANGE frame over mismatched
+    order values silently shifts membership at sub-second boundaries
+    (found live on time_to_convert_quantiles; rule #11 material).
+
+    Shape at 100 TB: the window partitions by user over epoch-sorted
+    per-user sequences (bounded partitions), one pass, then a
+    user-grain hash aggregate. The only per-user state an engine
+    needs is the 1-hour frame — O(rate x window), the
+    streaming_dedup_ingest state argument in batch form."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(0, 3599)
+    )
+    counted = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("c")
+    )
+    return counted.groupBy("user_id").agg(
+        F.max("c").cast("long").alias("max_in_hour"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN MAX(c) >= 3 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("flagged"),
+    )
+
+
+_TTC_ORACLE = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    d AS (
+        SELECT (CAST(floor(epoch(p.t)) AS BIGINT)
+                - CAST(floor(epoch(v.t)) AS BIGINT)) // 60 AS m
+        FROM v JOIN p USING (user_id) WHERE p.t >= v.t
+    ),
+    r AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS rn,
+               COUNT(*) OVER () AS n
+        FROM d
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converting,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN m END) AS BIGINT)
+               AS median_minutes,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN m END) AS BIGINT)
+               AS p90_minutes
+    FROM r
+"""
+
+
+@query("time_to_convert_quantiles", oracle=_TTC_ORACLE)
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT quantiles (first view -> first purchase, per
+    user) by DOMAIN-CENSUS SELECTION: the funnel queries count WHO
+    converts; this measures HOW LONG conversion takes — the latency
+    distribution product teams actually watch. The exact median and
+    p90 come from a census of the MINUTES domain (bounded by the
+    observation horizon, ~1.4e4 distinct values here, never more
+    than horizon-minutes at any SF) + a driver-side rank walk — the
+    exact_median_two_pass selection idea, single-level because the
+    domain is already model-sized; no global sort, no
+    single-partition window anywhere in the engine plan. Rank
+    conventions: lower median (n+1) div 2, p90 at ceil(9n/10) —
+    the engine-pinned value-at-rank family. The oracle uses the
+    naive global ROW_NUMBER selection, so the hash proves the
+    census selection exact.
+
+    Shape at 100 TB: two filtered min-aggregates to user grain, one
+    equi join, one census aggregate over the bounded minutes domain,
+    one bounded collect. The horizon bounds the census even when
+    users are billions. Minutes are (whole-second epoch diff) div 60
+    on BOTH engines — determinism rule #11 was found here: the
+    date_diff('minute') form agreed by luck at sf0.01 and the
+    fractional-epoch form diverged."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+
+    def first_ts(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v, p = first_ts("view"), first_ts("purchase")
+    d = (
+        v.join(p.select("user_id", F.col("t").alias("pt")), "user_id")
+        .where(F.col("pt") >= F.col("t"))
+        .select(
+            F.expr(
+                "CAST((CAST(pt AS LONG) - CAST(t AS LONG)) div 60 AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    census = sorted(
+        (r["m"], r["cnt"])
+        for r in d.groupBy("m").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in census)
+    targets = {"median_minutes": (n + 1) // 2, "p90_minutes": (9 * n + 9) // 10}
+    out = {}
+    for name, rank in targets.items():
+        cum = 0
+        for m, c in census:
+            cum += c
+            if cum >= rank:
+                out[name] = m
+                break
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_converting"),
+        F.lit(out.get("median_minutes")).cast("long").alias("median_minutes"),
+        F.lit(out.get("p90_minutes")).cast("long").alias("p90_minutes"),
     )
