@@ -15006,3 +15006,226 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(out.get("median_minutes")).cast("long").alias("median_minutes"),
         F.lit(out.get("p90_minutes")).cast("long").alias("p90_minutes"),
     )
+
+
+_ABC_BUCKET = 1 << 20  # ~$10k revenue bands for the pass-1 census
+
+_ABC_ORACLE = """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+    vals AS (
+        SELECT r, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS mass
+        FROM rev GROUP BY r
+    ),
+    cum AS (
+        SELECT r, n,
+               CAST(SUM(mass) OVER (ORDER BY r DESC) AS BIGINT) AS cum_incl
+        FROM vals
+    ),
+    th AS (
+        SELECT (SELECT MAX(r) FROM cum, tot WHERE 5 * cum_incl >= 4 * t)
+                   AS t80,
+               (SELECT MAX(r) FROM cum, tot WHERE 20 * cum_incl >= 19 * t)
+                   AS t95
+    ),
+    cls AS (
+        SELECT CASE WHEN rev.r >= th.t80 THEN 'A'
+                    WHEN rev.r >= th.t95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               rev.r
+        FROM rev, th
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS revenue_cents,
+           CAST(SUM(r) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+               AS share_micro
+    FROM cls GROUP BY abc_class
+"""
+
+
+@query("abc_revenue_classification", oracle=_ABC_ORACLE)
+def abc_revenue_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO CLASSIFICATION of parts by revenue (A = parts
+    covering the top 80% of revenue, B = next 15%, C = tail) WITHOUT
+    the global revenue sort every textbook cumulative-share window
+    implies: the thresholds are WEIGHTED QUANTILES of the revenue
+    distribution, found by the two-pass census selection
+    (exact_median_two_pass, weighted): pass 1 histograms part
+    revenues into value-domain-bounded bands and finds the band where
+    the descending revenue mass crosses 80%/95% (integer 5·cum >= 4·T
+    comparisons — no fractions), pass 2 censuses distinct revenues in
+    the crossing bands only. Class boundaries are VALUE thresholds
+    (ties share a class), so classification is deterministic with no
+    per-row rank. Oracle computes the same crossing values from a
+    full cumulative window over the distinct-value grain — the hash
+    proves census selection == window cumulation.
+
+    Shape at 100 TB: part-grain reduce, two bounded censuses, then a
+    scan-local CASE against two broadcast literals. The oracle's
+    ORDER BY r DESC window is exactly the plan this query exists to
+    avoid (single partition over the part grain — the RFM global-
+    ntile caveat, solved the same way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("r")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = (
+        rev.groupBy(F.expr(f"r div {_ABC_BUCKET}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("mass"))
+        .collect()
+    )
+    bands = sorted(((x["b"], x["mass"]) for x in bands), reverse=True)
+    total = sum(m for _, m in bands)
+
+    def crossing_value(num: int, den: int) -> int:
+        # find the band where cum*den >= num*total crosses, then the
+        # exact distinct revenue value inside that band
+        cum = 0
+        for b, mass in bands:
+            if (cum + mass) * den >= num * total:
+                inner = (
+                    rev.where(F.expr(f"r div {_ABC_BUCKET}") == b)
+                    .groupBy("r")
+                    .agg(F.sum("r").alias("mass"))
+                    .collect()
+                )
+                for rv, m in sorted(
+                    ((x["r"], x["mass"]) for x in inner), reverse=True
+                ):
+                    cum += m
+                    if cum * den >= num * total:
+                        return rv
+            cum += mass
+        return 0
+
+    t80 = crossing_value(4, 5)
+    t95 = crossing_value(19, 20)
+    cls = rev.select(
+        F.expr(
+            f"CASE WHEN r >= {t80} THEN 'A'"
+            f" WHEN r >= {t95} THEN 'B' ELSE 'C' END"
+        ).alias("abc_class"),
+        "r",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("r").cast("long").alias("revenue_cents"),
+        F.expr(
+            f"CAST(SUM(r) * 1000000 div {total} AS BIGINT)"
+        ).alias("share_micro"),
+    )
+
+
+_CHURN_ORACLE = """
+    WITH span AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ),
+    fact AS (
+        SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+               CASE WHEN 2 * date_diff('day', span.d0, o.o_orderdate)
+                    < date_diff('day', span.d0, span.d1) + 1
+                    THEN 0 ELSE 1 END AS period
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey, span
+    ),
+    e AS (SELECT DISTINCT sn, cn, period FROM fact),
+    p0 AS (SELECT sn, cn FROM e WHERE period = 0),
+    p1 AS (SELECT sn, cn FROM e WHERE period = 1),
+    j AS (
+        SELECT COALESCE(p0.sn, p1.sn) AS sn,
+               CASE WHEN p0.sn IS NULL THEN 'new'
+                    WHEN p1.sn IS NULL THEN 'lost'
+                    ELSE 'retained' END AS fate
+        FROM p0 FULL OUTER JOIN p1
+          ON p1.sn = p0.sn AND p1.cn = p0.cn
+    )
+    SELECT sn AS supplier_nation,
+           CAST(SUM(CASE WHEN fate = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN fate = 'lost' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lost,
+           CAST(SUM(CASE WHEN fate = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained
+    FROM j GROUP BY sn
+"""
+
+
+@query("trade_edge_churn", oracle=_CHURN_ORACLE)
+def trade_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL GRAPH DIFF: which supplier-nation -> customer-nation
+    trade edges are NEW, LOST, or RETAINED between the first and
+    second half of the observation window — the relationship-churn
+    report (same diff algebra as txlog_snapshot_diff, applied to a
+    graph's edge set instead of a table's rows). The period split is
+    derived from the data's own [min,max] date span with pure integer
+    day arithmetic (identical on both engines — the rule-#11 grain
+    discipline: whole days via date_diff on DATE values), so the
+    query is SF-portable with no hardcoded calendar.
+
+    Shape at 100 TB: fact join reduces to DISTINCT (sn, cn, period)
+    — a |V|^2-bounded edge set — then one full-outer join of the two
+    period slices and a nation-grain rollup. The span aggregate is a
+    1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    span = od.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    e = (
+        li.join(od, od["o_orderkey"] == li["l_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .join(su, su["s_suppkey"] == li["l_suppkey"])
+        .crossJoin(F.broadcast(span))
+        .select(
+            F.col("s_nationkey").alias("sn"),
+            F.col("c_nationkey").alias("cn"),
+            F.expr(
+                "CASE WHEN 2 * datediff(o_orderdate, d0)"
+                " < datediff(d1, d0) + 1 THEN 0 ELSE 1 END"
+            ).alias("period"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    p0 = e.where(F.col("period") == 0).select("sn", "cn")
+    p1 = e.where(F.col("period") == 1).select(
+        F.col("sn").alias("sn1"), F.col("cn").alias("cn1")
+    )
+    j = p0.join(
+        p1,
+        (F.col("sn1") == F.col("sn")) & (F.col("cn1") == F.col("cn")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("sn"), F.col("sn1")).alias("supplier_nation"),
+        F.expr(
+            "CASE WHEN sn IS NULL THEN 'new'"
+            " WHEN sn1 IS NULL THEN 'lost' ELSE 'retained' END"
+        ).alias("fate"),
+    )
+    return j.groupBy("supplier_nation").agg(
+        F.sum(F.expr("CASE WHEN fate = 'new' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.expr("CASE WHEN fate = 'lost' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_lost"),
+        F.sum(F.expr("CASE WHEN fate = 'retained' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_retained"),
+    )
