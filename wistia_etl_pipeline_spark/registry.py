@@ -15398,3 +15398,187 @@ def order_fulfillment_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("is_lineless"),
     )
+
+
+_TRIM_ORACLE = """
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_values,
+           CAST(MAX(n) // 10 AS BIGINT) AS k_trimmed,
+           CAST(SUM(cents) // MAX(n) AS BIGINT) AS mean_cents,
+           CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                    THEN cents ELSE 0 END)
+                // (MAX(n) - 2 * (MAX(n) // 10)) AS BIGINT)
+               AS trimmed_mean_cents
+    FROM r GROUP BY event_type
+"""
+
+
+@query("trimmed_mean_census", oracle=_TRIM_ORACLE)
+def trimmed_mean_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% TRIMMED MEAN per group WITHOUT per-group rank windows: the
+    robust location estimate between the mean (0% trim,
+    outlier-fragile) and the median (50% trim, information-discarding)
+    — computed from a VALUE-DOMAIN CENSUS: per (type, cents) counts
+    collapse the data-sized rank problem to a domain-bounded walk
+    (value is bounded [0,100] -> <= 10^4 distinct cents at ANY SF);
+    the bottom-k / top-k mass is summed by walking the census with
+    PARTIAL boundary values ((k - cum_before) rows of the crossing
+    value — the subtlety a naive 'drop values below the 10th
+    percentile' gets wrong when ties straddle the cut). Tie-
+    invariance makes the trimmed SUM deterministic even though which
+    tied ROWS are dropped is not. The oracle trims by per-type
+    ROW_NUMBER — the data-sized-window plan this query exists to
+    avoid (RFM caveat) — so the hash is a census == rank-window
+    equivalence proof.
+
+    Shape at 100 TB: one (type x cents) hash aggregate, one bounded
+    collect, pure driver arithmetic on model-sized state."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    census = (
+        ev.groupBy(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in census:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["cents"], r["cnt"])
+        )
+    rows = []
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = sum(c for _, c in vals)
+        total = sum(v * c for v, c in vals)
+        k = n // 10
+
+        def tail_sum(seq: list[tuple[int, int]], kk: int) -> int:
+            acc = cum = 0
+            for v, c in seq:
+                take = min(c, kk - cum)
+                if take <= 0:
+                    break
+                acc += v * take
+                cum += take
+            return acc
+
+        bottom = tail_sum(vals, k)
+        top = tail_sum(vals[::-1], k)
+        rows.append(
+            (
+                etype,
+                n,
+                k,
+                total // n,
+                (total - bottom - top) // (n - 2 * k),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_values long, k_trimmed long,"
+        " mean_cents long, trimmed_mean_cents long",
+    )
+
+
+_BS_REPS = 16
+
+_BS_ORACLE = f"""
+    WITH reps AS (SELECT unnest(range(0, {_BS_REPS})) AS r),
+    c AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    sub AS (
+        SELECT c.event_type, reps.r, c.cents
+        FROM c, reps
+        WHERE ('0x' || substr(md5(c.event_id || ':bs' || reps.r), 1, 15)
+              )::BIGINT % 2 = 0
+    ),
+    rm AS (
+        SELECT event_type, r,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS m
+        FROM sub GROUP BY event_type, r
+    ),
+    allm AS (
+        SELECT event_type,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+        FROM c GROUP BY event_type
+    )
+    SELECT a.event_type, a.mean_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(MIN(rm.m) AS BIGINT) AS replica_min,
+           CAST(MAX(rm.m) AS BIGINT) AS replica_max,
+           CAST(MAX(rm.m) - MIN(rm.m) AS BIGINT) AS spread_cents
+    FROM allm a JOIN rm ON rm.event_type = a.event_type
+    GROUP BY a.event_type, a.mean_cents
+"""
+
+
+@query("bootstrap_ci_hash", oracle=_BS_ORACLE)
+def bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLING BOOTSTRAP with DETERMINISTIC hash draws: 16
+    half-sample replicas per group (row in replica r iff
+    md5(event_id:r) is even — the dataset_split draw, so replicas
+    are reproducible across engines, partitionings, and reruns,
+    which rand()-based bootstraps can never differentially verify),
+    replica means spread into a min/max envelope — the uncertainty
+    attachment for every point estimate this registry reports, and
+    the systematic_sample_estimate philosophy applied to VARIANCE
+    instead of bias: the spread itself rides the hash, so a skewed
+    hash draw or a replica leak fails the gate.
+
+    Shape at 100 TB: the replica fan-out is a 16-row broadcast cross
+    join evaluated scan-side (predicate on a hash of stored columns
+    — each replica is a filtered partial aggregate with map-side
+    combine, never a materialized copy); group x replica state is
+    model-sized."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = spark.range(_BS_REPS).select(F.col("id").cast("int").alias("r"))
+    sub = c.crossJoin(F.broadcast(reps)).where(
+        F.expr(
+            "conv(substring(md5(concat(CAST(event_id AS STRING), ':bs',"
+            " CAST(r AS STRING))), 1, 15), 16, 10) % 2 = 0"
+        )
+    )
+    rm = sub.groupBy("event_type", "r").agg(
+        F.expr("CAST(SUM(cents) div COUNT(1) AS BIGINT)").alias("m")
+    )
+    allm = c.groupBy("event_type").agg(
+        F.expr("CAST(SUM(cents) div COUNT(1) AS BIGINT)").alias(
+            "mean_cents"
+        )
+    )
+    return (
+        allm.join(rm, "event_type")
+        .groupBy("event_type", "mean_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicas"),
+            F.min("m").cast("long").alias("replica_min"),
+            F.max("m").cast("long").alias("replica_max"),
+            (F.max("m") - F.min("m")).cast("long").alias("spread_cents"),
+        )
+    )
