@@ -83,6 +83,17 @@ QUERIES = [
     "interval_union_coverage",
     "bfs_customer_supplier_reach",
     "histogram_quantile_estimate",
+    # r5 third-continuation heavy families
+    "duplicate_span_removal",
+    "link_prediction_ra",
+    "heavy_hitters_mg",
+    "multimodal_audio_rms",
+    "event_pattern_match",
+    "rate_limit_audit",
+    "markov_stationary_events",
+    "order_fulfillment_snapshot",
+    "abc_revenue_classification",
+    "sketch_join_size_cms",
 ]
 N_RUNS = 3
 

@@ -13872,24 +13872,45 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LP_MIN_DISTINCT = 25
-_LP_THRESHOLD = 0.79
+_LP_MIN_BIGRAMS = 32
+_LP_THRESHOLD = 0.82
 
-_LP_CORPUS_SQL = f"""
-        SELECT doc_id, text FROM documents
-        WHERE doc_id % 5 = 0 AND length(trim(text)) > 0
-          AND len(list_distinct(regexp_split_to_array({_NORM}, '\\s+')))
-              >= {_LP_MIN_DISTINCT}
+#: Base docs for the wedge graph, with their distinct-BIGRAM count nb.
+#: Bigram shingles, not unigram: the 31-token vocabulary saturates
+#: unigram shingle sets, making every doc a near-dup of every other —
+#: the resulting graph is quadratic-DENSE and the wedge join filled
+#: the disk at sf0.5 (measured, scale harness). Bigram sets (961-slot
+#: space, ~n distinct per doc) have ZERO natural cross-doc edges at
+#: this threshold (probed), so the graph is exactly the injected
+#: stars + rare true near-dups: wedge output is LINEAR in docs.
+_LP_BASE_SQL = rf"""
+    SELECT doc_id, text, nb FROM (
+        SELECT doc_id, text,
+               len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                  for i in range(1, len(t))])) AS nb
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array({_NORM}, '\s+') AS t
+              FROM documents
+              WHERE doc_id % 5 = 0 AND length(trim(text)) > 0)
+    ) WHERE nb >= {_LP_MIN_BIGRAMS}
 """
 
+_LP_CORPUS_SQL = f"SELECT doc_id, text FROM ({_LP_BASE_SQL})"
 
-def _lp_branch_sql(shift: int, prefix: str, m: int, parity: str = "") -> str:
+
+def _lp_branch_sql(shift: int, prefix: str, j: int, parity: str = "") -> str:
+    # salt count m = nb//8 + j scales with the doc so the Jaccard
+    # bounds hold at every doc length >= the nb filter:
+    #   J(branch, base) = nb/(nb+m)    >= 32/38  = .842 > tau
+    #   J(branch_i, branch_j) = nb/(nb+m_i+m_j) <= 39/48 = .8125 < tau
+    # (worst cases over nb >= 32; exact Jaccard is identical on both
+    # engines, so the margins are data-constants, not luck).
     return f"""
         SELECT doc_id + {shift} AS doc_id,
                text || ' ' || array_to_string(
                    [('{prefix}_' || doc_id || '_' || i)
-                    for i in range(1, {m + 1})], ' ') AS text
-        FROM ({_LP_CORPUS_SQL}){parity}
+                    for i in range(1, nb // 8 + {j} + 1)], ' ') AS text
+        FROM ({_LP_BASE_SQL}){parity}
 """
 
 
@@ -13898,14 +13919,16 @@ def _lp_branch_sql(shift: int, prefix: str, m: int, parity: str = "") -> str:
 #: and graph_assortativity so both verify the SAME graph.
 _LP_GRAPH_SQL = rf"""corpus AS (
         {_LP_CORPUS_SQL}
-        UNION ALL {_lp_branch_sql(_DUP_SHIFT, 'lpa', 4)}
-        UNION ALL {_lp_branch_sql(2 * _DUP_SHIFT, 'lpc', 6)}
-        UNION ALL {_lp_branch_sql(3 * _DUP_SHIFT, 'lpd', 5, ' WHERE doc_id % 2 = 0')}
+        UNION ALL {_lp_branch_sql(_DUP_SHIFT, 'lpa', 0)}
+        UNION ALL {_lp_branch_sql(2 * _DUP_SHIFT, 'lpc', 1)}
+        UNION ALL {_lp_branch_sql(3 * _DUP_SHIFT, 'lpd', 2, ' WHERE doc_id % 2 = 0')}
     ),
     base AS (
         SELECT doc_id,
-               list_distinct(regexp_split_to_array({_NORM}, '\s+')) AS sh
-        FROM corpus
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+              FROM corpus)
     ),
     sigs AS (
         SELECT doc_id, sh,
@@ -13964,45 +13987,54 @@ def _lp_graph_frames(spark: SparkSession, sf_dir: str):
     """The wedge-injected minhash graph as (pairs, directed edges,
     degrees) — the Spark twin of _LP_GRAPH_SQL, shared by
     link_prediction_ra and graph_assortativity."""
-    from .functions.dedupe import minhash_near_dup_pairs
-    from .functions.text import normalize_text, tokens
+    from .functions.dedupe import minhash_near_dup_pairs, shingles
+    from .functions.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.where(
-        (F.col("doc_id") % 5 == 0)
-        & (F.length(F.trim(F.col("text"))) > 0)
-        & (
-            F.size(F.array_distinct(tokens(normalize_text(F.col("text")))))
-            >= _LP_MIN_DISTINCT
+    base = (
+        docs.where(
+            (F.col("doc_id") % 5 == 0)
+            & (F.length(F.trim(F.col("text"))) > 0)
         )
-    ).select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            F.size(
+                F.array_distinct(
+                    shingles(normalize_text(F.col("text")), k=2)
+                )
+            ).alias("nb"),
+        )
+        .where(F.col("nb") >= _LP_MIN_BIGRAMS)
+    )
 
-    def branch(df: DataFrame, shift: int, prefix: str, m: int) -> DataFrame:
+    def branch(df: DataFrame, shift: int, prefix: str, j: int) -> DataFrame:
         return df.select(
             (F.col("doc_id") + shift).alias("doc_id"),
             F.expr(
                 f"concat(text, ' ', concat_ws(' ',"
-                f" transform(sequence(1, {m}),"
+                f" transform(sequence(1, nb div 8 + {j}),"
                 f" i -> concat('{prefix}_', doc_id, '_', i))))"
             ).alias("text"),
         )
 
+    sel = base.select("doc_id", "text")
     corpus = (
-        base.unionByName(branch(base, _DUP_SHIFT, "lpa", 4))
-        .unionByName(branch(base, 2 * _DUP_SHIFT, "lpc", 6))
+        sel.unionByName(branch(base, _DUP_SHIFT, "lpa", 0))
+        .unionByName(branch(base, 2 * _DUP_SHIFT, "lpc", 1))
         .unionByName(
             branch(
                 base.where(F.col("doc_id") % 2 == 0),
                 3 * _DUP_SHIFT,
                 "lpd",
-                5,
+                2,
             )
         )
     )
     pairs = (
         minhash_near_dup_pairs(
             corpus, "doc_id", "text",
-            num_hashes=16, bands=4, shingle_k=1,
+            num_hashes=16, bands=4, shingle_k=2,
             jaccard_threshold=_LP_THRESHOLD,
         )
         .select("a_id", "b_id")
@@ -14029,21 +14061,26 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive. Rank ties (score DESC, b ASC) — the deterministic
     top-k rule.
 
-    Graph: MinHash (16 hashes, 4x4 bands, unigram shingles, tau=0.79)
-    over a WEDGE-INJECTED corpus — each sampled doc (>= 25 distinct
-    tokens, capping |shingle-set| in [25,31] on this vocab) gets
-    salt-extended branches of 4/6/5 unique tokens, making
-    branch<->base Jaccard >= 25/31 = .806 > tau and branch<->branch
-    <= 31/40 = .775 < tau BY CONSTRUCTION at every SF (the triangle
-    triple-injection lesson: raw bigram-shingle docs have zero edges
-    to predict over); natural unigram-level near-dups add real edges
-    on top, giving the scorer non-degenerate degrees.
+    Graph: MinHash (16 hashes, 4x4 bands, BIGRAM shingles, tau=0.82)
+    over a WEDGE-INJECTED corpus — each sampled doc (>= 32 distinct
+    bigrams) gets salt-extended branches of nb//8 + j unique tokens,
+    making branch<->base Jaccard >= .842 > tau and branch<->branch
+    <= .8125 < tau BY CONSTRUCTION at every doc length (bounds
+    worked out at _lp_branch_sql; exact Jaccard is engine-identical,
+    so the margins are data constants). The first draft used UNIGRAM
+    shingles "for richer natural edges" — on this 31-token vocabulary
+    unigram shingle sets saturate, every doc near-dups every other,
+    and the wedge join went quadratic-dense: at sf0.5 its shuffle
+    spill FILLED THE DISK (scale harness, measured). Bigram sets
+    don't saturate (961 slots, ~n distinct per doc, zero natural
+    cross-doc edges at tau — probed), so the graph is the injected
+    stars + genuine near-dups and wedge output is LINEAR in docs.
 
-    Shape at 100 TB: the wedge join is bounded by sum-of-deg^2 — the
-    inherent output of 2-hop scoring (the dedup_simhash_pairs
-    output-bound caveat); production caps per-node degree before
-    wedging (drop hubs: a 10^6-degree node's wedges are noise), and
-    the top-3 cut runs per-node, never a global sort."""
+    Shape at 100 TB: the wedge join is bounded by sum-of-deg^2 —
+    linear here because degrees are construction-bounded; on organic
+    graphs production caps per-node degree before wedging (drop
+    hubs: a 10^6-degree node's wedges are noise), and the top-3 cut
+    runs per-node, never a global sort."""
     from pyspark.sql import Window
 
     pairs, e, deg = _lp_graph_frames(spark, sf_dir)
@@ -15580,5 +15617,372 @@ def bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("m").cast("long").alias("replica_min"),
             F.max("m").cast("long").alias("replica_max"),
             (F.max("m") - F.min("m")).cast("long").alias("spread_cents"),
+        )
+    )
+
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, dt, y,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY dt
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) - 7 AS tl
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        )
+    ),
+    st AS (
+        SELECT event_type, 1 AS i, CAST(y AS BIGINT) AS l,
+               CAST(0 AS BIGINT) AS b, tl
+        FROM daily WHERE rn = 1 AND tl >= 2
+        UNION ALL
+        SELECT st.event_type, st.i + 1,
+               (d.y + st.l + st.b) >> 1,
+               (((d.y + st.l + st.b) >> 1) - st.l + st.b) >> 1,
+               st.tl
+        FROM st JOIN daily d
+          ON d.event_type = st.event_type AND d.rn = st.i + 1
+        WHERE st.i + 1 <= st.tl
+    ),
+    fin AS (SELECT event_type, l, b, tl FROM st WHERE i = tl),
+    f AS (
+        SELECT fin.event_type, CAST(h AS BIGINT) AS h,
+               CAST(fin.l + h * fin.b AS BIGINT) AS forecast,
+               fin.tl
+        FROM fin, unnest(range(1, 8)) t(h)
+    )
+    SELECT f.event_type, f.h, f.forecast,
+           CAST(d.y AS BIGINT) AS actual,
+           CAST(abs(f.forecast - d.y) AS BIGINT) AS abs_err
+    FROM f JOIN daily d
+      ON d.event_type = f.event_type AND d.rn = f.tl + f.h
+"""
+
+
+@query("holt_linear_backtest", oracle=_HOLT_ORACLE)
+def holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR (double exponential) smoothing backtest — the
+    TREND-aware upgrade of the seasonal-naive baseline
+    (seasonal_forecast_backtest) and the two-state extension of the
+    EWMA fold: level l_t = (y_t + l_{t-1} + b_{t-1}) >> 1, trend
+    b_t = (l_t - l_{t-1} + b_{t-1}) >> 1 (alpha = beta = 1/2 on the
+    exact integer grid), trained on all but the last 7 days per
+    type, forecasting y-hat = l + h*b for horizons 1..7 against the
+    held-out actuals. Shifts, not div: the trend state goes NEGATIVE
+    on declining series, and Spark's `div` truncates toward zero
+    while DuckDB's // floors — arithmetic >> floors identically on
+    both engines (probed: -3>>1 = -2 both; rule-#11-adjacent, now on
+    record). The coupled recurrence is no window frame's friend —
+    it runs as ONE scan-local array fold per type (aggregate over
+    the day series with a 2-field struct accumulator; l_t appears
+    twice in the lambda — the multi-use-subtree cost is 1 extra
+    shift/add on a model-sized array, noted and accepted), and the
+    oracle replays it with a recursive CTE (the EWMA/BPE replay
+    idiom, two coupled states).
+
+    Shape at 100 TB: the raw scan reduces to (type x day) once; the
+    fold is partition-local over day-count-bounded arrays; horizons
+    explode from a 7-row literal range."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dt, y))),"
+            " s -> CAST(s.y AS BIGINT))"
+        ).alias("ys")
+    )
+    fitted = (
+        series.withColumn("tl", F.expr("size(ys) - 7"))
+        .where(F.col("tl") >= 2)
+        .withColumn(
+            "fin",
+            F.expr(
+                "aggregate(slice(ys, 2, tl - 1),"
+                " named_struct('l', element_at(ys, 1),"
+                "              'b', CAST(0 AS BIGINT)),"
+                " (acc, yy) -> named_struct("
+                "   'l', shiftright(yy + acc.l + acc.b, 1),"
+                "   'b', shiftright(shiftright(yy + acc.l + acc.b, 1)"
+                "        - acc.l + acc.b, 1)))"
+            ),
+        )
+    )
+    return (
+        fitted.select(
+            "event_type",
+            "ys",
+            "tl",
+            F.col("fin.l").alias("l"),
+            F.col("fin.b").alias("b"),
+            F.explode(F.expr("sequence(1, 7)")).alias("h"),
+        )
+        .select(
+            "event_type",
+            F.col("h").cast("long").alias("h"),
+            F.expr("CAST(l + h * b AS BIGINT)").alias("forecast"),
+            F.expr("CAST(element_at(ys, CAST(tl + h AS INT)) AS BIGINT)").alias(
+                "actual"
+            ),
+            F.expr(
+                "CAST(abs(l + h * b - element_at(ys, CAST(tl + h AS INT)))"
+                " AS BIGINT)"
+            ).alias("abs_err"),
+        )
+    )
+
+
+# The quality_score formula replicated in DuckDB — keep in sync with
+# text_quality_filter's oracle (same expression, factored here for the
+# calibration query).
+def _quality_micro_sql() -> str:
+    return rf"""CAST(floor(1000000.0 * (
+               0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - least(
+                   (length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                    / length(text)) * 4.0, 1.0))
+             + 0.3 * least(
+                   (len([t for t in {_TOKS} if list_contains({_sql_stoplist("en")}, t)])
+                    / len({_TOKS})) * 5.0, 1.0))) AS BIGINT)"""
+
+
+def _qcal_oracle() -> str:
+    return f"""
+    WITH q AS (
+        SELECT doc_id, lang, {_quality_micro_sql()} AS qm
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    r AS (
+        SELECT qm, row_number() OVER (ORDER BY qm) AS rn,
+               COUNT(*) OVER () AS n
+        FROM q
+    ),
+    th AS (
+        SELECT
+            MAX(CASE WHEN rn = (1 * n + 4) // 5 THEN qm END) AS t1,
+            MAX(CASE WHEN rn = (2 * n + 4) // 5 THEN qm END) AS t2,
+            MAX(CASE WHEN rn = (3 * n + 4) // 5 THEN qm END) AS t3,
+            MAX(CASE WHEN rn = (4 * n + 4) // 5 THEN qm END) AS t4
+        FROM r
+    ),
+    binned AS (
+        SELECT q.doc_id, q.lang,
+               1 + CASE WHEN q.qm > th.t1 THEN 1 ELSE 0 END
+                 + CASE WHEN q.qm > th.t2 THEN 1 ELSE 0 END
+                 + CASE WHEN q.qm > th.t3 THEN 1 ELSE 0 END
+                 + CASE WHEN q.qm > th.t4 THEN 1 ELSE 0 END AS bin
+        FROM q, th
+    )
+    SELECT CAST(bin AS BIGINT) AS quality_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS en_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS en_share_micro
+    FROM binned GROUP BY bin
+"""
+
+
+@query("quality_score_calibration", oracle=_qcal_oracle())
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION of the quality score against an independent label:
+    documents binned into score QUINTILES (exact value-at-rank
+    ceil(t*n/5) thresholds via the census selection —
+    functions/selection.value_at_ranks, no global sort), then per bin
+    the share of lang='en' docs. The score's stopword term is
+    English-specific, so a WORKING score must show en-share rising
+    with the bin — the monotone gradient is the evaluation (the
+    dedup_eval_metrics philosophy: score the scorer with data the
+    score never saw). Bin assignment is by VALUE thresholds (ties at
+    a threshold share the lower bin — deterministic, no per-row
+    rank); the oracle derives the same thresholds from the global
+    ROW_NUMBER plan this query avoids, so the hash is again a
+    census == rank-window equivalence proof.
+
+    Shape at 100 TB: score is scan-local IEEE arithmetic (floored to
+    micro — per-row doubles, never summed); two bounded censuses;
+    then one 5-group aggregate against 4 broadcast literals."""
+    from .functions.selection import value_at_ranks
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(quality_score("text", lang="en") * 1000000.0)
+        .cast("long")
+        .alias("qm"),
+    ).localCheckpoint(eager=False)
+    n = q.count()
+    ranks = [(t * n + 4) // 5 for t in range(1, 5)]
+    vals = value_at_ranks(q, "qm", ranks)
+    t1, t2, t3, t4 = (vals[r] for r in ranks)
+    binned = q.select(
+        "lang",
+        F.expr(
+            f"1 + CASE WHEN qm > {t1} THEN 1 ELSE 0 END"
+            f" + CASE WHEN qm > {t2} THEN 1 ELSE 0 END"
+            f" + CASE WHEN qm > {t3} THEN 1 ELSE 0 END"
+            f" + CASE WHEN qm > {t4} THEN 1 ELSE 0 END"
+        ).alias("quality_bin"),
+    )
+    return binned.groupBy("quality_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("en_docs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("en_share_micro"),
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    suff AS (
+        SELECT event_type, COUNT(*) AS nh,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM c GROUP BY event_type
+    ),
+    wt AS (
+        SELECT event_type, nh,
+               CAST(floor(sqrt(CAST(nh AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+                   AS BIGINT) AS w
+        FROM suff
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(SUM({_NEYMAN_BUDGET} * w // (SELECT SUM(w) FROM wt))
+                       AS BIGINT) AS base_sum
+            FROM wt),
+    alloc AS (
+        SELECT wt.event_type, wt.nh, wt.w,
+               {_NEYMAN_BUDGET} * wt.w // tot.tw AS base,
+               {_NEYMAN_BUDGET} * wt.w % tot.tw AS rem,
+               row_number() OVER (
+                   ORDER BY {_NEYMAN_BUDGET} * wt.w % tot.tw DESC,
+                            wt.event_type
+               ) AS rr,
+               tot.base_sum
+        FROM wt, tot
+    ),
+    final AS (
+        SELECT event_type, nh, w,
+               base + CASE WHEN rr <= {_NEYMAN_BUDGET} - base_sum
+                      THEN 1 ELSE 0 END AS n_alloc
+        FROM alloc
+    ),
+    ranked AS (
+        SELECT c.event_type, c.cents,
+               row_number() OVER (
+                   PARTITION BY c.event_type
+                   ORDER BY md5(c.event_id || ':ney'), c.event_id
+               ) AS rn
+        FROM c
+    )
+    SELECT f.event_type,
+           CAST(f.nh AS BIGINT) AS stratum_n,
+           CAST(f.w AS BIGINT) AS sigma_weight,
+           CAST(f.n_alloc AS BIGINT) AS n_alloc,
+           CAST(SUM(CASE WHEN r.rn <= f.n_alloc THEN r.cents END)
+                // f.n_alloc AS BIGINT) AS sample_mean_cents
+    FROM final f JOIN ranked r ON r.event_type = f.event_type
+    GROUP BY f.event_type, f.nh, f.w, f.n_alloc
+"""
+
+
+@query("neyman_allocation_sample", oracle=_NEYMAN_ORACLE)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-OPTIMAL STRATIFIED ALLOCATION + exact-count draw: a
+    1000-row sample budget is split across strata proportional to
+    N_h*sigma_h (the allocation minimizing estimator variance —
+    Neyman 1934), which reduces to the INTEGER weight
+    floor(sqrt(n_h*Q_h - S_h^2)) per stratum (the zscore
+    denominator-clearing trick; the sqrt is a per-row identical-IEEE
+    op on exactly-summed integers). Fractional seats resolve by
+    HAMILTON'S largest-remainder method (base = floor shares, the
+    leftover seats go to the largest remainders, ties to the
+    stratum name) — deterministic integer apportionment, unlike the
+    rounding loops most samplers hand-wave. The draw itself takes
+    each stratum's n_alloc smallest md5 keys (reproducible, the
+    hash-draw rule; exactly n_alloc rows, which Bernoulli thresholds
+    never promise), and the drawn sample means ride the hash.
+
+    The uniform-ish value column makes the weights near-equal here —
+    the apportionment still exercises remainders (1000 % 5 shares);
+    strata with wildly different spreads would tilt it (documented:
+    the allocation is the point, the tilt is data-dependent).
+
+    Shape at 100 TB: sufficient stats in one hash aggregate; the
+    5-row apportionment is driver/1-row-frame arithmetic; the draw
+    is a per-stratum window top-k (WindowGroupLimit-pruned, the
+    window_topk_per_media shape), never a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    ).localCheckpoint(eager=False)
+    suff = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    wt = suff.select(
+        "event_type",
+        "nh",
+        F.expr(
+            "CAST(floor(sqrt(CAST(nh AS DOUBLE) * CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)"
+        ).alias("w"),
+    )
+    rows = sorted(
+        (r["event_type"], r["nh"], r["w"]) for r in wt.collect()
+    )
+    tw = sum(w for _, _, w in rows)
+    base = {e: _NEYMAN_BUDGET * w // tw for e, _, w in rows}
+    rem = sorted(
+        ((_NEYMAN_BUDGET * w % tw, e) for e, _, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    leftover = _NEYMAN_BUDGET - sum(base.values())
+    for i in range(leftover):
+        base[rem[i][1]] += 1
+    alloc_rows = [(e, nh, w, base[e]) for e, nh, w in rows]
+    alloc = spark.createDataFrame(
+        alloc_rows,
+        "event_type string, stratum_n long, sigma_weight long,"
+        " n_alloc long",
+    )
+    wnd = Window.partitionBy("event_type").orderBy(
+        F.expr("md5(concat(CAST(event_id AS STRING), ':ney'))"),
+        "event_id",
+    )
+    ranked = c.withColumn("rn", F.row_number().over(wnd))
+    drawn = ranked.join(F.broadcast(alloc), "event_type").where(
+        F.col("rn") <= F.col("n_alloc")
+    )
+    return drawn.groupBy(
+        "event_type", "stratum_n", "sigma_weight", "n_alloc"
+    ).agg(
+        F.expr("CAST(SUM(cents) div n_alloc AS BIGINT)").alias(
+            "sample_mean_cents"
         )
     )
