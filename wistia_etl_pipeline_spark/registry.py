@@ -15082,6 +15082,10 @@ _ABC_ORACLE = """
            CAST(SUM(r) AS BIGINT) AS revenue_cents,
            CAST(SUM(r) * 1000000 // (SELECT t FROM tot) AS BIGINT)
                AS share_micro
+           -- DuckDB SUM is HUGEINT, the product can't overflow here;
+           -- the ENGINE side routes through DECIMAL(38,0) for the
+           -- same reason (sum*1e6 > int64 from sf0.5 up — found by
+           -- the scale harness as an ANSI ARITHMETIC_OVERFLOW)
     FROM cls GROUP BY abc_class
 """
 
@@ -15160,7 +15164,11 @@ def abc_revenue_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("r").cast("long").alias("revenue_cents"),
         F.expr(
-            f"CAST(SUM(r) * 1000000 div {total} AS BIGINT)"
+            # class revenue * 1e6 exceeds int64 from sf0.5 up (scale
+            # harness: ANSI ARITHMETIC_OVERFLOW) — stay exact in
+            # DECIMAL(38,0); div truncation == floor for positives
+            f"CAST((CAST(SUM(r) AS DECIMAL(38,0)) * 1000000)"
+            f" div {total} AS BIGINT)"
         ).alias("share_micro"),
     )
 
