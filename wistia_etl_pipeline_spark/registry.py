@@ -15994,3 +15994,220 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_mean_cents"
         )
     )
+
+
+_KM_ORACLE = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS tmax FROM events
+    ),
+    users AS (
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t0,
+               CAST(floor(epoch(MIN(CASE WHEN event_type = 'purchase'
+                    AND floor(value * 100) >= 9000
+                    THEN ts END))) AS BIGINT) AS tp
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    durs AS (
+        SELECT CASE WHEN u.tp IS NOT NULL
+                    THEN (u.tp - u.t0) // 604800
+                    ELSE (b.tmax - u.t0) // 604800 END AS w,
+               CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM users u, bounds b
+    ),
+    grid AS (
+        SELECT w,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c,
+               row_number() OVER (ORDER BY w) AS i
+        FROM durs GROUP BY w
+    ),
+    risk AS (
+        SELECT g.w, g.d, g.c, g.i,
+               (SELECT CAST(SUM(d + c) AS BIGINT) FROM grid g2
+                WHERE g2.w >= g.w) AS n
+        FROM grid g
+    ),
+    km AS (
+        SELECT w, d, c, n, i,
+               CAST(1000000 * (n - d) // n AS BIGINT) AS s
+        FROM risk WHERE i = 1
+        UNION ALL
+        SELECT r.w, r.d, r.c, r.n, r.i,
+               CAST(km.s * (r.n - r.d) // r.n AS BIGINT)
+        FROM km JOIN risk r ON r.i = km.i + 1
+    )
+    SELECT CAST(w AS BIGINT) AS week,
+           CAST(n AS BIGINT) AS n_risk,
+           d AS d_events, c AS c_censored,
+           CAST(s AS BIGINT) AS survival_micro
+    FROM km
+"""
+
+
+@query("kaplan_meier_survival", oracle=_KM_ORACLE)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival with RIGHT-CENSORING — time (weeks) from
+    each user's first event to first purchase; users who never
+    HIGH-VALUE purchase (>= 90% engagement — a rare target, chosen
+    so the censored path actually fires: EVERY user purchases
+    eventually on this fixture, which left the first draft's curve
+    censorless — the tau lesson); users without one are CENSORED at
+    the observation horizon (data end),
+    which the naive conversion-rate and the churn_hazard_curve both
+    mishandle (dropping censored users biases survival down;
+    counting them as never-converting biases it up — KM's risk-set
+    accounting is the fix, Kaplan & Meier 1958). The survival curve
+    is the product-limit recurrence S_t = S_{t-1}·(n_t-d_t)/n_t on
+    the integer micro grid (floor per step, replicated exactly by a
+    recursive-CTE oracle — the EWMA/Holt replay family); durations
+    use whole-second epochs (rule #11).
+
+    Shape at 100 TB: one user-grain aggregate, then everything lives
+    on the week grid (horizon-bounded, model-sized): risk sets are a
+    reverse-cumulative over the grid, the product fold is an
+    aggregate over a collected grid array. No per-user state beyond
+    the first reduce."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    bounds = ev.agg(
+        F.expr("CAST(max(ts) AS LONG)").alias("tmax")
+    )
+    users = ev.groupBy("user_id").agg(
+        F.expr("CAST(min(ts) AS LONG)").alias("t0"),
+        F.expr(
+            "CAST(min(CASE WHEN event_type = 'purchase'"
+            " AND floor(value * 100) >= 9000 THEN ts END) AS LONG)"
+        ).alias("tp"),
+    )
+    durs = users.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CASE WHEN tp IS NOT NULL THEN (tp - t0) div 604800"
+            " ELSE (tmax - t0) div 604800 END"
+        ).alias("w"),
+        F.expr("CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END").alias("ev"),
+    )
+    grid = durs.groupBy("w").agg(
+        F.sum("ev").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c"),
+    )
+    rows = sorted((r["w"], r["d"], r["c"]) for r in grid.collect())
+    out = []
+    n = sum(d + c for _, d, c in rows)
+    s = 1_000_000
+    for w, d, c in rows:
+        s = s * (n - d) // n
+        out.append((w, n, d, c, s))
+        n -= d + c
+    return spark.createDataFrame(
+        out,
+        "week long, n_risk long, d_events long, c_censored long,"
+        " survival_micro long",
+    )
+
+
+_QNORM_ORACLE = """
+    WITH c AS (
+        SELECT source, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
+        WHERE e.value IS NOT NULL
+    ),
+    src AS (
+        SELECT source, cents,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY cents
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM c
+    ),
+    gq AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM c
+    ),
+    deciles AS (SELECT unnest(range(1, 10)) AS dec),
+    sb AS (
+        SELECT s.source, d.dec,
+               MAX(CASE WHEN s.rn = (d.dec * s.n + 9) // 10
+                   THEN s.cents END) AS src_value
+        FROM src s, deciles d GROUP BY s.source, d.dec
+    ),
+    gb AS (
+        SELECT d.dec,
+               MAX(CASE WHEN g.rn = (d.dec * g.n + 9) // 10
+                   THEN g.cents END) AS glob_value
+        FROM gq g, deciles d GROUP BY d.dec
+    )
+    SELECT sb.source, CAST(sb.dec AS BIGINT) AS decile,
+           CAST(sb.src_value AS BIGINT) AS src_value,
+           CAST(gb.glob_value AS BIGINT) AS glob_value,
+           CAST(sb.src_value - gb.glob_value AS BIGINT) AS shift_cents
+    FROM sb JOIN gb ON gb.dec = sb.dec
+"""
+
+
+@query("quantile_normalization_map", oracle=_QNORM_ORACLE)
+def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION lookup table — the batch-effect
+    correction of ML feature prep: per (source, decile), the source's
+    value-at-rank-ceil(d*n/10) against the global distribution's, and
+    the shift a normalizer would apply (map each source's d-th decile
+    onto the global d-th decile). Sources come from a deterministic
+    event->document assignment (event_id % |docs|, a synthetic
+    grouping in the FIXTURES spirit). All boundaries are exact
+    value-at-rank selections computed from ONE collected
+    (source, cents) census (value domain bounded [0, 10^4] at any SF
+    — the trimmed_mean_census argument), walked per source and
+    globally on the driver; the oracle derives the same boundaries
+    from per-source rank windows — census == window again.
+
+    Shape at 100 TB: one (source x cents) hash aggregate (bounded by
+    |sources| x value domain), one bounded collect; applying the map
+    later is a broadcast join + CASE ladder, never a re-rank."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = 500  # driver-fixture constant; mirrored in the oracle
+    c = (
+        ev.select(
+            (F.col("event_id") % n_docs).alias("doc_id"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "cents")
+    )
+    census = (
+        c.groupBy("source", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in census:
+        by_src.setdefault(r["source"], []).append((r["cents"], r["cnt"]))
+
+    def boundaries(vals: list[tuple[int, int]]) -> dict[int, int]:
+        vals = sorted(vals)
+        n = sum(cnt for _, cnt in vals)
+        targets = {d: (d * n + 9) // 10 for d in range(1, 10)}
+        out: dict[int, int] = {}
+        cum = 0
+        for v, cnt in vals:
+            for d, rank in targets.items():
+                if cum < rank <= cum + cnt:
+                    out[d] = v
+            cum += cnt
+        return out
+
+    glob = boundaries([t for vals in by_src.values() for t in vals])
+    rows = []
+    for src, vals in sorted(by_src.items()):
+        sb = boundaries(vals)
+        for d in range(1, 10):
+            rows.append((src, d, sb[d], glob[d], sb[d] - glob[d]))
+    return spark.createDataFrame(
+        rows,
+        "source string, decile long, src_value long, glob_value long,"
+        " shift_cents long",
+    )
