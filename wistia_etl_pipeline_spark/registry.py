@@ -16211,3 +16211,207 @@ def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, decile long, src_value long, glob_value long,"
         " shift_cents long",
     )
+
+
+_DBSCAN_EPS = 100_000
+_DBSCAN_MINPTS = 4
+
+
+def _dbscan_oracle() -> str:
+    from .functions.similarity import deterministic_planes_int
+
+    planes = deterministic_planes_int(2, 64, grid=1000, salt="wistia-dbscan")
+    values = ", ".join(
+        f"({j}, [{', '.join(str(c) for c in row)}])"
+        for j, row in enumerate(planes)
+    )
+    eps2 = _DBSCAN_EPS * _DBSCAN_EPS
+    return f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pl(j, pv) AS (VALUES {values}),
+    pts AS MATERIALIZED (
+        SELECT vec_id,
+               MAX(CASE WHEN j = 0 THEN comp END) AS x,
+               MAX(CASE WHEN j = 1 THEN comp END) AS y
+        FROM (
+            SELECT q.vec_id, pl.j,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.qv[i] * pl.pv[i])) AS BIGINT) AS comp
+            FROM q CROSS JOIN pl
+        ) GROUP BY vec_id
+    ),
+    nb AS MATERIALIZED (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) <= {eps2}
+    ),
+    cnt AS (SELECT a, COUNT(*) AS n FROM nb GROUP BY a),
+    core AS MATERIALIZED (
+        SELECT a AS vec_id FROM cnt WHERE n >= {_DBSCAN_MINPTS}
+    ),
+    ce AS MATERIALIZED (
+        SELECT nb.a AS src, nb.b AS dst FROM nb
+        JOIN core c1 ON c1.vec_id = nb.a
+        JOIN core c2 ON c2.vec_id = nb.b
+        WHERE nb.a <> nb.b
+    ),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM core
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN ce e ON r.b = e.src
+    ),
+    cassign AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    border AS (
+        SELECT nb.a AS vec_id, MIN(ca.cluster_id) AS cluster_id
+        FROM nb
+        JOIN cassign ca ON ca.vec_id = nb.b
+        WHERE nb.a NOT IN (SELECT vec_id FROM core)
+        GROUP BY nb.a
+    )
+    SELECT p.vec_id,
+           CAST(cnt.n AS BIGINT) AS n_neighbors,
+           CAST(CASE WHEN ca.vec_id IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS is_core,
+           CAST(COALESCE(ca.cluster_id, bo.cluster_id, -1) AS BIGINT)
+               AS cluster_id
+    FROM pts p
+    JOIN cnt ON cnt.a = p.vec_id
+    LEFT JOIN cassign ca ON ca.vec_id = p.vec_id
+    LEFT JOIN border bo ON bo.vec_id = p.vec_id
+    """
+
+
+@query("dbscan_grid_embeddings", oracle=_dbscan_oracle())
+def dbscan_grid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al., KDD 1996) — the
+    cluster family the registry lacked: k-means/PQ assume convex
+    equal-ish clusters and assign EVERYTHING; density clustering
+    finds arbitrary-shape clusters AND labels sparse points NOISE
+    (-1) — the outlier-document discovery mode. Run on the exact
+    integer grid end-to-end: embeddings JL-project to 2-D integer
+    coordinates (the embedding_random_projection machinery, 2
+    planes), neighborhoods are exact squared-distance balls
+    (eps=10^5 grid units, minPts=4 — probed: 62% core, border and
+    noise both nonzero, all three fates on the hash), core-core
+    edges feed the SAME large/small-star connected-components
+    operator as dedup_clusters (cluster id = min member), border
+    points adopt their minimum in-eps core's cluster.
+
+    Scale design: neighbor candidates come from a 3x3 GRID BLOCK
+    join (cell = coord div eps; |delta|<=eps implies adjacent cells
+    under BOTH floor and truncate division — worked out here so
+    Spark's truncate-div cells are complete), never all pairs; the
+    ORACLE is the all-pairs join + recursive closure, so the hash is
+    a blocked == exhaustive completeness proof (the ssjoin idiom).
+    In-eps neighbor lists are the inherent output (grows with
+    density x n — the pair-miner caveat); production shrinks eps or
+    pre-aggregates duplicate coordinates. Components contract in
+    O(log n) rounds; everything else is two hash aggregates and
+    broadcast-scale joins."""
+    from .functions.graph import connected_components
+    from .functions.similarity import random_projection_int
+
+    eps, eps2 = _DBSCAN_EPS, _DBSCAN_EPS * _DBSCAN_EPS
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        random_projection_int(
+            emb, "embedding", "vec_id",
+            n_planes=2, dim=64, salt="wistia-dbscan",
+        )
+        .select(
+            "vec_id",
+            F.expr("proj[0]").alias("x"),
+            F.expr("proj[1]").alias("y"),
+        )
+        .withColumn("cx", F.expr(f"x div {eps}"))
+        .withColumn("cy", F.expr(f"y div {eps}"))
+        .localCheckpoint(eager=False)
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("long").alias("dx"),
+        ((F.col("id") / 3).cast("long") - 1).alias("dy"),
+    )
+    left = pts.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    right = pts.select(
+        F.col("vec_id").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    nb = (
+        left.join(
+            right,
+            (F.col("nx") == F.col("bcx")) & (F.col("ny") == F.col("bcy")),
+        )
+        .where(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= eps2
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    cnt = nb.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    core = cnt.where(F.col("n") >= _DBSCAN_MINPTS).select(
+        F.col("a").alias("vec_id")
+    ).localCheckpoint(eager=False)
+    ce = (
+        nb.where(F.col("a") != F.col("b"))
+        .join(core.select(F.col("vec_id").alias("a")), "a")
+        .join(core.select(F.col("vec_id").alias("b")), "b")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    cc = connected_components(ce)
+    cassign = core.join(
+        cc.select(F.col("node").alias("vec_id"), "component"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("cluster_id"),
+    )
+    border = (
+        nb.join(core.select(F.col("vec_id").alias("a")), "a", "left_anti")
+        .join(
+            cassign.select(
+                F.col("vec_id").alias("b"), F.col("cluster_id").alias("bc")
+            ),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("bc").alias("cluster_id"))
+        .select(F.col("a").alias("vec_id"), "cluster_id")
+    )
+    return (
+        pts.select("vec_id")
+        .join(cnt.select(F.col("a").alias("vec_id"), "n"), "vec_id")
+        .join(
+            cassign.select("vec_id", F.col("cluster_id").alias("core_cl")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select("vec_id", F.col("cluster_id").alias("bord_cl")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("n").cast("long").alias("n_neighbors"),
+            F.col("core_cl").isNotNull().cast("long").alias("is_core"),
+            F.coalesce(F.col("core_cl"), F.col("bord_cl"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
