@@ -16415,3 +16415,139 @@ def dbscan_grid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+_TRUNC_K = 10
+
+
+def _trunc_recall_oracle() -> str:
+    from .functions.similarity import deterministic_planes_int
+
+    planes = deterministic_planes_int(_RP_PLANES, 64, grid=_RP_GRID)
+    values = ", ".join(
+        f"({j}, [{', '.join(str(c) for c in row)}])"
+        for j, row in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_RP_GRID}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pl(j, pv) AS (VALUES {values}),
+    proj AS MATERIALIZED (
+        SELECT q.vec_id,
+               list(comp ORDER BY j) AS pv
+        FROM (
+            SELECT q.vec_id, pl.j,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.qv[i] * pl.pv[i])) AS BIGINT) AS comp
+            FROM q CROSS JOIN pl
+        ) q GROUP BY q.vec_id
+    ),
+    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    full_rank AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))),
+                       b.vec_id
+               ) AS rn
+        FROM queries a JOIN q b ON b.vec_id <> a.vec_id
+    ),
+    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0),
+    lo_rank AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(range(1, {_RP_PLANES + 1}),
+                       i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i]))),
+                       b.vec_id
+               ) AS rn
+        FROM pq a JOIN proj b ON b.vec_id <> a.vec_id
+    )
+    SELECT f.qid AS query_id,
+           CAST(COUNT(l.nid) AS BIGINT) AS overlap_at_{_TRUNC_K},
+           CAST(COUNT(l.nid) * 1000000 // {_TRUNC_K} AS BIGINT)
+               AS recall_micro
+    FROM full_rank f
+    LEFT JOIN lo_rank l
+      ON l.qid = f.qid AND l.nid = f.nid AND l.rn <= {_TRUNC_K}
+    WHERE f.rn <= {_TRUNC_K}
+    GROUP BY f.qid
+"""
+
+
+@query("ann_dim_truncation_recall", oracle=_trunc_recall_oracle())
+def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION RECALL — the eval that justifies (or
+    vetoes) searching in the JL-projected space: for 1-in-25 query
+    vectors, top-10 neighbors by exact 64-d integer L2^2 vs top-10 in
+    the 16-d projection (embedding_random_projection's planes), and
+    recall@10 between the two lists — the measured answer to "what
+    does 4x cheaper distance work cost in quality" (the
+    similarity_ivf_topk recall-anchor philosophy applied to the
+    dimensionality axis; JL says distances distort boundedly, recall
+    says what that does to RANKINGS). Unit-norm embeddings make L2
+    ordering == cosine ordering, so this is the cosine_topk metric in
+    both spaces. Ties (dist, id) — the total-order rule; the recall
+    itself rides the hash per query.
+
+    Shape at 100 TB: the query set is a broadcast (1/25 sample);
+    both rankings are scan x broadcast with per-query
+    WindowGroupLimit top-k — never an n x n join (the oracle IS the
+    brute-force twin); the projected ranking reads 16-int rows, the
+    point being evaluated."""
+    from pyspark.sql import Window
+    from .functions.similarity import random_projection_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_RP_GRID}) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    proj = random_projection_int(
+        emb, "embedding", "vec_id", n_planes=_RP_PLANES, dim=64,
+        vec_grid=_RP_GRID, plane_grid=_RP_GRID,
+    ).localCheckpoint(eager=False)
+
+    def topk(base: DataFrame, col: str, dim: int) -> DataFrame:
+        queries = base.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), F.col(col).alias("a")
+        )
+        d2 = (
+            f"aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        ranked = (
+            base.select(F.col("vec_id").alias("nid"), F.col(col).alias("b"))
+            .join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+            .select("qid", "nid", F.expr(d2).alias("d2"))
+        )
+        w = Window.partitionBy("qid").orderBy("d2", "nid")
+        return ranked.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= _TRUNC_K
+        )
+    hi = topk(q, "qv", 64).select("qid", "nid")
+    lo = topk(proj, "proj", _RP_PLANES).select(
+        F.col("qid").alias("lqid"), F.col("nid").alias("lnid")
+    )
+    return (
+        hi.join(
+            lo,
+            (F.col("lqid") == F.col("qid")) & (F.col("lnid") == F.col("nid")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("lnid").cast("long").alias(f"overlap_at_{_TRUNC_K}"),
+            F.expr(
+                f"CAST(COUNT(lnid) * 1000000 div {_TRUNC_K} AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
