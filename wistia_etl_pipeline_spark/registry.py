@@ -9453,13 +9453,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = events.unionByName(flush)
     cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
             "2024-06-01", "2100-01-01"]
-    lo = None
-    for hi in cuts:
-        part = staged.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-        if lo is not None:
-            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        part.coalesce(1).write.mode("append").parquet(src)
-        lo = hi
+    # Same staged contract from ONE scan/write job: one file per range,
+    # strictly increasing explicit mtimes (see streaming/staging.py).
+    from .streaming.staging import stage_time_ordered
+
+    stage_time_ordered(staged, "ts", src, cuts)
     schema = spark.read.parquet(src).schema
 
     stream = (
@@ -9905,9 +9903,14 @@ def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_query"),
     )
     corpus = docs.select("doc_id", "text", F.lit(False).alias("is_query"))
+    # The shingled frame feeds five subtrees inside the containment
+    # join (df-frequency agg, query prefix, corpus index, and both
+    # verify sides) — without a cut point the normalize+tokenize+
+    # shingle regex scan re-runs per subtree. Lazy localCheckpoint =
+    # materialize once, read five times (the triangle-count lesson).
     both = corpus.unionByName(quotes).select(
         "doc_id", "is_query", shingles(F.col("text"), k=2).alias("el")
-    )
+    ).localCheckpoint(eager=False)
     pairs = prefix_filtered_containment_pairs(
         both, "doc_id", "el", "is_query", tau_num=9, tau_den=10
     )
@@ -10135,13 +10138,12 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
             "2024-06-01", "2100-01-01"]
-    lo = None
-    for hi in cuts:
-        part = events.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
-        if lo is not None:
-            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
-        part.unionByName(part).coalesce(1).write.mode("append").parquet(src)
-        lo = hi
+    # Both delivery copies of a row land in the SAME range (union before
+    # staging → same file, as the sequential original guaranteed); one
+    # scan/write job, explicit increasing mtimes (streaming/staging.py).
+    from .streaming.staging import stage_time_ordered
+
+    stage_time_ordered(events.unionByName(events), "ts", src, cuts)
     schema = spark.read.parquet(src).schema
 
     stream = (
@@ -11558,22 +11560,14 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
             "2024-06-01", "2100-01-01"]
+    # One scan + one write job per side (was: one filtered scan per
+    # range per side = 10 scans of events); the staged contract — one
+    # file per range, strictly increasing mtimes — is identical, set
+    # explicitly via utime instead of sequential-write scheduling.
+    from .streaming.staging import stage_time_ordered
 
-    def _stage(df: DataFrame, ts_col: str, name: str) -> str:
-        path = os.path.join(root, name)
-        lo = None
-        for hi in cuts:
-            part = df.filter(F.col(ts_col) < F.lit(hi).cast("timestamp"))
-            if lo is not None:
-                part = part.filter(
-                    F.col(ts_col) >= F.lit(lo).cast("timestamp")
-                )
-            part.coalesce(1).write.mode("append").parquet(path)
-            lo = hi
-        return path
-
-    v_path = _stage(views, "vts", "views")
-    p_path = _stage(purch, "pts", "purchases")
+    v_path = stage_time_ordered(views, "vts", os.path.join(root, "views"), cuts)
+    p_path = stage_time_ordered(purch, "pts", os.path.join(root, "purchases"), cuts)
     v_stream = (
         spark.readStream.schema(spark.read.parquet(v_path).schema)
         .option("maxFilesPerTrigger", 1)
@@ -16549,5 +16543,453 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"CAST(COUNT(lnid) * 1000000 div {_TRUNC_K} AS BIGINT)"
             ).alias("recall_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (interpolated, absolute discount 3/4, exact micro)
+
+_KN_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(range(1, len(t))) u(i)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (
+        SELECT w1, w2, COUNT(*) AS n2 FROM occ GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1,
+               COUNT(*) AS fanout
+        FROM c2 GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, COUNT(*) AS fanin FROM c2 GROUP BY w2
+    ),
+    btot AS (SELECT COUNT(*) AS b FROM c2),
+    scored AS (
+        SELECT o.doc_id,
+               (4 * c2.n2 - 3) * 1000000 // (4 * c1.n1)
+               + (3 * c1.fanout * cont.fanin * 1000000)
+                 // (4 * c1.n1 * btot.b) AS p_micro
+        FROM occ o
+        JOIN c2 ON c2.w1 = o.w1 AND c2.w2 = o.w2
+        JOIN c1 ON c1.w1 = o.w1
+        JOIN cont ON cont.w2 = o.w2
+        CROSS JOIN btot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS kn_score_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("kneser_ney_bigram_lm", oracle=_KN_ORACLE)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED KNESER-NEY bigram scoring — the smoothing the
+    CCNet/KenLM quality filters actually ship (Wenzek et al. 2020 use
+    a 5-gram KenLM = modified Kneser-Ney; bigram_lm_quality is the
+    unsmoothed MLE baseline, this is the production upgrade): each
+    observed bigram occurrence scores
+
+        p_KN(w2|w1) = (c(w1 w2) - d) / c(w1 *)
+                    + d * N1+(w1 *) / c(w1 *) * N1+(* w2) / B
+
+    with absolute discount d = 3/4 and the CONTINUATION distribution
+    N1+(* w2)/B in the backoff slot — the KN insight that a word seen
+    in many contexts ("york" after only "new" is the classic
+    counterexample) should back off by context diversity, not raw
+    frequency. With d = 3/4 both terms clear to exact integers:
+    (4*n2 - 3)*10^6 div (4*n1) + 3*fanout*fanin*10^6 div (4*n1*B) —
+    observed bigrams have n2 >= 1, so the max(c-d, 0) clamp never
+    binds and every intermediate fits int64 (fanout/fanin are
+    vocabulary-bounded, ~31 here). Doc score = floor-mean over its
+    occurrences; the two floor-div terms are summed separately with
+    the IDENTICAL expression on both engines (floor-of-sum differs
+    from sum-of-floors — the expression, not the algebra, is the
+    cross-engine contract).
+
+    Shape at 100 TB: the LM is three vocabulary^2-bounded model
+    tables (bigram counts, left-context totals + fanout, continuation
+    fanin) and one scalar B; scoring is equi joins on those tables
+    (broadcast at real vocabulary sizes) and a doc-grain aggregate.
+    One corpus scan builds the model, one scores — no windows."""
+    from .functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c2 = c2.localCheckpoint(eager=False)
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").cast("long").alias("n1"),
+        F.count(F.lit(1)).alias("fanout"),
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
+    btot = c2.agg(F.count(F.lit(1)).alias("b"))
+    scored = (
+        occ.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "doc_id",
+            F.expr(
+                "(4 * n2 - 3) * 1000000 div (4 * n1)"
+                " + (3 * fanout * fanin * 1000000) div (4 * n1 * b)"
+            ).alias("p_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("CAST(SUM(p_micro) div COUNT(*) AS BIGINT)").alias(
+            "kn_score_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity governance audit with generalization lattice
+
+_KANON_K = 12
+
+_KANON_ORACLE = f"""
+    WITH base AS (
+        SELECT c.c_custkey, n.n_name AS nat, r.r_name AS reg,
+               c.c_mktsegment AS seg,
+               (CAST(floor(c.c_acctbal) AS BIGINT) + 1000) // 1000 AS sens
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    g0 AS (SELECT nat, seg, COUNT(*) AS n0 FROM base GROUP BY nat, seg),
+    g1 AS (SELECT reg, seg, COUNT(*) AS n1 FROM base GROUP BY reg, seg),
+    g2 AS (SELECT seg, COUNT(*) AS n2 FROM base GROUP BY seg),
+    pub AS (
+        SELECT b.c_custkey, b.sens,
+               CASE WHEN g0.n0 >= {_KANON_K} THEN 0
+                    WHEN g1.n1 >= {_KANON_K} THEN 1
+                    ELSE 2 END AS level,
+               CASE WHEN g0.n0 >= {_KANON_K} THEN b.nat
+                    WHEN g1.n1 >= {_KANON_K} THEN b.reg
+                    ELSE '*' END AS geo,
+               b.seg
+        FROM base b
+        JOIN g0 ON g0.nat = b.nat AND g0.seg = b.seg
+        JOIN g1 ON g1.reg = b.reg AND g1.seg = b.seg
+        JOIN g2 ON g2.seg = b.seg
+    )
+    SELECT CAST(level AS BIGINT) AS level, geo, seg,
+           CAST(COUNT(*) AS BIGINT) AS n_published,
+           CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN COUNT(DISTINCT sens) >= 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS l_diverse
+    FROM pub GROUP BY level, geo, seg
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY GENERALIZATION AUDIT (Sweeney 2002; the governance
+    twin of text_redact_pii — redaction hides direct identifiers,
+    k-anonymity bounds re-identification through QUASI-identifiers):
+    each customer's (geography, segment) QI pair is published at the
+    FINEST level of the generalization lattice nation -> region -> '*'
+    whose equivalence class reaches k = 12 members — the climb-until-
+    anonymous rule, decided per class, so dense classes keep full
+    granularity while sparse ones generalize instead of dropping rows
+    (generalization beats suppression for utility). Per published
+    class the audit also reports L-DIVERSITY (Machanavajjhala et al.
+    2007): distinct sensitive values (account-balance band, shifted
+    positive so the floor-div bucketing never meets a negative
+    operand — the cross-engine truncation trap), with l >= 3 flagged;
+    a k-anonymous class with one sensitive value still leaks
+    (homogeneity attack) — the flag is the point of the audit.
+
+    Shape at 100 TB: the lattice levels are three hash aggregates
+    whose results are QI-cardinality-bounded (model-sized — nations x
+    segments), joined back broadcast; the per-row level pick is a
+    scan-local CASE; the final aggregate is bounded by published-class
+    cardinality. One scan of the fact, zero windows, zero shuffles of
+    the fact beyond the class-grain aggregates."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nat"),
+            F.col("r_name").alias("reg"),
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000"
+            ).alias("sens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g0 = base.groupBy("nat", "seg").agg(F.count(F.lit(1)).alias("n0"))
+    g1 = base.groupBy("reg", "seg").agg(F.count(F.lit(1)).alias("n1"))
+    pub = (
+        base.join(F.broadcast(g0), ["nat", "seg"])
+        .join(F.broadcast(g1), ["reg", "seg"])
+        .select(
+            "sens",
+            F.expr(
+                f"CASE WHEN n0 >= {_KANON_K} THEN 0"
+                f" WHEN n1 >= {_KANON_K} THEN 1 ELSE 2 END"
+            ).alias("level"),
+            F.expr(
+                f"CASE WHEN n0 >= {_KANON_K} THEN nat"
+                f" WHEN n1 >= {_KANON_K} THEN reg ELSE '*' END"
+            ).alias("geo"),
+            "seg",
+        )
+    )
+    return pub.groupBy(
+        F.col("level").cast("long").alias("level"), "geo", "seg"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_published"),
+        F.countDistinct("sens").cast("long").alias("l_distinct"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(DISTINCT sens) >= 3 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("l_diverse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation: PCM window energy -> gaps-and-islands
+
+_SIL_BLOCKS = 16          # md5 blocks per doc -> 16 windows of 8 samples
+_SIL_THRESH = 300_000_000  # mean-square threshold (~P30 of uniform int16)
+
+_SILENCE_ORACLE = f"""
+    WITH h AS (
+        SELECT doc_id, w, md5('sil_' || doc_id || '_' || w) AS hx
+        FROM documents, range(0, {_SIL_BLOCKS}) t(w)
+    ),
+    vals AS (
+        SELECT doc_id, w,
+               [(('0x' || substr(hx, i*4+1, 2))::BIGINT
+                 + 256 * (('0x' || substr(hx, i*4+3, 2))::BIGINT)
+                 + CASE WHEN ('0x' || substr(hx, i*4+3, 2))::BIGINT >= 128
+                        THEN -65536 ELSE 0 END)
+                for i in range(0, 8)] AS s
+        FROM h
+    ),
+    energy AS (
+        SELECT 'd' || doc_id AS media_id, w AS win,
+               CAST(list_sum([v * v for v in s]) // 8 AS BIGINT)
+                   AS ms_energy
+        FROM vals
+    ),
+    silent AS (
+        SELECT media_id, win, ms_energy,
+               win - ROW_NUMBER() OVER (
+                   PARTITION BY media_id ORDER BY win) AS grp
+        FROM energy WHERE ms_energy < {_SIL_THRESH}
+    )
+    SELECT media_id,
+           CAST(MIN(win) AS BIGINT) AS seg_start,
+           CAST(MAX(win) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MIN(ms_energy) AS BIGINT) AS min_energy
+    FROM silent GROUP BY media_id, grp
+"""
+
+
+@query("audio_silence_segments", oracle=_SILENCE_ORACLE)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENCE SEGMENTATION over binary PCM — the audio-curation
+    operator layered on multimodal_audio_rms's feature extraction:
+    synthesize a deterministic 256-byte PCM payload per document (md5
+    keystream, 16 windows x 8 samples), extract windowed mean-square
+    energy with the Arrow numpy kernel, threshold, and collapse
+    consecutive sub-threshold windows into maximal SEGMENTS via
+    gaps-and-islands (win - row_number partitioned per media — the
+    interval_union_coverage idiom applied to a derived feature
+    stream). Segments, not flags, are what an audio pipeline consumes:
+    trim boundaries, speech-activity spans, dead-air QA. Threshold
+    compares exact integer squares (no sqrt — the audio_rms rule);
+    the oracle re-derives the identical int16 samples from md5 hex
+    arithmetic, so byte order, framing, thresholding, AND the island
+    grouping all ride the hash.
+
+    Shape at 100 TB: one mapInPandas over the media frame (payloads
+    never leave the executor), feature rows fan out x n_windows; the
+    island window is per-media over a payload-bounded row count (16
+    here; minutes-of-audio in production — bounded by media length,
+    never corpus-sized), then a segment-grain aggregate."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from .functions.multimodal import pcm_window_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                blob = b"".join(
+                    hashlib.md5(f"sil_{d}_{w}".encode()).digest()
+                    for w in range(_SIL_BLOCKS)
+                )
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].map(lambda d: f"d{d}"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id string, payload binary"
+    )
+    energy = pcm_window_energy(media, window_samples=8)
+    silent = energy.where(F.col("ms_energy") < _SIL_THRESH).withColumn(
+        "grp",
+        F.col("win")
+        - F.row_number().over(
+            Window.partitionBy("media_id").orderBy("win")
+        ),
+    )
+    return silent.groupBy("media_id", "grp").agg(
+        F.min("win").cast("long").alias("seg_start"),
+        F.max("win").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("ms_energy").cast("long").alias("min_energy"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Spatial radius join via grid blocking (deterministic planar coordinates)
+
+_GEO_SPAN = 1_000_000  # planar coordinate domain [0, 1e6)^2
+_GEO_R = 20_000        # neighbor radius; grid cell size == R
+
+_SPATIAL_ORACLE = f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5('ptx_' || c_custkey), 1, 12))::BIGINT
+                   % {_GEO_SPAN} AS x,
+               ('0x' || substr(md5('pty_' || c_custkey), 1, 12))::BIGINT
+                   % {_GEO_SPAN} AS y
+        FROM customer
+    ),
+    nb AS (
+        SELECT a.c_custkey,
+               (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM pts a JOIN pts b ON b.c_custkey <> a.c_custkey
+        WHERE (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= {_GEO_R} * {_GEO_R}
+    )
+    SELECT p.c_custkey,
+           CAST(COUNT(nb.d2) AS BIGINT) AS n_neighbors,
+           CAST(COALESCE(MIN(nb.d2), -1) AS BIGINT) AS min_d2
+    FROM pts p LEFT JOIN nb ON nb.c_custkey = p.c_custkey
+    GROUP BY p.c_custkey
+"""
+
+
+@query("spatial_grid_radius_join", oracle=_SPATIAL_ORACLE)
+def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS JOIN via GRID BLOCKING — the geospatial family's
+    entry (the planar core of geohash/S2/H3 bucketing, stripped of the
+    sphere): each customer gets a deterministic planar point (md5-hex
+    coordinates — the cross-engine synth idiom), and the query reports,
+    per point, how many other points lie within radius R plus the
+    nearest squared distance. The scalable shape is the grid: cell
+    size == R, so any pair within R lands in the SAME or an ADJACENT
+    cell (|dx| <= R ==> cell indexes differ by <= 1) — candidates are
+    an equi join of each point's 3x3 neighborhood against the cell
+    index, verification is exact integer d2 <= R^2 on candidates only.
+    Distances stay SQUARED end-to-end (no sqrt — the audio_rms rule);
+    the oracle is the brute-force all-pairs quadratic scan, so the
+    driver hash is the completeness proof for the grid decomposition
+    (a pair straddling a cell boundary that the 3x3 probe missed would
+    flip the hash).
+
+    Shape at 100 TB: the 9x candidate explosion is scan-local; the
+    join shuffles on cell id — spatially uniform keys, bounded
+    occupancy (density x R^2), so candidate volume is n x expected
+    neighborhood, never n^2; the per-point rollup is one hash
+    aggregate. Real geo stacks swap md5 points for lon/lat and the
+    grid for a Hilbert/S2 covering — the join shape is identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(
+            f"CAST(conv(substr(md5(concat('ptx_', c_custkey)), 1, 12),"
+            f" 16, 10) AS BIGINT) % {_GEO_SPAN}"
+        ).alias("x"),
+        F.expr(
+            f"CAST(conv(substr(md5(concat('pty_', c_custkey)), 1, 12),"
+            f" 16, 10) AS BIGINT) % {_GEO_SPAN}"
+        ).alias("y"),
+    ).withColumn("cx", F.expr(f"x div {_GEO_R}")).withColumn(
+        "cy", F.expr(f"y div {_GEO_R}")
+    ).localCheckpoint(eager=False)
+    probes = pts.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("a_id", "ax", "ay", "cell.cx", "cell.cy")
+    matched = (
+        probes.join(pts, ["cx", "cy"])
+        .where(F.col("c_custkey") != F.col("a_id"))
+        .select(
+            "a_id",
+            F.expr(
+                "(ax - x) * (ax - x) + (ay - y) * (ay - y)"
+            ).alias("d2"),
+        )
+        .where(F.col("d2") <= F.lit(_GEO_R * _GEO_R))
+    )
+    agg = matched.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_nb"), F.min("d2").alias("mind2")
+    )
+    return (
+        pts.select("c_custkey")
+        .join(agg, pts["c_custkey"] == agg["a_id"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_nb"), F.lit(0)).cast("long").alias(
+                "n_neighbors"
+            ),
+            F.coalesce(F.col("mind2"), F.lit(-1)).cast("long").alias(
+                "min_d2"
+            ),
         )
     )
