@@ -710,3 +710,59 @@ def test_streaming_stream_join_matches_batch_interval_join(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_stage_time_ordered_contract(spark, tmp_path):
+    """stage_time_ordered must reproduce the sequential-write staging
+    contract from one job: one parquet file per non-empty calendar
+    range, strictly increasing mtimes in range order, no rows lost or
+    duplicated, range membership respected, and rows past the last cut
+    dropped."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.streaming.staging import (
+        stage_time_ordered,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 3600)"
+        ).alias("ts"),
+    )
+    cuts = ["2024-01-10", "2024-01-20", "2024-02-01", "2024-02-10"]
+    path = str(tmp_path / "staged")
+    stage_time_ordered(df, "ts", path, cuts)
+
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet")),
+        key=lambda p: os.path.getmtime(p),
+    )
+    # one file per non-empty range, mtimes strictly increasing
+    mtimes = [os.path.getmtime(p) for p in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    bounds = [None] + [c for c in cuts]
+    seen = 0
+    prev_hi = None
+    for i, f in enumerate(files):
+        part = spark.read.parquet(f)
+        lo_ts, hi_ts, n = part.agg(
+            F.min("ts"), F.max("ts"), F.count("*")
+        ).first()
+        assert n > 0
+        if prev_hi is not None:
+            assert lo_ts >= prev_hi  # replay order == event-time order
+        prev_hi = hi_ts
+        seen += n
+    # rows at/after the final cut are dropped; everything earlier kept
+    import datetime
+
+    kept = df.filter(
+        F.col("ts") < F.lit(cuts[-1]).cast("timestamp")
+    ).count()
+    assert seen == kept
+    total = spark.read.parquet(path).count()
+    assert total == kept
