@@ -94,6 +94,20 @@ QUERIES = [
     "order_fulfillment_snapshot",
     "abc_revenue_classification",
     "sketch_join_size_cms",
+    # r5 fourth-continuation: remaining graph/cluster/selection heavies
+    # plus the session's new families
+    "label_propagation_communities",
+    "dbscan_grid_embeddings",
+    "ann_dim_truncation_recall",
+    "greedy_max_coverage_docs",
+    "graph_assortativity",
+    "bootstrap_ci_hash",
+    "sssp_nation_graph",
+    "trade_edge_churn",
+    "kneser_ney_bigram_lm",
+    "spatial_grid_radius_join",
+    "audio_silence_segments",
+    "k_anonymity_audit",
 ]
 N_RUNS = 3
 
