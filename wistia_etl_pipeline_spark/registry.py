@@ -16993,3 +16993,346 @@ def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (BOM-style) subtree rollup via arithmetic ancestor explode
+
+_BOM_ORACLE = """
+    WITH node AS (
+        SELECT p_partkey + 1 AS id,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    ),
+    anc AS (
+        SELECT id, cents, id // CAST(power(10, i) AS BIGINT) AS anc_id
+        FROM node, range(0, 8) t(i)
+        WHERE id // CAST(power(10, i) AS BIGINT) >= 1
+    )
+    SELECT anc_id AS id,
+           CAST(length(CAST(anc_id AS VARCHAR)) AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY anc_id
+"""
+
+
+@query("bom_hierarchy_rollup", oracle=_BOM_ORACLE)
+def bom_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHY / BILL-OF-MATERIALS SUBTREE ROLLUP — every node's
+    descendant count and subtree price over a decimal-digit tree
+    (parent(k) = k div 10, so node 347 sits under 34 under 3; ids
+    shifted +1 because partkey 0 would be its own infinite ancestor).
+    The classic recursive-CTE / iterative-join problem solved with
+    ZERO iteration: a node's ancestor chain is COMPUTABLE (k div
+    10^i), so one scan-local explode of each node's <= 8 ancestors
+    turns "subtree aggregate" into a plain hash aggregate on
+    ancestor id — org charts, account trees, category taxonomies,
+    file paths all admit the same trick whenever the parent
+    relationship is derivable from the key (or materialized as a
+    path column; Dremel/BigQuery's path-join idiom). The oracle runs
+    the identical explode in SQL — and doubles as the proof that the
+    8-level bound covers every id.
+
+    Shape at 100 TB: explode factor == tree depth (log10 of the key
+    space — 8 here, never corpus-scaled), followed by one map-side-
+    combinable aggregate keyed by ancestor; no joins, no windows, no
+    driver state, no round-per-level iteration (compare
+    bfs_customer_supplier_reach, where edges are DATA and rounds are
+    unavoidable)."""
+    part = load_table(spark, sf_dir, "part")
+    node = part.select(
+        (F.col("p_partkey") + 1).alias("id"),
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    anc = node.select(
+        "cents",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 7),"
+                " i -> id div CAST(power(10, i) AS BIGINT)), a -> a >= 1)"
+            )
+        ).alias("anc_id"),
+    )
+    return anc.groupBy(F.col("anc_id").alias("id")).agg(
+        F.expr(
+            "CAST(length(CAST(first(anc_id) AS STRING)) AS BIGINT)"
+        ).alias("depth"),
+        F.count(F.lit(1)).cast("long").alias("n_subtree"),
+        F.sum("cents").cast("long").alias("subtree_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduction adjustment (integer sufficient statistics)
+
+_CUPED_CUT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(value AS DECIMAL(25,6)) END), 0)
+                    AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(value AS DECIMAL(25,6)) END), 0)
+                    AS BIGINT) AS y
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx, sy,
+               (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                   AS theta_micro
+        FROM pooled
+    )
+    SELECT CAST(u.arm AS BIGINT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(u.x) * 1000000 // COUNT(*) AS BIGINT) AS mean_x_micro,
+           CAST(SUM(u.y) * 1000000 // COUNT(*) AS BIGINT) AS mean_y_micro,
+           CAST(MIN(t.theta_micro) AS BIGINT) AS theta_micro,
+           CAST(SUM(u.y) * 1000000 // COUNT(*)
+                - MIN(t.theta_micro)
+                  * (SUM(u.x) * MIN(t.n) - MIN(t.sx) * COUNT(*))
+                  // (COUNT(*) * MIN(t.n))
+               AS BIGINT) AS adj_mean_y_micro
+    FROM per_user u CROSS JOIN theta t
+    GROUP BY u.arm
+"""
+
+
+@query("experiment_cuped_adjustment", oracle=_CUPED_ORACLE)
+def experiment_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, WSDM — the
+    experimentation-platform workhorse; experiment_ab_chisq tests a
+    BINARY outcome, this adjusts a CONTINUOUS one): per user, X =
+    pre-period spend and Y = experiment-period spend (whole units,
+    floored from the exact DECIMAL sum — the double-sum rule); the
+    pooled OLS slope theta = Cov(X,Y)/Var(X) comes from five integer
+    sufficient statistics, and each arm reports its raw and
+    CUPED-adjusted mean, mean(Y) - theta*(mean_a(X) - mean(X)).
+    Because assignment (user_id % 2) is independent of the
+    PRE-period, the adjustment removes the covariate-explained
+    variance without biasing the treatment contrast — the adjusted
+    arm difference is the same estimand with tighter error bars.
+    All floor-divs share the identical expression cross-engine;
+    intermediates peak at n*Sxy ~ 1e17 at sf1's unit grain (int64
+    headroom documented — a 100x-bigger deployment re-grains X,Y,
+    exactly like abc_revenue_classification's DECIMAL(38,0) route).
+
+    Shape at 100 TB: one (user)-grain conditional aggregate over the
+    fact, one 1-row pooled reduction broadcast back, one arm-grain
+    aggregate — two shuffles, both map-side combinable; theta rides
+    a 1-row broadcast, never a window."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'"
+            f" THEN CAST(value AS DECIMAL(25,6)) END), 0) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'"
+            f" THEN CAST(value AS DECIMAL(25,6)) END), 0) AS BIGINT)"
+        ).alias("y"),
+    ).withColumn("arm", F.expr("user_id % 2")).localCheckpoint(eager=False)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+    ).withColumn(
+        "theta_micro",
+        F.expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(pooled))
+        .groupBy(F.col("arm").cast("long").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("CAST(SUM(x) * 1000000 div COUNT(*) AS BIGINT)").alias(
+                "mean_x_micro"
+            ),
+            F.expr("CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)").alias(
+                "mean_y_micro"
+            ),
+            F.min("theta_micro").cast("long").alias("theta_micro"),
+            F.expr(
+                "CAST(SUM(y) * 1000000 div COUNT(*)"
+                " - MIN(theta_micro)"
+                "   * (SUM(x) * MIN(n) - MIN(sx) * COUNT(*))"
+                "   div (COUNT(*) * MIN(n)) AS BIGINT)"
+            ).alias("adj_mean_y_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking-quality eval of the JL-projected search space
+
+_NDCG_K = 10
+_NDCG_DISC = tuple(
+    int(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)
+)
+_NDCG_IDCG = sum((_NDCG_K + 1 - i) * d for i, d in enumerate(_NDCG_DISC, 1))
+
+
+def _ndcg_oracle() -> str:
+    from .functions.similarity import deterministic_planes_int
+
+    planes = deterministic_planes_int(_RP_PLANES, 64, grid=_RP_GRID)
+    values = ", ".join(
+        f"({j + 1}, [{', '.join(str(c) for c in row)}])"
+        for j, row in enumerate(planes)
+    )
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_RP_GRID}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pl(j, pv) AS (VALUES {values}),
+    proj AS MATERIALIZED (
+        SELECT q.vec_id, list(comp ORDER BY j) AS pv
+        FROM (
+            SELECT q.vec_id, pl.j,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> q.qv[i] * pl.pv[i])) AS BIGINT) AS comp
+            FROM q CROSS JOIN pl
+        ) q GROUP BY q.vec_id
+    ),
+    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    full_rank AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))),
+                       b.vec_id
+               ) AS rn
+        FROM queries a JOIN q b ON b.vec_id <> a.vec_id
+    ),
+    rel AS (
+        SELECT qid, nid, {_NDCG_K} + 1 - rn AS rel
+        FROM full_rank WHERE rn <= {_NDCG_K}
+    ),
+    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0),
+    lo_rank AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_sum(list_transform(range(1, {_RP_PLANES + 1}),
+                       i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i]))),
+                       b.vec_id
+               ) AS rn
+        FROM pq a JOIN proj b ON b.vec_id <> a.vec_id
+    ),
+    hits AS (
+        SELECT l.qid,
+               COALESCE(r.rel, 0) * ([{disc}])[l.rn] AS gain
+        FROM lo_rank l
+        LEFT JOIN rel r ON r.qid = l.qid AND r.nid = l.nid
+        WHERE l.rn <= {_NDCG_K}
+    )
+    SELECT qid AS query_id,
+           CAST(SUM(gain) AS BIGINT) AS dcg_micro,
+           CAST({_NDCG_IDCG} AS BIGINT) AS idcg_micro,
+           CAST(SUM(gain) * 1000000 // {_NDCG_IDCG} AS BIGINT)
+               AS ndcg_micro
+    FROM hits GROUP BY qid
+"""
+
+
+@query("retrieval_ndcg_eval", oracle=_ndcg_oracle())
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the JL-PROJECTED ranking against the exact 64-d
+    ranking — the GRADED companion of ann_dim_truncation_recall:
+    recall@10 counts set overlap and scores a hit at projected rank 1
+    the same as rank 10; NDCG (Jarvelin & Kekalainen 2002) weights
+    each hit by 1/log2(rank+1), so it distinguishes "found them all,
+    in order" from "found them all, scrambled to the list tail" —
+    the metric retrieval/RAG evals actually report. Relevance grades
+    are derived from the exact ranking (rel = 11 - exact_rank for the
+    true top-10, else 0); discounts are PRECOMPUTED integer micro
+    literals (floor(10^6/log2(i+1)) — the Benford idiom: the one log
+    lives in Python constant-folding, never in either engine), so
+    DCG, the constant IDCG (every query has a full graded top-10 by
+    construction), and the floor-div NDCG are all exact int64 on the
+    hash per query.
+
+    Shape at 100 TB: identical to the recall eval — broadcast query
+    sample (1/25), two scan x broadcast rankings with per-query
+    WindowGroupLimit top-k, a model-sized rel join, one query-grain
+    aggregate. The discount vector rides as an array literal."""
+    from pyspark.sql import Window
+    from .functions.similarity import random_projection_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_RP_GRID}) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    proj = random_projection_int(
+        emb, "embedding", "vec_id", n_planes=_RP_PLANES, dim=64,
+        vec_grid=_RP_GRID, plane_grid=_RP_GRID,
+    ).localCheckpoint(eager=False)
+
+    def topk(base: DataFrame, col: str) -> DataFrame:
+        queries = base.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), F.col(col).alias("a")
+        )
+        d2 = (
+            "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        ranked = (
+            base.select(F.col("vec_id").alias("nid"), F.col(col).alias("b"))
+            .join(F.broadcast(queries), F.col("nid") != F.col("qid"))
+            .select("qid", "nid", F.expr(d2).alias("d2"))
+        )
+        w = Window.partitionBy("qid").orderBy("d2", "nid")
+        return ranked.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= _NDCG_K
+        )
+
+    rel = topk(q, "qv").select(
+        "qid", "nid", (F.lit(_NDCG_K + 1) - F.col("rn")).alias("rel")
+    )
+    disc = "array(" + ", ".join(str(d) for d in _NDCG_DISC) + ")"
+    lo = topk(proj, "proj").select(
+        F.col("qid").alias("lqid"), F.col("nid").alias("lnid"), "rn"
+    )
+    hits = lo.join(
+        rel,
+        (F.col("qid") == F.col("lqid")) & (F.col("nid") == F.col("lnid")),
+        "left",
+    ).select(
+        "lqid",
+        (
+            F.coalesce(F.col("rel"), F.lit(0))
+            * F.element_at(F.expr(disc), F.col("rn"))
+        ).alias("gain"),
+    )
+    return hits.groupBy(F.col("lqid").alias("query_id")).agg(
+        F.sum("gain").cast("long").alias("dcg_micro"),
+        F.lit(_NDCG_IDCG).cast("long").alias("idcg_micro"),
+        F.expr(
+            f"CAST(SUM(gain) * 1000000 div {_NDCG_IDCG} AS BIGINT)"
+        ).alias("ndcg_micro"),
+    )
