@@ -28,6 +28,13 @@ Conventions:
 - Determinism rule #10 (r3): window ORDER BY defaults diverge — Spark
   ASC is NULLS FIRST, DuckDB ASC is NULLS LAST. Oracles spell
   ``NULLS FIRST`` explicitly wherever an order column could be NULL.
+- Determinism rule #12 (r5): ``CAST(decimal AS BIGINT)`` ROUNDS to
+  nearest in DuckDB but TRUNCATES in Spark — a per-row half-unit bias
+  that survives aggregation (observed live on
+  experiment_cuped_adjustment: per-user spend floors differed by ~0.5
+  on average, shifting every downstream sufficient statistic; passed
+  at sf0.001 by luck). Any decimal → integer narrowing must go through
+  an explicit ``floor()`` (or ``round()``) on BOTH engines first.
 - Determinism rule #11 (r5): timestamp arithmetic must truncate to the
   SAME grain on both engines before any difference/frame/bucket math.
   DuckDB ``epoch(ts)`` keeps fractional seconds and
@@ -9844,7 +9851,7 @@ _CONTAINMENT_ORACLE = rf"""
     ),
     quotes AS (
         SELECT doc_id + {_QUOTE_SHIFT} AS id, t[1:12] AS qt
-        FROM toks WHERE doc_id % 25 = 0
+        FROM toks WHERE doc_id % 25 = 0 AND doc_id < 5000
     ),
     qel AS (
         SELECT id,
@@ -9889,7 +9896,14 @@ def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed but is never self-joined; candidates are an equi join on
     rare bigrams, verification is integer arithmetic on candidates
     only. The oracle is the brute-force all-pairs containment scan —
-    the hash match is the completeness proof for the prefix filter."""
+    the hash match is the completeness proof for the prefix filter.
+    The quote panel is CAPPED (doc_id < 5000), not a corpus fraction:
+    the r5 scale harness measured tail exponent 1.77 when quotes were
+    every-25th-doc — |Q| grew with n, so candidates grew as |Q|·df =
+    n²/25 even though the per-query plan was right. A fixed panel is
+    the honest production contract (the benchmark list does not grow
+    with the corpus) and restores the linear candidate bound; driver
+    SFs sit below the cap, so their hashes are unchanged."""
     from .functions.dedupe import prefix_filtered_containment_pairs, shingles
     from .functions.text import normalize_text, tokens
 
@@ -9897,7 +9911,9 @@ def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
     )
-    quotes = toks.filter(F.col("doc_id") % 25 == 0).select(
+    quotes = toks.filter(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 5000)
+    ).select(
         (F.col("doc_id") + _QUOTE_SHIFT).alias("doc_id"),
         F.concat_ws(" ", F.slice("t", 1, 12)).alias("text"),
         F.lit(True).alias("is_query"),
@@ -16440,7 +16456,7 @@ def _trunc_recall_oracle() -> str:
             FROM q CROSS JOIN pl
         ) q GROUP BY q.vec_id
     ),
-    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0 AND vec_id < 2000),
     full_rank AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                row_number() OVER (
@@ -16451,7 +16467,7 @@ def _trunc_recall_oracle() -> str:
                ) AS rn
         FROM queries a JOIN q b ON b.vec_id <> a.vec_id
     ),
-    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0),
+    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0 AND vec_id < 2000),
     lo_rank AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                row_number() OVER (
@@ -16489,11 +16505,16 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both spaces. Ties (dist, id) — the total-order rule; the recall
     itself rides the hash per query.
 
-    Shape at 100 TB: the query set is a broadcast (1/25 sample);
-    both rankings are scan x broadcast with per-query
-    WindowGroupLimit top-k — never an n x n join (the oracle IS the
-    brute-force twin); the projected ranking reads 16-int rows, the
-    point being evaluated."""
+    Shape at 100 TB: the query set is a broadcast FIXED PANEL
+    (every 25th vec below id 2000 — capped, not a corpus fraction:
+    the r5 scale harness measured tail exponent 2.23 with a 1/25
+    sample, because |Q| grew with n and the exact ranking is |Q|·n
+    by definition; an eval panel that grows with the corpus is a
+    measurement bug, not a design). Both rankings are scan x
+    broadcast with per-query WindowGroupLimit top-k — never an
+    n x n join (the oracle IS the brute-force twin); the projected
+    ranking reads 16-int rows, the point being evaluated. Driver
+    SFs sit below the cap; hashes unchanged."""
     from pyspark.sql import Window
     from .functions.similarity import random_projection_int
 
@@ -16511,7 +16532,9 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def topk(base: DataFrame, col: str, dim: int) -> DataFrame:
-        queries = base.where(F.col("vec_id") % 25 == 0).select(
+        queries = base.where(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
+        ).select(
             F.col("vec_id").alias("qid"), F.col(col).alias("a")
         )
         d2 = (
@@ -17071,11 +17094,11 @@ _CUPED_CUT = "2024-01-16"
 _CUPED_ORACLE = f"""
     WITH per_user AS (
         SELECT user_id, user_id % 2 AS arm,
-               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
-                    THEN CAST(value AS DECIMAL(25,6)) END), 0)
+               CAST(floor(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(value AS DECIMAL(25,6)) END), 0))
                     AS BIGINT) AS x,
-               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
-                    THEN CAST(value AS DECIMAL(25,6)) END), 0)
+               CAST(floor(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                    THEN CAST(value AS DECIMAL(25,6)) END), 0))
                     AS BIGINT) AS y
         FROM events WHERE user_id IS NOT NULL
         GROUP BY user_id
@@ -17138,12 +17161,12 @@ def experiment_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(_CUPED_CUT).cast("timestamp")
     per_user = ev.groupBy("user_id").agg(
         F.expr(
-            f"CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'"
-            f" THEN CAST(value AS DECIMAL(25,6)) END), 0) AS BIGINT)"
+            f"CAST(FLOOR(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'"
+            f" THEN CAST(value AS DECIMAL(25,6)) END), 0)) AS BIGINT)"
         ).alias("x"),
         F.expr(
-            f"CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'"
-            f" THEN CAST(value AS DECIMAL(25,6)) END), 0) AS BIGINT)"
+            f"CAST(FLOOR(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'"
+            f" THEN CAST(value AS DECIMAL(25,6)) END), 0)) AS BIGINT)"
         ).alias("y"),
     ).withColumn("arm", F.expr("user_id % 2")).localCheckpoint(eager=False)
     pooled = per_user.agg(
@@ -17214,7 +17237,7 @@ def _ndcg_oracle() -> str:
             FROM q CROSS JOIN pl
         ) q GROUP BY q.vec_id
     ),
-    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    queries AS (SELECT * FROM q WHERE vec_id % 25 = 0 AND vec_id < 2000),
     full_rank AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                row_number() OVER (
@@ -17229,7 +17252,7 @@ def _ndcg_oracle() -> str:
         SELECT qid, nid, {_NDCG_K} + 1 - rn AS rel
         FROM full_rank WHERE rn <= {_NDCG_K}
     ),
-    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0),
+    pq AS (SELECT * FROM proj WHERE vec_id % 25 = 0 AND vec_id < 2000),
     lo_rank AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                row_number() OVER (
@@ -17273,10 +17296,13 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), and the floor-div NDCG are all exact int64 on the
     hash per query.
 
-    Shape at 100 TB: identical to the recall eval — broadcast query
-    sample (1/25), two scan x broadcast rankings with per-query
-    WindowGroupLimit top-k, a model-sized rel join, one query-grain
-    aggregate. The discount vector rides as an array literal."""
+    Shape at 100 TB: identical to the recall eval — broadcast FIXED
+    query panel (every 25th vec below id 2000; a panel that grows
+    with the corpus makes any exact eval |Q|·n = quadratic — the
+    recall twin measured it at tail 2.23 before the cap), two scan x
+    broadcast rankings with per-query WindowGroupLimit top-k, a
+    model-sized rel join, one query-grain aggregate. The discount
+    vector rides as an array literal."""
     from pyspark.sql import Window
     from .functions.similarity import random_projection_int
 
@@ -17294,7 +17320,9 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def topk(base: DataFrame, col: str) -> DataFrame:
-        queries = base.where(F.col("vec_id") % 25 == 0).select(
+        queries = base.where(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000)
+        ).select(
             F.col("vec_id").alias("qid"), F.col(col).alias("a")
         )
         d2 = (
