@@ -108,6 +108,11 @@ QUERIES = [
     "spatial_grid_radius_join",
     "audio_silence_segments",
     "k_anonymity_audit",
+    "bom_hierarchy_rollup",
+    "experiment_cuped_adjustment",
+    "retrieval_ndcg_eval",
+    "cluster_silhouette_eval",
+    "knn_label_eval",
 ]
 N_RUNS = 3
 

@@ -472,3 +472,96 @@ def pq_train(
             ]
         codebooks.append(centroids)
     return q, codebooks
+
+
+def assign_with_runnerup(
+    df: DataFrame, qv_col: str, centroids: list[list[int]]
+) -> DataFrame:
+    """Like :func:`assign`, but also returns the SECOND-smallest
+    centroid distance (``runner_dist2``) — the extra number the
+    simplified-silhouette quality metric needs (s = (b−a)/b on
+    squared centroid distances). Same Arrow kernel shape: one exact
+    int64 matmul against the k×dims closure matrix, then a partial
+    sort for the two smallest entries per row; ties keep the smaller
+    centroid id first, matching :func:`assign`."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)
+    cc = np.einsum("kj,kj->k", C, C)
+
+    @pandas_udf("struct<cid: long, d: long, d2nd: long>")
+    def _assign2_np(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame(
+                {"cid": [], "d": [], "d2nd": []}, dtype="int64"
+            )
+        M = np.stack(qv.to_numpy()).astype(np.int64)
+        qq = np.einsum("ij,ij->i", M, M)
+        d = qq[:, None] + cc[None, :] - 2 * (M @ C.T)
+        # argpartition would not preserve the smaller-cid tie rule;
+        # with model-sized k a full argsort per row is O(k log k) and
+        # stable (ties keep ascending cid), matching the SQL
+        # row_number ORDER BY (dist2, cid) convention.
+        order = np.argsort(d, axis=1, kind="stable")
+        first = order[:, 0]
+        second = order[:, 1]
+        rows = np.arange(len(first))
+        return pd.DataFrame(
+            {
+                "cid": first.astype(np.int64),
+                "d": d[rows, first],
+                "d2nd": d[rows, second],
+            }
+        )
+
+    return (
+        df.withColumn("__best", _assign2_np(qv_col))
+        .withColumn("cluster_id", F.col("__best.cid"))
+        .withColumn("dist2", F.col("__best.d"))
+        .withColumn("runner_dist2", F.col("__best.d2nd"))
+        .drop("__best")
+    )
+
+
+def kmeans_silhouette_int_grid(
+    df: DataFrame, vec_col: str, id_col: str, *, k: int
+) -> DataFrame:
+    """Train one Lloyd round exactly as :func:`kmeans_int_grid`
+    (n_assign=2 semantics: init on the k smallest ids → assign →
+    truncating-integer-mean update) and return, per vector, the FINAL
+    cluster plus the simplified-silhouette ingredients: dist2 to the
+    own (nearest) centroid and runner_dist2 to the second-nearest.
+    Callers derive s_micro = (b−a)·10⁶ div b (squared simplified
+    silhouette — nonnegative by construction since assignment IS the
+    argmin; small s = the vector sits on a cluster boundary)."""
+    from pyspark import StorageLevel
+
+    q = quantize(df.select(id_col, vec_col), vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    init = q.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["qv"]) for r in init]
+    dims = len(centroids[0])
+    assigned = assign(q, "qv", centroids)
+    sums = (
+        assigned.select("cluster_id", F.posexplode("qv").alias("i", "v"))
+        .groupBy("cluster_id", "i")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in sums:
+        by_cid.setdefault(int(r["cluster_id"]), {})[int(r["i"])] = (
+            int(r["sv"]),
+            int(r["cnt"]),
+        )
+    centroids = [
+        [
+            _trunc_div(*by_cid[cid][i]) if cid in by_cid else centroids[cid][i]
+            for i in range(dims)
+        ]
+        for cid in range(k)
+    ]
+    return assign_with_runnerup(q, "qv", centroids).select(
+        id_col, "cluster_id", "dist2", "runner_dist2"
+    )

@@ -16911,16 +16911,15 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Spatial radius join via grid blocking (deterministic planar coordinates)
 
-_GEO_SPAN = 1_000_000  # planar coordinate domain [0, 1e6)^2
-_GEO_R = 20_000        # neighbor radius; grid cell size == R
+_GEO_SPAN = 1_000_000  # x-domain width W; y grows with the data
+_GEO_R = 500           # neighbor radius; grid cell size == R
 
 _SPATIAL_ORACLE = f"""
     WITH pts AS (
         SELECT c_custkey,
                ('0x' || substr(md5('ptx_' || c_custkey), 1, 12))::BIGINT
                    % {_GEO_SPAN} AS x,
-               ('0x' || substr(md5('pty_' || c_custkey), 1, 12))::BIGINT
-                   % {_GEO_SPAN} AS y
+               c_custkey AS y
         FROM customer
     ),
     nb AS (
@@ -16962,7 +16961,18 @@ def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy (density x R^2), so candidate volume is n x expected
     neighborhood, never n^2; the per-point rollup is one hash
     aggregate. Real geo stacks swap md5 points for lon/lat and the
-    grid for a Hilbert/S2 covering — the join shape is identical."""
+    grid for a Hilbert/S2 covering — the join shape is identical.
+
+    The world GROWS with the data: y = custkey (a strip one unit per
+    customer), x = md5 hash in [0, W) — so density is 1/W at every
+    SF and expected neighbors per point is pi*R^2/W ~ 0.8, a
+    CONSTANT. The first draft drew both coordinates in a FIXED
+    square; the r5 scale harness measured tail exponent 1.95,
+    because constant area + growing n = growing density = n^2 pair
+    volume even though the per-pair plan was right (the
+    panel-growth lesson in spatial form: real geographies add area
+    as they add customers; a benchmark that doesn't is measuring
+    its own defect)."""
     cust = load_table(spark, sf_dir, "customer")
     pts = cust.select(
         "c_custkey",
@@ -16970,10 +16980,7 @@ def spatial_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(conv(substr(md5(concat('ptx_', c_custkey)), 1, 12),"
             f" 16, 10) AS BIGINT) % {_GEO_SPAN}"
         ).alias("x"),
-        F.expr(
-            f"CAST(conv(substr(md5(concat('pty_', c_custkey)), 1, 12),"
-            f" 16, 10) AS BIGINT) % {_GEO_SPAN}"
-        ).alias("y"),
+        F.col("c_custkey").alias("y"),
     ).withColumn("cx", F.expr(f"x div {_GEO_R}")).withColumn(
         "cy", F.expr(f"y div {_GEO_R}")
     ).localCheckpoint(eager=False)
@@ -17364,3 +17371,265 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(gain) * 1000000 div {_NDCG_IDCG} AS BIGINT)"
         ).alias("ndcg_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality eval: simplified silhouette over the integer k-means
+
+def _silhouette_oracle() -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q ORDER BY vec_id LIMIT {_KMEANS_K}
+    ),
+    d1 AS (
+        SELECT v.vec_id, v.qv, c.cid, {d2} AS dist2
+        FROM q v CROSS JOIN c0 c
+    ),
+    a1 AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT cid, s.i AS i, SUM(s.v) AS sv, COUNT(*) AS cnt
+        FROM a1, unnest(list_transform(range(1, len(qv) + 1),
+                        i -> struct_pack(i := i, v := qv[i]))) AS u(s)
+        GROUP BY cid, s.i
+    ),
+    dims AS (
+        SELECT i FROM unnest(range(1, 65)) AS d(i)
+    ),
+    c1 AS (
+        SELECT c0.cid,
+               list(COALESCE(s.sv // s.cnt, c0.cv[dims.i])
+                    ORDER BY dims.i) AS cv
+        FROM c0 CROSS JOIN dims
+        LEFT JOIN sums s ON s.cid = c0.cid AND s.i = dims.i
+        GROUP BY c0.cid
+    ),
+    d2r AS (
+        SELECT v.vec_id, c.cid, {d2} AS dist2,
+               row_number() OVER (
+                   PARTITION BY v.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM q v CROSS JOIN c1 c
+    ),
+    sil AS (
+        SELECT a.vec_id, a.cid AS cluster_id, a.dist2 AS a2, b.dist2 AS b2,
+               CASE WHEN b.dist2 = 0 THEN 0
+                    ELSE (b.dist2 - a.dist2) * 1000000 // b.dist2
+               END AS s_micro
+        FROM (SELECT * FROM d2r WHERE rn = 1) a
+        JOIN (SELECT * FROM d2r WHERE rn = 2) b ON b.vec_id = a.vec_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+           CAST(MIN(s_micro) AS BIGINT) AS min_sil_micro
+    FROM sil GROUP BY cluster_id
+"""
+
+
+@query("cluster_silhouette_eval", oracle=_silhouette_oracle())
+def cluster_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-QUALITY EVAL — simplified silhouette per k-means
+    cluster (Rousseeuw 1987's silhouette with centroid distances in
+    place of mean pairwise distances — the variant that large-scale
+    pipelines actually compute, because the classic form is a pairwise
+    O(n^2); on SQUARED distances, which preserves the metric's order):
+    for every vector, a = dist2 to its own (nearest) centroid after
+    one exact-integer Lloyd round, b = dist2 to the runner-up
+    centroid, s_micro = (b - a) * 10^6 div b in [0, 10^6] — small s
+    means the vector sits on a cluster boundary. Per-cluster mean and
+    MINIMUM silhouette are the "should I trust / resplit this
+    cluster" diagnostic behind choosing k for semantic_dedup buckets
+    and IVF lists. The oracle replays init, assignment, the
+    truncating-integer-mean update, and BOTH final distances verbatim
+    (the kmeans_embedding_clusters chain extended to rank 2), so the
+    metric's every ingredient rides the hash.
+
+    Shape at 100 TB: identical to k-means — the only addition is that
+    the final Arrow assignment kernel keeps the second-smallest
+    distance of the same n x k matmul row (assign_with_runnerup;
+    zero extra passes), and the eval aggregate is k rows."""
+    from .functions.clustering import kmeans_silhouette_int_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_vec = kmeans_silhouette_int_grid(
+        emb, "embedding", "vec_id", k=_KMEANS_K
+    )
+    sil = per_vec.select(
+        "cluster_id",
+        F.expr(
+            "CASE WHEN runner_dist2 = 0 THEN 0"
+            " ELSE (runner_dist2 - dist2) * 1000000 div runner_dist2"
+            " END"
+        ).alias("s_micro"),
+    )
+    return sil.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr("CAST(SUM(s_micro) div COUNT(*) AS BIGINT)").alias(
+            "mean_sil_micro"
+        ),
+        F.min("s_micro").cast("long").alias("min_sil_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-classification eval over an injected-neighbor panel
+
+_KNN_K = 5
+_KNN_COPIES = 3
+_KNN_SHIFT = 10_000_000
+
+
+def _knn_delta_sql(vid: str, j: str, i: str) -> str:
+    """±3 integer perturbation derived from md5 — identical text on
+    both engines modulo hex-int syntax handled by the caller."""
+    return f"md5('knn_' || {vid} || '_' || {j} || '_' || {i})"
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    panel AS (
+        SELECT * FROM q WHERE vec_id % 25 = 0 AND vec_id < 2000
+    ),
+    injected AS (
+        SELECT p.vec_id + {_KNN_SHIFT} * j.j AS vec_id, p.label,
+               list_transform(range(1, len(p.qv) + 1),
+                   i -> p.qv[i]
+                        + ('0x' || substr(md5('knn_' || p.vec_id || '_'
+                              || j.j || '_' || i), 1, 4))::BIGINT % 7 - 3
+               ) AS qv
+        FROM panel p, range(1, {_KNN_COPIES} + 1) j(j)
+    ),
+    corpus AS (
+        SELECT vec_id, label, qv FROM q
+        UNION ALL SELECT vec_id, label, qv FROM injected
+    ),
+    ranked AS (
+        SELECT p.vec_id AS qid, p.label AS true_label,
+               c.label AS nb_label,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(p.qv) + 1),
+                       i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i]))),
+                       c.vec_id
+               ) AS rn
+        FROM panel p JOIN corpus c ON c.vec_id <> p.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, nb_label, COUNT(*) AS v
+        FROM ranked WHERE rn <= {_KNN_K}
+        GROUP BY qid, true_label, nb_label
+    ),
+    pred AS (
+        SELECT qid, true_label, nb_label AS pred_label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY v DESC, nb_label) AS pr
+            FROM votes
+        ) WHERE pr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+"""
+
+
+@query("knn_label_eval", oracle=_KNN_ORACLE)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION EVAL — 5-NN majority-vote label prediction
+    with the full confusion matrix on the hash. The raw corpus cannot
+    support this eval: its labels are RANDOM in embedding space
+    (probed: 5-NN accuracy 10.6% ~= chance on 10 balanced labels), so
+    accuracy could not tell a working kNN from a broken one — the tau
+    lesson. Each panel vector therefore gets 3 INJECTED same-label
+    neighbors (deterministic md5-derived +/-3 perturbations on the
+    micro grid: d2 <= 64*9 = 576 vs ~2e12 for natural pairs, so the
+    injections are unambiguously the nearest neighbors): a correct
+    kNN predicts the panel vector's own label through the 3-vote
+    majority; a broken distance, ranking, or vote falls back to
+    chance and flips the matrix. Majority ties break (votes DESC,
+    label ASC) — pinned on both engines; the panel is FIXED
+    (vec_id % 25 = 0 AND < 2000 — the capped-panel rule from the
+    recall eval's measured quadratic).
+
+    Shape at 100 TB: panel x corpus scan-broadcast ranking with
+    per-query WindowGroupLimit top-5 (never corpus x corpus), a
+    label-bounded vote aggregate, and a 10x10-bounded confusion
+    output. Injection is scan-local arithmetic on the panel only."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " * 1000000) AS BIGINT))"
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    panel = q.where((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+    injected = panel.crossJoin(
+        spark.range(1, _KNN_COPIES + 1).select(F.col("id").alias("j"))
+    ).select(
+        (F.col("vec_id") + F.lit(_KNN_SHIFT) * F.col("j")).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(sequence(1, size(qv)), i -> qv[i-1]"
+            " + CAST(conv(substr(md5(concat('knn_', vec_id, '_', j, '_',"
+            " i)), 1, 4), 16, 10) AS BIGINT) % 7 - 3)"
+        ).alias("qv"),
+    )
+    corpus = q.unionByName(injected)
+    queries = panel.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("a"),
+    )
+    d2 = (
+        "aggregate(zip_with(a, qv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    ranked = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "true_label",
+            F.col("label").alias("nb_label"),
+            F.expr(d2).alias("d2"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    votes = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .groupBy("qid", "true_label", "nb_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("v"), "nb_label")
+    pred = votes.withColumn("pr", F.row_number().over(wp)).where(
+        F.col("pr") == 1
+    )
+    return pred.groupBy(
+        F.col("true_label"), F.col("nb_label").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
