@@ -17633,3 +17633,111 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         F.col("true_label"), F.col("nb_label").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonal/trend decomposition in exact integer milli units
+
+_STL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT event_type, dt, y,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN SUM(y) OVER w * 1000 // 7 END AS trend_milli
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY dt
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, dt, y, trend_milli,
+               y * 1000 - trend_milli AS det_milli,
+               dayofweek(dt) AS dow
+        FROM tr WHERE trend_milli IS NOT NULL
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               CASE WHEN SUM(det_milli) >= 0
+                    THEN SUM(det_milli) // COUNT(*)
+                    ELSE -((-SUM(det_milli)) // COUNT(*)) END AS seasonal_milli
+        FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.dt, d.y,
+           CAST(d.trend_milli AS BIGINT) AS trend_milli,
+           CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(d.det_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+    FROM det d JOIN seas s
+      ON s.event_type = d.event_type AND s.dow = d.dow
+"""
+
+
+@query("stl_seasonal_decompose", oracle=_STL_ORACLE)
+def stl_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-TREND DECOMPOSITION (the STL shape — Cleveland et al.
+    1990 — with moving-average trend and periodic-mean seasonal, the
+    deterministic core the loess iterations refine): per event type,
+    daily count y splits into TREND (7-day centered moving average,
+    emitted only where the +/-3-day window is FULL — edge days have a
+    biased window, the classic decomposition edge rule), SEASONAL
+    (per-day-of-week mean of the detrended series — the weekly
+    pattern), and RESIDUAL (what anomaly detectors should actually
+    threshold: anomaly_days_zscore flags raw counts and so fires on
+    every weekend; the residual removes the weekly rhythm first).
+    Exact integer milli units throughout; the detrended means use
+    SIGN-SPLIT truncating division spelled identically on both
+    engines (sums can be negative; rule #12's sibling — agree on the
+    rounding, then the expression, not the algebra, is the
+    contract).
+
+    Shape at 100 TB: one reduction to the (type, day) grain (the only
+    corpus-sized shuffle, map-side combinable), then a 7-row ROWS
+    window and a dow-grain aggregate over the day-grain table —
+    model-sized from the first aggregate on. The decomposition is a
+    fixed pipeline of three bounded operators, not an iterative fit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type", "dt", "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            (F.sum("y").over(w) * F.lit(1000)).cast("long"),
+        ).alias("__tsum"),
+    ).select(
+        "event_type", "dt", "y",
+        F.expr("CAST(__tsum div 7 AS BIGINT)").alias("trend_milli"),
+    )
+    # dow is ONLY a join/group key: the engines' numbering conventions
+    # (Sunday=0 vs Sunday=1) relabel the same partition of dates, so
+    # the decomposition is convention-independent by construction.
+    det = tr.where(F.col("trend_milli").isNotNull()).select(
+        "event_type", "dt", "y", "trend_milli",
+        (F.col("y") * 1000 - F.col("trend_milli")).alias("det_milli"),
+        F.expr("dayofweek(dt)").alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CASE WHEN SUM(det_milli) >= 0"
+            " THEN SUM(det_milli) div COUNT(*)"
+            " ELSE -((-SUM(det_milli)) div COUNT(*)) END"
+        ).alias("seasonal_milli")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type", "dt", "y",
+        F.col("trend_milli").cast("long").alias("trend_milli"),
+        F.col("seasonal_milli").cast("long").alias("seasonal_milli"),
+        (F.col("det_milli") - F.col("seasonal_milli"))
+        .cast("long")
+        .alias("resid_milli"),
+    )
