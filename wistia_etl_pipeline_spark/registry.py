@@ -17741,3 +17741,150 @@ def stl_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("resid_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 fifth session: runtime-filter plan demos, calibration, DTW
+# --------------------------------------------------------------------------
+
+@query(
+    "bloom_filter_join_prune",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(25,6))) AS DOUBLE), 6) AS revenue,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN PRUNING — the row-level sibling of the
+    AQE skew demo (``aqe_skew_join_rollup``) and of dynamic partition
+    pruning: a selective dimension predicate (urgent orders, ~20% of
+    the orders table) is turned by ``InjectRuntimeFilter`` into a
+    ``bloom_filter_agg`` built on the creation side and a
+    ``might_contain(xxhash64(l_orderkey))`` filter EVALUATED INSIDE THE
+    FACT SCAN — the ~80% of lineitem rows whose order is not urgent are
+    dropped before the shuffle instead of after it.
+    ``tests/test_plans.py::test_bloom_filter_join_prunes_fact_scan``
+    executes this plan and pins both halves (the filter on the lineitem
+    side, the bloom aggregate on the orders side).
+
+    Per-query conf overrides: the application-side size gate defaults
+    to 10 GB — correct at 100 TB, where a bloom filter is only worth
+    building against a scan big enough to amortize it, but unreachable
+    at test SF, so the gate is lowered to 0 (RUNTIME_CONFS carries the
+    default; the next query's apply_runtime_confs resets it — the
+    aqe_skew leak-proofing pattern). Broadcast is disabled for THIS
+    plan only: at 100 TB the urgent-orders side (billions of keys) is
+    far beyond broadcast range and the join is a genuine shuffle join —
+    which is exactly when the bloom filter pays: it is the scalable
+    replacement for the broadcast-join's implicit row pruning. The
+    rewrite is semantics-free (a bloom filter has false positives,
+    never false negatives, and the exact join still runs behind it),
+    so the plain-join oracle is the differential proof."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # After load_table (which re-applies the RUNTIME_CONFS defaults and
+    # would clobber these — the aqe_skew conf-order lesson).
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    urgent = orders.where(
+        F.col("o_orderpriority") == F.lit("1-URGENT")
+    ).select("o_orderkey")
+    joined = lineitem.join(
+        urgent, lineitem.l_orderkey == urgent.o_orderkey
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(25,6)")
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "dpp_partition_prune_join",
+    oracle="""
+    SELECT CAST(ts AS DATE)      AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                                 AS sum_value
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) = 1  -- DuckDB: 0=Sunday, 1=Monday
+    GROUP BY 1
+    """,
+)
+def dpp_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the partition-level sibling of the
+    bloom demo above, and the runtime completion of P3's static
+    partition-predicate scan: the fact table is laid out
+    ``partitionBy(dt)`` (the reference's own object-store layout,
+    bronze.py:141's dt= prefix convention), the calendar dim carries a
+    day-of-week attribute the fact layout knows nothing about, and
+    filtering the DIM to Mondays prunes the FACT scan to ~1/7 of its
+    partitions AT RUNTIME via the reused broadcast
+    (``dynamicpruningexpression(dt IN dynamicpruning#N)`` inside the
+    scan's PartitionFilters —
+    ``tests/test_plans.py::test_dpp_prunes_fact_partitions`` executes
+    the plan and pins it, plus the actual partitions-read count).
+
+    This is THE pattern a 100 TB date-partitioned warehouse lives on:
+    the dim predicate is not expressible as a static partition filter
+    (the fact directory tree only knows dt values, not week structure),
+    so without DPP the scan reads all partitions and the join discards
+    6/7 of the bytes after IO. No conf overrides needed — DPP is on by
+    default and the dim side broadcasts naturally; the demo's only
+    stage-setting is the partitioned layout itself, built from the
+    events table inside the query (uuid temp dir, same as the
+    stream-staging queries). The oracle computes the same Monday
+    rollup from the UNPARTITIONED source, so the hash also proves the
+    partitioned layout round-trips every row (dates: Spark
+    dayofweek 1=Sunday vs DuckDB 0=Sunday — aligned explicitly, the
+    datetime_surface lesson)."""
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="wistia_dpp_")
+    fact_path = os.path.join(root, "fact")
+    dim_path = os.path.join(root, "dim")
+    events.withColumn("dt", F.to_date("ts")).write.partitionBy(
+        "dt"
+    ).parquet(fact_path)
+    # Calendar dim: one row per date with attributes the fact layout
+    # does not encode. Written to disk (not constant-folded) so the
+    # pruning genuinely happens at runtime against a file source.
+    events.select(F.to_date("ts").alias("dt")).distinct().select(
+        "dt", F.dayofweek("dt").alias("dow")  # Spark: 1=Sunday
+    ).write.parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    mondays = spark.read.parquet(dim_path).where(
+        F.col("dow") == F.lit(2)  # Spark Monday
+    ).select("dt")
+    return (
+        fact.join(mondays, "dt")
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )

@@ -52,6 +52,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5.0",
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
+    # Runtime bloom-filter join pruning (``bloom_filter_join_prune``)
+    # pinned at Spark defaults for the same reason as the skew
+    # thresholds above: the demo query lowers the application-side
+    # size gate so injection fires at test SF, and apply_runtime_confs
+    # must reset it before the next query builds.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+    "spark.sql.autoBroadcastJoinThreshold": "10MB",
 }
 
 
