@@ -43,3 +43,49 @@ def test_out_of_range_ranks_absent(spark):
     df = spark.createDataFrame([(v,) for v in [3, 1, 2]], "v long")
     got = value_at_ranks(df, "v", [2, 7], bucket=2)
     assert got == {2: 2}
+
+
+def test_isotonic_matches_pava_and_is_monotone(spark):
+    """The registry's minimax isotonic fit must equal the classic
+    sequential pool-adjacent-violators solution (weighted, floored to
+    micro) and be monotone non-decreasing — the two characterizations
+    of the same optimum (Robertson/Wright/Dykstra 1988 §1.2)."""
+    from wistia_etl_pipeline_spark import registry
+
+    rows = (
+        registry._QUERIES["isotonic_calibration"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .orderBy("score_bin")
+        .collect()
+    )
+    assert len(rows) > 10
+    iso = [r.iso_micro for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:])), "not monotone"
+    # raw rates must NOT be monotone at this SF (otherwise the fit is
+    # vacuous and the query proves nothing)
+    raw = [r.rate_micro for r in rows]
+    assert any(a > b for a, b in zip(raw, raw[1:]))
+
+    # classic PAVA on the same (n, n_pos) bins
+    blocks = [
+        [r.n_pos, r.n, [i]] for i, r in enumerate(rows)
+    ]  # [sum_y, sum_w, members]
+    stack: list[list] = []
+    for b in blocks:
+        stack.append(b)
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):  # prev_mean >= cur_mean, exact cross-multiplied compare
+            y2, w2, m2 = stack.pop()
+            stack[-1][0] += y2
+            stack[-1][1] += w2
+            stack[-1][2] += m2
+    import math
+
+    expect = [0] * len(rows)
+    for y, w, members in stack:
+        val = math.floor((y / w) * 1000000)
+        for i in members:
+            expect[i] = val
+    assert iso == expect

@@ -17888,3 +17888,135 @@ def dpp_partition_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+_ISO_ORACLE = """
+    WITH bins AS (
+        SELECT CAST(LEAST(63, CAST(floor(value / 8.0) AS BIGINT)) AS BIGINT)
+                   AS score_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS n_pos
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT score_bin, n, n_pos,
+               CAST(SUM(n) OVER (ORDER BY score_bin) AS BIGINT)     AS cw,
+               CAST(SUM(n_pos) OVER (ORDER BY score_bin) AS BIGINT) AS cy
+        FROM bins
+    ),
+    intervals AS (
+        SELECT j.score_bin AS jb, k.score_bin AS kb,
+               CAST(k.cy - (j.cy - j.n_pos) AS DOUBLE)
+                   / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS avg_rate
+        FROM pre j JOIN pre k ON j.score_bin <= k.score_bin
+    ),
+    minimax AS (
+        SELECT i.score_bin,
+               MAX(mn.m) AS g
+        FROM pre i JOIN (
+            SELECT iv.jb, i2.score_bin AS ib, MIN(iv.avg_rate) AS m
+            FROM pre i2
+            JOIN intervals iv
+              ON iv.jb <= i2.score_bin AND iv.kb >= i2.score_bin
+            GROUP BY iv.jb, i2.score_bin
+        ) mn ON mn.ib = i.score_bin
+        GROUP BY i.score_bin
+    )
+    SELECT b.score_bin, b.n, b.n_pos,
+           CAST(b.n_pos * 1000000 // b.n AS BIGINT) AS rate_micro,
+           CAST(floor(m.g * 1000000) AS BIGINT)     AS iso_micro
+    FROM bins b JOIN minimax m ON m.score_bin = b.score_bin
+"""
+
+
+@query("isotonic_calibration", oracle=_ISO_ORACLE)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (PAVA-equivalent) score calibration — the
+    monotone upgrade of ``quality_score_calibration``'s reliability
+    diagram: raw per-bin purchase rates over 64 engagement-value bins
+    are NOT monotone (the label is noisy), and the isotonic fit is the
+    maximum-likelihood monotone curve, computed here through the exact
+    MINIMAX characterization g(i) = max_{j<=i} min_{k>=i} avg(y[j..k])
+    (Robertson/Wright/Dykstra 1988, eq. 1.9–1.13) instead of the
+    sequential pool-adjacent-violators sweep — PAVA is inherently
+    serial, the minimax form is a relational join over interval
+    averages, which is the distributable shape.
+    ``tests/test_selection.py::test_isotonic_matches_pava_and_is_monotone``
+    proves the equivalence against a pure-Python PAVA replica and pins
+    monotonicity.
+
+    Exactness: interval averages are BIGINT/BIGINT divisions — one
+    IEEE-754 op per pair, bit-identical cross-engine (the per-row
+    double rule from the registry header); max-of-min over identical
+    double SETS is engine-independent even when distinct rationals
+    collide in double space (max/min of VALUES, not argmax). The final
+    micro floors are then exact.
+
+    Shape at 100 TB: ONE corpus-sized hash aggregate reduces the event
+    stream to <=64 (bin, n, n_pos) rows; everything after — prefix
+    sums, the 2k-row interval self-join, the minimax — is model-sized
+    driver-adjacent work (the single-partition window is over 64 rows
+    by construction, the token_budget_selection bounded-window
+    pattern). Calibrating a trillion events costs exactly the one
+    scan."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    bins = events.groupBy(
+        F.least(F.lit(63), F.floor(F.col("value") / F.lit(8.0)))
+        .cast("long")
+        .alias("score_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("event_type") == F.lit("purchase"), F.lit(1))
+        ).alias("n_pos"),
+    )
+    w = Window.orderBy("score_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bins.select(
+        "score_bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("cw"),
+        F.sum("n_pos").over(w).cast("long").alias("cy"),
+    ).localCheckpoint(eager=False)
+    j = pre.select(
+        F.col("score_bin").alias("jb"),
+        (F.col("cy") - F.col("n_pos")).alias("jy0"),
+        (F.col("cw") - F.col("n")).alias("jw0"),
+    )
+    k = pre.select(
+        F.col("score_bin").alias("kb"),
+        F.col("cy").alias("ky"),
+        F.col("cw").alias("kw"),
+    )
+    intervals = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("ky") - F.col("jy0")).cast("double")
+            / (F.col("kw") - F.col("jw0")).cast("double")
+        ).alias("avg_rate"),
+    )
+    ibins = pre.select(F.col("score_bin").alias("ib"))
+    inner = (
+        ibins.join(
+            intervals,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("jb", "ib")
+        .agg(F.min("avg_rate").alias("m"))
+    )
+    g = inner.groupBy(F.col("ib").alias("score_bin")).agg(
+        F.max("m").alias("g")
+    )
+    return bins.join(g, "score_bin").select(
+        "score_bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("rate_micro"),
+        F.floor(F.col("g") * F.lit(1000000)).cast("long").alias("iso_micro"),
+    )
