@@ -18020,3 +18020,161 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_pos * 1000000 div n AS BIGINT)").alias("rate_micro"),
         F.floor(F.col("g") * F.lit(1000000)).cast("long").alias("iso_micro"),
     )
+
+
+_DTW_T = 28      # Jan 1-28 — present at every SF (TESTDATA.md span)
+_DTW_BAND = 3    # Sakoe-Chiba band half-width
+
+
+_DTW_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS dt FROM events
+        WHERE CAST(ts AS DATE)
+              BETWEEN DATE '2024-01-01' AND DATE '2024-01-{_DTW_T:02d}'
+    ),
+    cnt AS MATERIALIZED (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', dt) + 1 AS BIGINT)
+                   AS i,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM cnt GROUP BY 1
+    ),
+    days AS (SELECT unnest(range(1, {_DTW_T} + 1)) AS i),
+    ushare AS MATERIALIZED (
+        SELECT t.user_id, d.i, COALESCE(c.c, 0) * 1000 // t.total AS av
+        FROM tot t CROSS JOIN days d
+        LEFT JOIN cnt c ON c.user_id = t.user_id AND c.i = d.i
+    ),
+    rshare AS MATERIALIZED (
+        SELECT d.i AS j,
+               COALESCE(g.gc, 0) * 1000
+                   // (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) AS bv
+        FROM days d
+        LEFT JOIN (SELECT i, CAST(SUM(c) AS BIGINT) AS gc
+                   FROM cnt GROUP BY i) g
+          ON g.i = d.i
+    ),
+    cost AS MATERIALIZED (
+        SELECT u.user_id, u.i, r.j, ABS(u.av - r.bv) AS d
+        FROM ushare u JOIN rshare r ON ABS(u.i - r.j) <= {_DTW_BAND}
+    ),
+    -- Wavefront recursion over anti-diagonals: DuckDB's recursive
+    -- working table holds ONLY the last step's rows and may be
+    -- referenced once, but cell (i,j) needs diagonals t-1 AND t-2 —
+    -- so every fresh diagonal is re-emitted once more as fresh=false
+    -- (rows live exactly two steps), and a VALUES role table fans the
+    -- single working-table scan into the three DP moves + the carry.
+    dp AS (
+        SELECT c.user_id, c.i, c.j, c.d AS cost, true AS fresh
+        FROM cost c WHERE c.i = 1 AND c.j = 1
+        UNION ALL
+        SELECT s.user_id, s.i, s.j, s.cost, s.fresh FROM (
+            WITH raw AS (
+                SELECT w.user_id, w.i, w.j, w.cost, r.kind, r.di, r.dj
+                FROM dp w JOIN (VALUES ('m', 1, 0, true), ('m', 0, 1, true),
+                                       ('m', 1, 1, false), ('c', 0, 0, true))
+                     r(kind, di, dj, needfresh) ON w.fresh = r.needfresh
+            ),
+            moved AS (
+                SELECT user_id, i + di AS i, j + dj AS j, MIN(cost) AS best
+                FROM raw
+                WHERE kind = 'm' AND i + di <= {_DTW_T}
+                  AND j + dj <= {_DTW_T}
+                  AND ABS((i + di) - (j + dj)) <= {_DTW_BAND}
+                GROUP BY 1, 2, 3
+            ),
+            newcells AS (
+                SELECT m.user_id, m.i, m.j, m.best + c.d AS cost,
+                       true AS fresh
+                FROM moved m JOIN cost c
+                  ON c.user_id = m.user_id AND c.i = m.i AND c.j = m.j
+            ),
+            carried AS (
+                SELECT user_id, i, j, cost, false AS fresh
+                FROM raw WHERE kind = 'c' AND i + j <= 2 * {_DTW_T} - 1
+            )
+            SELECT * FROM newcells UNION ALL SELECT * FROM carried
+        ) s
+    )
+    SELECT t.user_id, t.n_active, t.total, d.cost AS dtw_cost
+    FROM tot t JOIN dp d ON d.user_id = t.user_id
+    WHERE d.i = {_DTW_T} AND d.j = {_DTW_T} AND d.fresh
+"""
+
+
+@query("dtw_activity_profile", oracle=_DTW_ORACLE)
+def dtw_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING activity-shape distance — the sequence
+    operator Spark lacks (a sequential DP no built-in expresses),
+    implemented as the brief's category-(b) path: per-user daily
+    activity over a FIXED 28-day calendar window is reduced to an
+    integer per-mille share series in plain aggregates, then an
+    Arrow-batched ``mapInPandas`` kernel (functions/dtw.py) runs the
+    Sakoe-Chiba banded DP (band 3) against the global mean profile —
+    "which users' activity RHYTHM deviates from the corpus, allowing
+    small temporal shifts" — the elastic upgrade of
+    ``user_activity_trend``'s rigid per-day comparison (a user who
+    does everything one day late is near-identical under DTW but far
+    under Euclidean).
+
+    Exactness: shares are floor-div per-mille BIGINTs, costs are
+    |int - int| sums — both engines replay the identical recurrence;
+    the oracle's wavefront recursive CTE (comment inline above) is a
+    faithful re-execution of the DP, so the hash proves the kernel
+    cell-for-cell. ``tests/test_dtw.py`` pins the kernel against a
+    pure-Python replica, shift-tolerance (lag-1 series beats a
+    same-energy scramble), and band unreachability.
+
+    Shape at 100 TB: one (user, day) hash aggregate is the only
+    corpus-sized shuffle; the series assembly is map_from_entries +
+    a 28-element transform (scan-local); the reference profile is a
+    28-int literal (k-means-centroid pattern, never a join); the DP
+    stage is O(T·band) per user over Arrow batches — linear in users,
+    partition-parallel, no shuffle of its own. A billion users cost a
+    billion tiny DPs, not a billion² alignment."""
+    from .functions.dtw import banded_dtw
+
+    t, band = _DTW_T, _DTW_BAND
+    events = load_table(spark, sf_dir, "events")
+    win = events.select(
+        "user_id", F.to_date("ts").alias("dt")
+    ).where(
+        (F.col("dt") >= F.lit("2024-01-01"))
+        & (F.col("dt") <= F.lit(f"2024-01-{t:02d}"))
+    )
+    cnt = win.groupBy(
+        "user_id",
+        (F.datediff("dt", F.lit("2024-01-01")) + F.lit(1)).alias("i"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # Global reference profile: 28 per-mille ints — model-sized collect.
+    grows = (
+        cnt.groupBy("i").agg(F.sum("c").alias("gc")).collect()
+    )
+    gmap = {int(r.i): int(r.gc) for r in grows}
+    gtot = sum(gmap.values())
+    ref = [(gmap.get(i, 0) * 1000) // gtot for i in range(1, t + 1)]
+    user = cnt.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("i"), F.col("c")))
+        ).alias("m"),
+    )
+    series = user.select(
+        "user_id",
+        "n_active",
+        "total",
+        F.expr(
+            f"transform(sequence(1, {t}),"
+            f" d -> CAST(coalesce(element_at(m, d), 0L) * 1000"
+            f" div total AS BIGINT))"
+        ).alias("shares"),
+    )
+    return banded_dtw(series, "shares", ref, band=band).select(
+        "user_id", "n_active", "total", "dtw_cost"
+    )
