@@ -331,3 +331,32 @@ def test_zipf_fit_matches_numpy(spark):
         y.sum() * 1_000_000 - slope * x.sum(), n
     )
     assert got["slope_micro"] <= 0  # frequencies non-increasing in rank
+
+
+def test_rank_sum_matches_bruteforce_pooled_ranking(spark):
+    """The census-based doubled-rank formula must equal the textbook
+    computation: pool both arms, assign tie-averaged ranks by sorting,
+    sum ranks over arm A — done naively in numpy on the same data."""
+    import numpy as np
+    import pandas as pd
+
+    from wistia_etl_pipeline_spark import registry
+
+    row = registry._QUERIES["rank_sum_ab_test"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["view", "click"])]
+    vals = pdf.value.to_numpy()
+    ranks = pd.Series(vals).rank(method="average").to_numpy()  # ties avg
+    a = ranks[(pdf.event_type == "view").to_numpy()]
+    n_a, n_b = len(a), len(ranks) - len(a)
+    r_a = float(a.sum())
+    assert row.n_a == n_a and row.n_b == n_b
+    assert row.r2_a == round(2 * r_a)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    assert row.u2_a == round(2 * u_a)
+    # tie term: sum m(m^2-1) over tied blocks
+    _, counts = np.unique(vals, return_counts=True)
+    assert row.tie_m3_sum == int((counts * (counts**2 - 1)).sum())

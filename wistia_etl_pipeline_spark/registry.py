@@ -18178,3 +18178,107 @@ def dtw_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_dtw(series, "shares", ref, band=band).select(
         "user_id", "n_active", "total", "dtw_cost"
     )
+
+
+_RANKSUM_ORACLE = """
+    WITH census AS (
+        SELECT value,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM events
+        WHERE event_type IN ('view', 'click')
+        GROUP BY value
+    ),
+    ranked AS (
+        SELECT ca, m,
+               CAST(COALESCE(SUM(m) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS s
+        FROM census
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT)                    AS n_a,
+               CAST(SUM(m - ca) AS BIGINT)                AS n_b,
+               CAST(SUM(ca * (2 * s + m + 1)) AS BIGINT)  AS r2_a,
+               CAST(SUM(m * (m * m - 1)) AS BIGINT)       AS tie_m3_sum
+        FROM ranked
+    )
+    SELECT n_a, n_b, r2_a, tie_m3_sum,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST((n_a * n_b - (r2_a - n_a * (n_a + 1)))
+                * 1000000 // (n_a * n_b) AS BIGINT) AS rank_biserial_micro
+    FROM agg
+"""
+
+
+@query("rank_sum_ab_test", oracle=_RANKSUM_ORACLE)
+def rank_sum_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY RANK-SUM A/B TEST — the nonparametric sibling of
+    ``experiment_ab_chisq`` (rates) and ``experiment_cuped_adjustment``
+    (means): does the engagement-value DISTRIBUTION differ between the
+    'view' and 'click' arms, via ranks — robust to the heavy tail that
+    makes the mean tests fragile. Everything is exact integers on the
+    DOUBLED-rank grid: tied blocks share average rank (S + (m+1)/2),
+    so 2·avg_rank = 2S + m + 1 is a BIGINT; emitted are the doubled
+    rank sum R2_A, the doubled U statistic U2_A = R2_A − n_A(n_A+1),
+    the tie-correction term Σ m(m²−1) (the variance numerator piece a
+    z-test consumer needs — kept as the exact integer, no sqrt crosses
+    an engine), and the rank-biserial effect size in floored micro
+    (rb = 1 − U2/(n_a·n_b)).
+
+    The scale design is the census-selection idiom
+    (``trimmed_mean_census`` / ``exact_median_two_pass``): NO
+    corpus-sized rank window — one hash aggregate reduces the stream
+    to the VALUE DOMAIN (grouped by the double's exact bit pattern;
+    parquet doubles group/order identically cross-engine), the
+    cumulative-count window runs over that domain-bounded census, and
+    one final reduction emits a single row. Ranking a trillion events
+    costs one scan + one census-sized window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    census = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .groupBy("value")
+        .agg(
+            F.count(
+                F.when(F.col("event_type") == F.lit("view"), F.lit(1))
+            ).alias("ca"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = census.select(
+        "ca",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long").alias("s"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("m") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("s") + F.col("m") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(F.col("m") * (F.col("m") * F.col("m") - F.lit(1)))
+        .cast("long")
+        .alias("tie_m3_sum"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "r2_a",
+        "tie_m3_sum",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + F.lit(1)))
+        .cast("long")
+        .alias("u2_a"),
+        F.expr(
+            "CAST((n_a * n_b - (r2_a - n_a * (n_a + 1)))"
+            " * 1000000 div (n_a * n_b) AS BIGINT)"
+        ).alias("rank_biserial_micro"),
+    )
