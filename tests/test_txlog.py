@@ -565,3 +565,59 @@ def test_snapshot_diff_classifies_all_fates(spark):
     assert (got[2].old_v, got[2].new_v) == (20, 21)
     assert (got[4].new_v, got[4].new_x) == (None, None)
     assert (got[5].old_v, got[5].old_x) == (None, None)
+
+
+def _range_laid_table(spark, tmp_path, rows, n_files=4):
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("k",))
+    df = (
+        spark.createDataFrame(rows, "k long, v string")
+        .repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+    )
+    t.overwrite(df)
+    return t
+
+
+def test_delete_prunes_and_carries_files(spark, tmp_path):
+    rows = [Row(k=i, v=f"r{i}") for i in range(100)]
+    t = _range_laid_table(spark, tmp_path, rows)
+    before = {f["path"] for f in t._manifest(t.current_version())["files"]}
+    v = t.delete(spark, ("k", 10, 19))
+    m = t._manifest(v)
+    # only the file(s) whose range can contain 10..19 were rewritten
+    assert 0 < m["delete"]["files_rewritten"] < len(before)
+    assert m["delete"]["files_carried"] > 0
+    carried_now = {f["path"] for f in m["files"]} & before
+    assert len(carried_now) == m["delete"]["files_carried"]
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [i for i in range(100) if not 10 <= i <= 19]
+
+
+def test_delete_preserves_null_keys(spark, tmp_path):
+    rows = [Row(k=None, v="nk"), Row(k=5, v="r5"), Row(k=15, v="r15")]
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("k",))
+    t.overwrite(spark.createDataFrame(rows, "k long, v string"))
+    t.delete(spark, ("k", 0, 10))
+    vs = sorted(r.v for r in t.read(spark).collect())
+    assert vs == ["nk", "r15"]  # NULL never matches a range predicate
+
+
+def test_delete_outside_all_ranges_is_noop_commit_free(spark, tmp_path):
+    rows = [Row(k=i, v=f"r{i}") for i in range(20)]
+    t = _range_laid_table(spark, tmp_path, rows)
+    head = t.current_version()
+    assert t.delete(spark, ("k", 1000, 2000)) == head  # nothing committed
+    assert t.current_version() == head
+
+
+def test_delete_is_a_rewrite_for_read_changes(spark, tmp_path):
+    import pytest
+
+    rows = [Row(k=i, v=f"r{i}") for i in range(40)]
+    t = _range_laid_table(spark, tmp_path, rows)
+    v0 = t.current_version()
+    t.delete(spark, ("k", 0, 9))
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_changes(spark, v0)
+    snap = t.read_changes(spark, v0, on_rewrite="snapshot")
+    assert snap.count() == 30

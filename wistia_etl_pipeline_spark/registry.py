@@ -18282,3 +18282,62 @@ def rank_sum_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (n_a * n_b) AS BIGINT)"
         ).alias("rank_biserial_micro"),
     )
+
+
+@query(
+    "txlog_delete_user",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    WHERE user_id < 30 OR user_id > 59
+    GROUP BY event_type
+    """,
+)
+def txlog_delete_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE on the ACID table — the right-to-be-forgotten
+    path the txlog family was missing (overwrite/append/merge/partition
+    backfill/compact existed; GDPR erasure is the remaining production
+    verb): the events table is laid out range-partitioned + sorted on
+    user_id with per-file min/max in the manifest (``stats_cols``), and
+    ``TxLogTable.delete`` prunes at the FILE level — only files whose
+    recorded range can contain users 30–59 are read and rewritten;
+    every other file is carried into the new manifest byte-identical
+    (``tests/test_txlog.py::test_delete_prunes_and_carries_files`` pins
+    carried-file identity, pruning counts, NULL preservation, the
+    no-op fast path, and read_changes' rewrite semantics).
+
+    At 100 TB this is the difference between an erasure request
+    costing a table rewrite and costing a few file rewrites: the sorted
+    layout (``write_sorted_parquet``'s 1-D skipping story, applied to
+    the log's add-file stats exactly as Delta does) localizes any key
+    range to few files. The oracle computes the surviving rollup from
+    the raw events table, so the hash proves the delete removed
+    EXACTLY the predicate rows across the rewrite+carry seam."""
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    events = load_table(spark, sf_dir, "events")
+    table = TxLogTable(
+        tempfile.mkdtemp(prefix="wistia_del_") + "/tbl",
+        stats_cols=("user_id",),
+    )
+    laid = (
+        events.select("user_id", "event_type", "value")
+        .repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+    )
+    table.overwrite(laid)
+    table.delete(spark, ("user_id", 30, 59))
+    out = table.read(spark)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )

@@ -603,6 +603,90 @@ class TxLogTable:
             shutil.rmtree(data_dir, ignore_errors=True)
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
+    def delete(
+        self,
+        spark: SparkSession,
+        where: tuple[str, object, object],
+        *,
+        max_retries: int = 5,
+    ) -> int:
+        """Row-level DELETE with file-level pruning — the
+        right-to-be-forgotten path: files whose manifest min/max PROVES
+        they hold no matching row are carried into the new manifest
+        byte-identical (never opened, never rewritten); only
+        intersecting files are read, filtered, and re-landed, so
+        deleting one key range from a 100 TB table costs O(files that
+        can contain it) — with a sorted/range-partitioned layout on the
+        stats column, a handful — never O(table). ``where`` is the same
+        ``(col, lo, hi)`` range contract as ``read``; rows with a NULL
+        predicate column never match (SQL comparison semantics) and are
+        preserved. A delete whose pruning proves NO file can match
+        commits nothing and returns the unchanged head. Counts as a
+        rewrite for ``read_changes`` (files removed), like Delta's
+        DELETE. Recomputed against the current snapshot on every retry
+        (the ``merge`` race rule). Returns the committed version."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        col, lo, hi = where
+        for _ in range(max_retries):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"nothing to delete from at {self.path}")
+            m = self._manifest(v)
+            files = m.get("files")
+            if files is None:
+                raise ValueError(
+                    "delete requires a file-list manifest at the head; "
+                    "re-commit the table with overwrite() first"
+                )
+            carried, touched = [], []
+            for f in files:
+                rng = (f.get("stats") or {}).get(col)
+                if rng is not None and (rng[1] < lo or rng[0] > hi):
+                    carried.append(f)
+                else:
+                    touched.append(f)
+            if not touched:
+                return v  # pruning proved a no-op: nothing to commit
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            kept = (
+                spark.read.schema(schema)
+                .parquet(
+                    *(os.path.join(self.path, f["path"]) for f in touched)
+                )
+                .where(
+                    ~(
+                        (F.col(col) >= F.lit(lo))
+                        & (F.col(col) <= F.lit(hi))
+                    )
+                    | F.col(col).isNull()
+                )
+            )
+            next_v = v + 1
+            data_dir = os.path.join(
+                self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            kept.write.mode("overwrite").parquet(data_dir)
+            new_files = _collect_file_stats(
+                data_dir, self.stats_cols, rel_root=self.path
+            )
+            meta = {
+                "files": carried + new_files,
+                "schema": m["schema"],
+                "delete": {
+                    "where": [col, lo, hi],
+                    "files_rewritten": len(touched),
+                    "files_carried": len(carried),
+                },
+            }
+            if self._commit(next_v, None, meta=meta):
+                return next_v
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"lost the commit race {max_retries}x on {self.path}"
+        )
+
     # -- maintenance ----------------------------------------------------
 
     def compact(
