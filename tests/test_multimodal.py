@@ -66,3 +66,24 @@ def test_extract_features_shape_and_determinism(spark):
     for v in f1.values():
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5  # unit norm
     assert f1["a"] != f1["b"]  # payload-dependent
+
+
+def test_frame_cut_positions_kernel(spark):
+    """Planted frame buffers: two identical frames (no cut), a jump
+    (cut), partial trailing frame dropped, None payload skipped."""
+    from wistia_etl_pipeline_spark.functions.multimodal import (
+        frame_cut_positions,
+    )
+
+    f0 = bytes([10] * 16)
+    f1 = bytes([10] * 15 + [40])       # L1 = 30: below threshold
+    f2 = bytes([200] * 16)             # L1 vs f1 = 15*190 + 160 > tau
+    clip = f0 + f1 + f2 + b"\x01\x02"  # trailing partial frame dropped
+    df = spark.createDataFrame(
+        [("a", bytearray(clip)), ("b", None)],
+        "media_id string, payload binary",
+    )
+    rows = frame_cut_positions(df, frame_bytes=16, threshold=680).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.media_id == "a" and r.n_frames == 3 and r.cuts == [2]

@@ -236,3 +236,62 @@ def pcm_window_energy(
     return df.select("media_id", "payload").mapInPandas(
         kernel, "media_id string, win long, ms_energy long"
     )
+
+
+def frame_cut_positions(
+    df: DataFrame, *, frame_bytes: int = 16, threshold: int = 680
+) -> DataFrame:
+    """Scene-change detection over raw video frame buffers — the video
+    sibling of ``pcm_window_energy``: input rows carry (media_id,
+    payload binary) where the payload is n_frames consecutive
+    fixed-size frame buffers; output rows carry one row per media with
+    the detected cut positions (frame indices f >= 1 whose L1
+    inter-frame distance sum(|frame_f - frame_{f-1}|) exceeds
+    ``threshold``) plus the frame count. Exact integers end to end —
+    the byte-domain L1 is the pre-codec analogue of the histogram /
+    pixel-difference shot detectors (Boreczky & Rowe 1996's baseline
+    family), and thresholds compare identically on any engine.
+
+    Arrow-batched ``mapInPandas``: payload -> uint8 matrix
+    (n_frames x frame_bytes) -> vectorized |diff| row sums -> one
+    output row per media. Frames stay executor-local; at 100 TB the
+    stage is linear in total frames and carries no shuffle of its own.
+    A trailing partial frame is dropped (same contract as the PCM
+    framer). Only a real codec (compressed video) would need the
+    env-blocked library slot (``_decode_one``'s NotImplementedError);
+    raw frame buffers need none.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, nfs, cuts = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = len(raw) // frame_bytes
+                if n_frames == 0:
+                    continue
+                m = (
+                    raw[: n_frames * frame_bytes]
+                    .astype(np.int64)
+                    .reshape(n_frames, frame_bytes)
+                )
+                d = np.abs(np.diff(m, axis=0)).sum(axis=1)
+                pos = (np.nonzero(d > threshold)[0] + 1).tolist()
+                ids.append(mid)
+                nfs.append(n_frames)
+                cuts.append([int(p) for p in pos])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "cuts": pd.Series(cuts, dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, "media_id string, n_frames long, cuts array<long>"
+    )

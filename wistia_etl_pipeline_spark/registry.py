@@ -18341,3 +18341,183 @@ def txlog_delete_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+_SCENE_FRAMES = 24   # frames per synthesized clip
+_SCENE_TAU = 680     # byte-L1 cut threshold (see docstring)
+
+_SCENE_ORACLE = f"""
+    WITH fr AS (
+        SELECT doc_id, unnest(range(0, {_SCENE_FRAMES})) AS f FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, f,
+               CASE WHEN f = 0 THEN 1
+                    WHEN ('0x' || substr(md5('cut_' || doc_id || '_' || f),
+                                         1, 1))::BIGINT < 4
+                    THEN 1 ELSE 0 END AS is_new
+        FROM fr
+    ),
+    scenes AS (
+        SELECT doc_id, f, is_new,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY f) AS BIGINT) - 1 AS s
+        FROM flags
+    ),
+    bytes AS (
+        SELECT doc_id, f,
+               [CASE WHEN i < 12
+                     THEN ('0x' || substr(md5('scene_' || doc_id || '_' || s),
+                                          2 * i + 1, 2))::BIGINT
+                     ELSE ('0x' || substr(md5('noise_' || doc_id || '_' || f),
+                                          2 * i + 1, 2))::BIGINT END
+                for i in range(0, 16)] AS b
+        FROM scenes
+    ),
+    diffs AS (
+        SELECT doc_id, f,
+               list_sum([abs(b[i + 1] - p[i + 1]) for i in range(0, 16)])
+                   AS d1
+        FROM (SELECT doc_id, f, b,
+                     lag(b) OVER (PARTITION BY doc_id ORDER BY f) AS p
+              FROM bytes)
+        WHERE f > 0
+    ),
+    det AS (SELECT doc_id, f FROM diffs WHERE d1 > {_SCENE_TAU}),
+    agg AS (
+        SELECT tr.doc_id,
+               CAST(SUM(tr.is_new) AS BIGINT) AS n_true_cuts,
+               CAST(COUNT(de.f) AS BIGINT)    AS n_detected,
+               CAST(SUM(CASE WHEN de.f IS NOT NULL AND tr.is_new = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(COALESCE(SUM(de.f), 0) AS BIGINT)      AS det_pos_sum
+        FROM (SELECT doc_id, f, is_new FROM flags WHERE f > 0) tr
+        LEFT JOIN det de ON de.doc_id = tr.doc_id AND de.f = tr.f
+        GROUP BY tr.doc_id
+    )
+    SELECT 'd' || doc_id AS media_id,
+           CAST({_SCENE_FRAMES} AS BIGINT) AS n_frames,
+           n_true_cuts, n_detected, n_matched, det_pos_sum
+    FROM agg
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_SCENE_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO SCENE-CHANGE DETECTION + its own evaluation — completes
+    the multimodal triad (image headers: decode_stats; audio:
+    audio_rms/silence_segments; video: this). Each document becomes a
+    24-frame clip of 16-byte raw frame buffers with PLANTED scene
+    structure (~25% cut probability per frame off the md5 keystream):
+    frames share 12 scene-keyed bytes within a scene and carry 4
+    frame-keyed noise bytes, so within-scene inter-frame L1 distance
+    centers near 340 and cross-scene near 1360 — threshold 680 splits
+    them imperfectly BY DESIGN (both tails cross it), which is what
+    makes the emitted per-clip precision/recall ingredients
+    (n_true_cuts / n_detected / n_matched) a real detector evaluation
+    rather than a tautology. Detection runs in the Arrow-batched
+    ``multimodal.frame_cut_positions`` kernel (binary buffers never
+    leave the executor); ground truth is re-derived RELATIONALLY from
+    the same keystream via JVM md5 + conv, and the eval is a plain
+    left join — kernel for bytes, Catalyst for everything after.
+
+    The oracle rebuilds frames hex-pair-by-hex-pair in SQL and replays
+    diff, threshold, and eval, so the hash pins byte layout, the L1,
+    the threshold compare, and the join — cell-exact. Shape at 100 TB:
+    synth+detect are one linear mapInPandas pass (no shuffle); truth
+    explode is frames-sized; one (media-grain) join + aggregate."""
+    import hashlib
+
+    import pandas as pd
+
+    from .functions.multimodal import frame_cut_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    tau, nf = _SCENE_TAU, _SCENE_FRAMES
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                frames, s = [], -1
+                for f in range(nf):
+                    new = (
+                        f == 0
+                        or hashlib.md5(
+                            f"cut_{d}_{f}".encode()
+                        ).digest()[0] >> 4
+                        < 4
+                    )
+                    if new:
+                        s += 1
+                    scene_b = hashlib.md5(
+                        f"scene_{d}_{s}".encode()
+                    ).digest()[:12]
+                    noise_b = hashlib.md5(
+                        f"noise_{d}_{f}".encode()
+                    ).digest()[12:16]
+                    frames.append(scene_b + noise_b)
+                ids.append(f"d{d}")
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    clips = docs.select("doc_id").mapInPandas(
+        synth, "media_id string, payload binary"
+    )
+    detected = frame_cut_positions(
+        clips, frame_bytes=16, threshold=tau
+    ).select(
+        "media_id", F.explode_outer("cuts").alias("fd")
+    )
+    truth = docs.select(
+        "doc_id", F.explode(F.expr(f"sequence(1, {nf} - 1)")).alias("f")
+    ).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        "f",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cut_"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            F.col("f").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 4,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    joined = truth.join(
+        detected,
+        (truth.media_id == detected.media_id) & (truth.f == detected.fd),
+        "left",
+    ).select(truth.media_id, "f", "is_new", "fd")
+    return joined.groupBy("media_id").agg(
+        F.lit(nf).cast("long").alias("n_frames"),
+        F.sum("is_new").cast("long").alias("n_true_cuts"),
+        F.count("fd").cast("long").alias("n_detected"),
+        F.sum(
+            F.when(F.col("fd").isNotNull() & (F.col("is_new") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+        F.coalesce(F.sum("fd"), F.lit(0)).cast("long").alias("det_pos_sum"),
+    )
