@@ -18521,3 +18521,116 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_matched"),
         F.coalesce(F.sum("fd"), F.lit(0)).cast("long").alias("det_pos_sum"),
     )
+
+
+_ASSOC_ORACLE = """
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+    items AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS ia, c.item AS ib, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT ia AS antecedent, ib AS consequent, cab FROM pairs
+        UNION ALL
+        SELECT ib AS antecedent, ia AS consequent, cab FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           r.cab AS support_cnt,
+           CAST(r.cab * 1000000 // ca.c AS BIGINT) AS conf_micro,
+           CAST(r.cab * n.n_baskets * 1000000 // (ca.c * cc.c) AS BIGINT)
+               AS lift_micro
+    FROM rules r
+    JOIN items ca ON ca.item = r.antecedent
+    JOIN items cc ON cc.item = r.consequent
+    CROSS JOIN n
+    WHERE r.cab >= 20
+    ORDER BY conf_micro DESC, antecedent, consequent
+    LIMIT 40
+"""
+
+
+@query("assoc_rules_brands", oracle=_ASSOC_ORACLE)
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant's A-priori
+    setting, restricted to size-2 itemsets — the level that needs no
+    candidate generation): baskets are orders, items are the part
+    brands they contain; emitted rules A=>B carry exact-integer
+    support, confidence (supp(AB)*10^6 div supp(A) — directional) and
+    lift (supp(AB)*N*10^6 div (supp(A)*supp(B)) — the
+    independence-normalized version both directions share); top-40 by
+    confidence with full lexicographic tiebreak (the deterministic
+    top-k rule). Directional confidence is what
+    ``item_cooccurrence_topk``'s symmetric Jaccard cannot express —
+    "urgent orders that contain Brand#12 usually contain Brand#34"
+    and its converse are different statements with different supports.
+
+    Shape at 100 TB: the pair expansion is the within-basket self-join
+    — fanout bounded by basket size squared (TPC-H baskets hold <= 7
+    lines; a retail-scale basket needs the per-basket cap exactly as
+    the item-item query documents); the pair aggregate has at most
+    |brands|^2 keys, the item-count side is a broadcast, N is a 1-row
+    broadcast, and the minsup filter prunes before the rule join.
+    TakeOrderedAndProject keeps the top-k sort partial."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        lineitem.join(
+            part.select("p_partkey", "p_brand"),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = b.agg(F.count_distinct("ok").alias("n_baskets"))
+    items = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    right = b.select(F.col("ok").alias("ok2"), F.col("item").alias("ib"))
+    pairs = (
+        b.join(
+            right,
+            (F.col("ok") == F.col("ok2")) & (F.col("item") < F.col("ib")),
+        )
+        .groupBy(F.col("item").alias("ia"), "ib")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 20)
+    )
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "cab",
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "cab",
+        )
+    )
+    ca = items.select(F.col("item").alias("antecedent"), F.col("c").alias("c_a"))
+    cc = items.select(F.col("item").alias("consequent"), F.col("c").alias("c_c"))
+    scored = (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cab").alias("support_cnt"),
+            F.expr("CAST(cab * 1000000 div c_a AS BIGINT)").alias(
+                "conf_micro"
+            ),
+            F.expr(
+                "CAST(cab * n_baskets * 1000000 div (c_a * c_c) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("conf_micro"), "antecedent", "consequent"
+    ).limit(40)
