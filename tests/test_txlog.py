@@ -621,3 +621,37 @@ def test_delete_is_a_rewrite_for_read_changes(spark, tmp_path):
         t.read_changes(spark, v0)
     snap = t.read_changes(spark, v0, on_rewrite="snapshot")
     assert snap.count() == 30
+
+
+def test_optimize_zorder_tightens_both_columns(spark, tmp_path):
+    """Round-robin layout: every file spans the whole key domain, so
+    file pruning is dead on BOTH columns. After OPTIMIZE ZORDER the
+    manifest stats must prune each dimension to a fraction of the
+    files — and the rows must be identical."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(k=rng.randrange(1000), v=float(rng.randrange(1000)), p=i)
+        for i in range(4000)
+    ]
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("k", "v"))
+    df = spark.createDataFrame(rows, "k long, v double, p long")
+    t.overwrite(df.repartition(8))
+    before = sorted(r.p for r in t.read(spark).collect())
+    n_files = len(t._manifest(t.current_version())["files"])
+    assert t.files_scanned(where=("k", 0, 99)) == n_files
+    assert t.files_scanned(where=("v", 0.0, 99.0)) == n_files
+    v0 = t.current_version()
+    t.optimize_zorder(spark, ["k", "v"], target_files=8)
+    m = t._manifest(t.current_version())
+    assert m["zorder_by"] == ["k", "v"]
+    nf = len(m["files"])
+    assert t.files_scanned(where=("k", 0, 99)) < nf
+    assert t.files_scanned(where=("v", 0.0, 99.0)) < nf
+    after = sorted(r.p for r in t.read(spark).collect())
+    assert after == before  # OPTIMIZE is a no-op on data
+    import pytest
+
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_changes(spark, v0)

@@ -18634,3 +18634,58 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("conf_micro"), "antecedent", "consequent"
     ).limit(40)
+
+
+@query(
+    "txlog_zorder_optimize",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def txlog_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY on the ACID table — the maintenance verb
+    that keeps manifest-level data skipping effective as appends
+    accumulate unclustered batches (Delta's OPTIMIZE ZORDER, on the
+    from-scratch log): the events table lands round-robin (per-file
+    user_id/value stats span the whole domain — skipping dead), then
+    ``TxLogTable.optimize_zorder`` rewrites the snapshot
+    range-partitioned + sorted on the Morton key of (user_id, value),
+    making BOTH columns' per-file ranges tight at once —
+    ``tests/test_txlog.py::test_optimize_zorder_tightens_both_columns``
+    pins files_scanned dropping on each dimension (and staying full
+    before), plus rewrite semantics for read_changes.
+
+    This composes two things the engine already proves separately
+    (write_zorder_parquet's row-group skipping; the txlog's add-file
+    stats) into the production loop: cluster → stats tighten → reads
+    AND deletes (``txlog_delete_user``'s file pruning) get cheap on
+    every clustered column. The oracle is the plain rollup over the
+    raw events table, so the hash proves the relayout round-trips
+    every row — OPTIMIZE must be a no-op on data."""
+    import tempfile
+
+    from .sources.txlog import TxLogTable
+
+    events = load_table(spark, sf_dir, "events")
+    table = TxLogTable(
+        tempfile.mkdtemp(prefix="wistia_zorder_") + "/tbl",
+        stats_cols=("user_id", "value"),
+    )
+    table.overwrite(
+        events.select("user_id", "event_type", "value").repartition(8)
+    )
+    table.optimize_zorder(spark, ["user_id", "value"], target_files=8)
+    out = table.read(spark)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )

@@ -718,6 +718,56 @@ class TxLogTable:
             shutil.rmtree(data_dir, ignore_errors=True)
         raise ConcurrentCommitError(f"lost the commit race {max_retries}x on {self.path}")
 
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        cluster_cols: Sequence[str],
+        *,
+        target_files: int = 8,
+        bits: int = 16,
+        max_retries: int = 5,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY — the clustering sibling of
+        ``compact``: rewrite the current snapshot range-partitioned +
+        sorted on the Morton key of ``cluster_cols``
+        (``writers.zorder_value``), so the manifest's per-file min/max
+        (``stats_cols``) becomes tight on EVERY clustering column at
+        once and ``read(where=...)`` / ``delete(where=...)`` prune to
+        few files on any of them. Same rows, relaid files, normal
+        commit protocol; a rewrite for ``read_changes``. This is how a
+        100 TB log table keeps its skipping effective as appends
+        accumulate unclustered batches — run it on a cadence with
+        ``vacuum``. Returns the committed version."""
+        from .writers import zorder_value
+
+        for _ in range(max_retries):
+            v = self.current_version()
+            if v is None:
+                raise ValueError(f"nothing to optimize at {self.path}")
+            snapshot = self.read(spark, version=v)
+            scaled, z = zorder_value(snapshot, cluster_cols, bits=bits)
+            clustered = (
+                scaled.withColumn("__zorder", z)
+                .repartitionByRange(target_files, "__zorder")
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder", *[f"__z_{c}" for c in cluster_cols])
+            )
+            next_v = v + 1
+            data_dir = os.path.join(
+                self.path, f"data/v{next_v:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            clustered.write.mode("overwrite").parquet(data_dir)
+            meta = {
+                "zorder_by": list(cluster_cols),
+                **self._files_meta(clustered, data_dir),
+            }
+            if self._commit(next_v, data_dir, meta=meta):
+                return next_v
+            shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"lost the commit race {max_retries}x on {self.path}"
+        )
+
     def vacuum(self, *, keep_versions: int = 2) -> list[str]:
         """Delete data FILES not referenced by the newest
         ``keep_versions`` manifests (and orphans from crashed/raced
