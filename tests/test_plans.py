@@ -642,3 +642,48 @@ def test_dpp_prunes_fact_partitions(spark):
         kv[k] = metrics.apply(k).value()
     # "numPartitions" is FileSourceScanExec's partitions-read metric
     assert kv.get("numPartitions") == 5, kv
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """The third member of the runtime-replanning trio (skew split,
+    bloom/DPP runtime filters, and THIS — join-strategy conversion):
+    an aggregate derived from a big fact has no trustworthy static
+    size estimate, so the planner picks a sort-merge join; AQE then
+    sees the materialized shuffle stage is tiny and rewrites the join
+    to broadcast-hash mid-query. Pin: SMJ in the initial plan, BHJ in
+    the final adaptive plan. The conf split is the documented
+    mechanism: the STATIC threshold (-1) models the 100 TB regime
+    where compile-time estimates of derived frames can't be trusted,
+    while the ADAPTIVE threshold keeps the default 10MB so only
+    MEASURED post-shuffle sizes may trigger a broadcast."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    # derived dim: post-shuffle size is a few KB, static estimate isn't
+    purchasers = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .where(F.col("n_purchases") >= 10)
+    )
+    joined = (
+        events.join(purchasers, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum("n_purchases").alias("s"))
+    )
+    try:
+        joined.collect()
+        exec_ = joined._jdf.queryExecution().executedPlan()
+        initial = exec_.initialPlan().toString()
+        final = exec_.toString()
+        assert "SortMergeJoin" in initial
+        assert "BroadcastHashJoin" in final
+        assert "isFinalPlan=true" in final
+    finally:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        apply_runtime_confs(spark)  # restores autoBroadcastJoinThreshold
