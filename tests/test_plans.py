@@ -546,12 +546,17 @@ def test_bucketed_join_rollup_plan_is_exchange_free(spark):
     join, no Sort either (bucket files are pre-sorted on the key)."""
     from wistia_etl_pipeline_spark import registry
 
+    # Build FIRST, then disable broadcast: the query callable applies
+    # RUNTIME_CONFS (which now pins the default broadcast threshold for
+    # the bloom demo's leak-proofing), so a threshold set before the
+    # build would be clobbered. Physical planning happens at collect(),
+    # which sees the -1.
+    df = registry._QUERIES["bucketed_join_rollup"](
+        spark, "/root/testdata/sf0.001"
+    )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = registry._QUERIES["bucketed_join_rollup"](
-            spark, "/root/testdata/sf0.001"
-        )
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
