@@ -113,6 +113,17 @@ QUERIES = [
     "retrieval_ndcg_eval",
     "cluster_silhouette_eval",
     "knn_label_eval",
+    # r5 fifth-continuation: runtime-filter demos, DTW, calibration,
+    # rank-sum census, ACID delete/zorder, scene cuts, basket rules
+    "bloom_filter_join_prune",
+    "dpp_partition_prune_join",
+    "dtw_activity_profile",
+    "isotonic_calibration",
+    "rank_sum_ab_test",
+    "txlog_delete_user",
+    "txlog_zorder_optimize",
+    "multimodal_scene_cuts",
+    "assoc_rules_brands",
 ]
 N_RUNS = 3
 
