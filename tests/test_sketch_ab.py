@@ -360,3 +360,52 @@ def test_rank_sum_matches_bruteforce_pooled_ranking(spark):
     # tie term: sum m(m^2-1) over tied blocks
     _, counts = np.unique(vals, return_counts=True)
     assert row.tie_m3_sum == int((counts * (counts**2 - 1)).sum())
+
+
+def test_ks_statistic_matches_bruteforce_cdfs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from wistia_etl_pipeline_spark import registry
+
+    row = registry._QUERIES["ks_value_drift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    a = np.sort(pdf[pdf.event_type == "view"].value.to_numpy())
+    b = np.sort(pdf[pdf.event_type == "error"].value.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right")
+    fb = np.searchsorted(b, grid, side="right")
+    d = np.abs(fa * len(b) - fb * len(a))
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.d_num == int(d.max())
+    assert row.v_at_max == float(grid[np.flatnonzero(d == d.max())[0]])
+    assert row.ks_micro == (int(d.max()) * 1000000) // (len(a) * len(b))
+
+
+def test_gini_matches_bruteforce_pairwise(spark):
+    """Exact check against the mean-absolute-difference definition
+    G = sum_ij |x_i - x_j| / (2 n^2 mu) — O(n^2) on the sf0.001 slice,
+    computed with the SAME tie convention (the census formula equals
+    this exactly, no approximation)."""
+    import numpy as np
+    import pandas as pd
+
+    from wistia_etl_pipeline_spark import registry
+
+    row = registry._QUERIES["revenue_gini_concentration"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    pdf = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = (
+        pdf.assign(c=(pdf.o_totalprice * 100).apply(np.floor).astype(np.int64))
+        .groupby("o_custkey")["c"]
+        .sum()
+        .to_numpy()
+    )
+    n, total = len(cents), int(cents.sum())
+    mad = int(np.abs(cents[:, None] - cents[None, :]).sum())  # sum|xi-xj|
+    # G = mad / (2 n total); compare at exact integer scale
+    assert row.n_customers == n and row.total_cents == total
+    assert row.gini_micro == (mad * 1000000) // (2 * n * total)

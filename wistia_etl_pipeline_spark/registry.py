@@ -18689,3 +18689,205 @@ def txlog_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
         ).alias("sum_value"),
     )
+
+
+_KS_ORACLE = """
+    WITH census AS (
+        SELECT value,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                    AS BIGINT) AS ca,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('view', 'error')
+        GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM census
+    ),
+    cum AS (
+        SELECT value,
+               CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS fa,
+               CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS fb
+        FROM census
+    ),
+    d AS (
+        SELECT c.value, ABS(c.fa * t.n_b - c.fb * t.n_a) AS d_num
+        FROM cum c CROSS JOIN tot t
+    ),
+    mx AS (SELECT MAX(d_num) AS d_max FROM d)
+    SELECT t.n_a, t.n_b,
+           CAST(m.d_max AS BIGINT) AS d_num,
+           CAST(m.d_max * 1000000 // (t.n_a * t.n_b) AS BIGINT) AS ks_micro,
+           (SELECT MIN(value) FROM d WHERE d_num = m.d_max) AS v_at_max
+    FROM tot t CROSS JOIN mx m
+"""
+
+
+@query("ks_value_drift", oracle=_KS_ORACLE)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV-SMIRNOV two-sample statistic — the distribution-SHAPE
+    member of the comparison family (rank_sum_ab_test tests location,
+    chi-square tests rates; KS bounds the largest CDF gap anywhere, the
+    standard drift gate between a reference and a candidate feature
+    distribution): D = max_v |F_a(v) - F_b(v)|, computed entirely on
+    the cross-multiplied integer grid |Fa_cum*n_b - Fb_cum*n_a| so no
+    fraction is ever materialized; reported with the floored micro
+    statistic and the SMALLEST value attaining the max (deterministic
+    argmax under ties). Same census-selection scale shape as the
+    rank-sum test: one hash aggregate to the value domain, a
+    domain-bounded cumulative window, two scalar reductions — a
+    trillion events cost one scan."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    census = (
+        events.where(F.col("event_type").isin("view", "error"))
+        .groupBy("value")
+        .agg(
+            F.count(
+                F.when(F.col("event_type") == F.lit("view"), F.lit(1))
+            ).alias("ca"),
+            F.count(
+                F.when(F.col("event_type") == F.lit("error"), F.lit(1))
+            ).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = census.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.select(
+        "value",
+        F.sum("ca").over(w).cast("long").alias("fa"),
+        F.sum("cb").over(w).cast("long").alias("fb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("fa") * F.col("n_b") - F.col("fb") * F.col("n_a")
+        ).alias("d_num"),
+    ).localCheckpoint(eager=False)
+    mx = d.agg(F.max("d_num").alias("d_max"))
+    arg = (
+        d.join(F.broadcast(mx), F.col("d_num") == F.col("d_max"))
+        .agg(F.min("value").alias("v_at_max"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("d_max").cast("long").alias("d_num"),
+            F.expr(
+                "CAST(d_max * 1000000 div (n_a * n_b) AS BIGINT)"
+            ).alias("ks_micro"),
+            "v_at_max",
+        )
+    )
+
+
+_GINI_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    census AS (
+        SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rev GROUP BY cents
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS s
+        FROM census
+    ),
+    agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(v * c) AS BIGINT) AS total,
+               CAST(SUM(v * (2 * c * s + c * (c + 1))) AS BIGINT) AS rank2
+        FROM cum
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           -- numer * 1e6 exceeds int64 from ~sf0.01 up: route the
+           -- product through HUGEINT (engine: DECIMAL(38,0) — the
+           -- abc_revenue_classification overflow lesson)
+           CAST(CAST(rank2 - (n + 1) * total AS HUGEINT) * 1000000
+                // (n * total) AS BIGINT) AS gini_micro
+    FROM agg
+"""
+
+
+@query("revenue_gini_concentration", oracle=_GINI_ORACLE)
+def revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue — the inequality summary
+    behind the ABC classification (abc_revenue_classification finds the
+    Pareto class BOUNDARIES; Gini is the single-number concentration
+    the dashboard tracks over time): with per-customer cents totals
+    collapsed to a value census (v, c) and S = customers below the tie
+    block, the doubled tie-averaged rank sum is sum v*(2cS + c(c+1))
+    and G = (rank2 - (n+1)*total) / (n*total) — the textbook
+    2*sum(i*x_i) formula with tie blocks closed-form, all exact BIGINT,
+    floored micro at the end. (Gini-SIMPSON in token_diversity_gini is
+    a different statistic — diversity, not inequality.)
+
+    Scale shape: one customer-grain aggregate (key-bounded), one
+    census collapse, a census-sized cumulative window, one scalar
+    reduction. No per-row global rank over raw orders anywhere."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    census = rev.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = census.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("s"),
+    )
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total"),
+        F.sum(
+            F.col("v")
+            * (
+                F.lit(2) * F.col("c") * F.col("s")
+                + F.col("c") * (F.col("c") + F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("rank2"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.expr(
+            # numer * 1e6 > int64 from ~sf0.01 up (ANSI
+            # ARITHMETIC_OVERFLOW, caught by the local check): stay
+            # exact in DECIMAL(38,0); div truncation == floor for the
+            # non-negative numerator (Gini >= 0)
+            "CAST(CAST(rank2 - (n + 1) * total AS DECIMAL(38,0))"
+            " * 1000000 div (n * total) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
