@@ -18891,3 +18891,159 @@ def revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (n * total) AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+_MODULARITY_ORACLE = f"""
+    WITH {_minhash_pairs_ctes(_DUP_CORPUS_SQL)},
+    sym AS MATERIALIZED (SELECT src, dst FROM edges),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM sym
+    ),
+    {','.join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))},
+    lab AS MATERIALIZED (
+        SELECT node, CAST(label AS BIGINT) AS community FROM l{_LPA_ROUNDS}
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src
+    ),
+    m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym),
+    intra AS (
+        SELECT la.community, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM pairs p
+        JOIN lab la ON la.node = p.a_id
+        JOIN lab lb ON lb.node = p.b_id AND lb.community = la.community
+        GROUP BY la.community
+    ),
+    comm AS (
+        SELECT l.community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d.d) AS BIGINT) AS degree_sum
+        FROM lab l JOIN deg d ON d.node = l.node
+        GROUP BY l.community
+    ),
+    contrib AS (
+        SELECT c.community, c.n_nodes,
+               CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_edges,
+               c.degree_sum,
+               2 * m2.m2 * COALESCE(i.e_c, 0)
+                   - c.degree_sum * c.degree_sum AS q_num_c
+        FROM comm c
+        LEFT JOIN intra i ON i.community = c.community
+        CROSS JOIN m2
+    ),
+    q AS (SELECT CAST(SUM(q_num_c) AS BIGINT) AS q_num FROM contrib)
+    SELECT c.community, c.n_nodes, c.intra_edges, c.degree_sum,
+           q.q_num AS q_num_total,
+           CAST(CASE WHEN q.q_num >= 0
+                     THEN q.q_num * 1000000 // (m2.m2 * m2.m2)
+                     ELSE -((-q.q_num) * 1000000 // (m2.m2 * m2.m2))
+                END AS BIGINT) AS q_micro
+    FROM contrib c CROSS JOIN q CROSS JOIN m2
+    ORDER BY c.n_nodes DESC, c.community
+    LIMIT 20
+"""
+
+
+@query("community_modularity_eval", oracle=_MODULARITY_ORACLE)
+def community_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the LPA communities — the community-family member
+    of the evaluation suite (silhouette scores clusters, NDCG scores
+    rankings, this scores partitions; Newman 2004): with m2 = 2m
+    symmetric edge endpoints, Q·m2² = Σ_c (2·m2·e_c − d_c²) — exact
+    BIGINTs, no fraction until one final SIGN-SPLIT floor division
+    (contributions can be negative for sparse communities, and Spark
+    div truncates where DuckDB // floors — the Holt/STL rule: spell
+    the identical expression on both engines). Output: the 20 largest
+    communities with their raw ingredients (n_nodes, intra edges,
+    degree mass) plus the GLOBAL Q — the "did label propagation find
+    real structure" gate before acting on dup communities (Q near 0 =
+    partition no better than random given the degree sequence).
+
+    The edge list, LPA rounds, and tie rules are byte-shared with
+    label_propagation_communities (same `_lpa_round_sql` unroll in the
+    oracle, same functions/graph.label_propagation in the engine), so
+    this also re-proves the partition it scores. One lazy checkpoint
+    on the mined pairs feeds LPA, the intra join, and the degree count
+    without re-mining (the triangle-count fan-out lesson). All
+    aggregates are community- or node-grain; m2 and Q ride 1-row
+    broadcasts."""
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import label_propagation
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        minhash_near_dup_pairs(
+            corpus, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    lab = label_propagation(
+        pairs, rounds=_LPA_ROUNDS, src="a_id", dst="b_id"
+    ).select("node", F.col("community").cast("long").alias("community"))
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    m2 = sym.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    la = lab.select(F.col("node").alias("a_id"), F.col("community"))
+    lb = lab.select(
+        F.col("node").alias("b_id"), F.col("community").alias("community_b")
+    )
+    intra = (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .where(F.col("community") == F.col("community_b"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    contrib = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            "degree_sum",
+            (
+                F.lit(2) * F.col("m2") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).alias("q_num_c"),
+            "m2",
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = contrib.agg(F.sum("q_num_c").cast("long").alias("q_num"))
+    return (
+        contrib.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.col("q_num").alias("q_num_total"),
+            F.expr(
+                "CAST(CASE WHEN q_num >= 0"
+                " THEN q_num * 1000000 div (m2 * m2)"
+                " ELSE -((-q_num) * 1000000 div (m2 * m2)) END AS BIGINT)"
+            ).alias("q_micro"),
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(20)
+    )
