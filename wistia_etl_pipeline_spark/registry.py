@@ -19047,3 +19047,101 @@ def community_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "community")
         .limit(20)
     )
+
+
+_SHARD_ORACLE = """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h60,
+               [{'h': md5(CAST(doc_id AS VARCHAR) || '_' || s), 's': s}
+                for s in range(0, 9)] AS cand
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id,
+               h60 % 8 AS mod_before,
+               h60 % 9 AS mod_after,
+               list_max(cand[1:8]).s AS rdv_before,
+               list_max(cand).s      AS rdv_after
+        FROM h
+    )
+    SELECT scheme, n_docs, n_moved,
+           CAST(n_moved * 1000000 // n_docs AS BIGINT) AS moved_micro
+    FROM (
+        SELECT 'mod_n' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN mod_before <> mod_after THEN 1 END)
+                    AS BIGINT) AS n_moved
+        FROM assigned
+        UNION ALL
+        SELECT 'rendezvous' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN rdv_before <> rdv_after THEN 1 END)
+                    AS BIGINT) AS n_moved
+        FROM assigned
+    )
+"""
+
+
+@query("shard_rebalance_audit", oracle=_SHARD_ORACLE)
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-ASSIGNMENT REBALANCE AUDIT — the data-movement cost of
+    growing a sharded corpus 8 → 9 shards under two assignment
+    schemes: naive mod-N (moves ~N/(N+1) ≈ 89% of documents — nearly
+    a full reshuffle) vs RENDEZVOUS hashing (highest-random-weight,
+    Thaler & Ravishankar 1996: shard = argmax_s md5(doc, s), which
+    moves EXACTLY the docs whose argmax is the new shard, ~1/(N+1) ≈
+    11%). This is the decision behind every re-partitionable artifact
+    in the engine (txlog layouts, bucketed tables, IVF lists): minimal
+    movement on topology change. Both schemes computed scan-locally —
+    the rendezvous argmax is an array_max over a 9-struct literal
+    lambda (unique md5 keys make the max tie-free), no explode, no
+    shuffle except the 2-row final aggregate; the oracle replays byte-
+    identical hashes, so the 89%-vs-11% contrast itself rides the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        "transform(sequence(0, 8), s -> struct("
+        "md5(cast(concat(cast(doc_id as string), '_',"
+        " cast(s as string)) as binary)) as h, s as s))"
+    )
+    assigned = docs.select(
+        F.expr(
+            "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)),"
+            " 1, 15), 16, 10) as bigint)"
+        ).alias("h60"),
+        F.expr(f"array_max(slice({cand}, 1, 8)).s").alias("rdv_before"),
+        F.expr(f"array_max({cand}).s").alias("rdv_after"),
+    ).select(
+        (F.col("h60") % 8).alias("mod_before"),
+        (F.col("h60") % 9).alias("mod_after"),
+        "rdv_before",
+        "rdv_after",
+    )
+    mod = assigned.agg(
+        F.lit("mod_n").alias("scheme"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(
+            F.when(F.col("mod_before") != F.col("mod_after"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    rdv = assigned.agg(
+        F.lit("rendezvous").alias("scheme"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(
+            F.when(F.col("rdv_before") != F.col("rdv_after"), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_moved"),
+    )
+    return mod.unionByName(rdv).select(
+        "scheme",
+        "n_docs",
+        "n_moved",
+        F.expr("CAST(n_moved * 1000000 div n_docs AS BIGINT)").alias(
+            "moved_micro"
+        ),
+    )
