@@ -19145,3 +19145,90 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moved_micro"
         ),
     )
+
+
+_GOLDEN_ORACLE = """
+    WITH mode_t AS (
+        SELECT user_id, event_type AS modal_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type
+                   ) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    ),
+    latest AS (
+        SELECT user_id, value AS last_value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    span AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(CAST(ts AS DATE))    AS first_day,
+               MAX(CAST(ts AS DATE))    AS last_day
+        FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, s.n_events, s.first_day, s.last_day,
+           m.modal_type, l.last_value
+    FROM span s
+    JOIN mode_t m ON m.user_id = s.user_id
+    JOIN latest l ON l.user_id = s.user_id
+"""
+
+
+@query("golden_record_users", oracle=_GOLDEN_ORACLE)
+def golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD SURVIVORSHIP — the entity-consolidation verb of a
+    master-data pipeline (fuzzy_match_doc_titles finds the duplicate
+    records; THIS decides what the surviving row says): one row per
+    user combining three survivorship rules in one pass — MOST
+    FREQUENT value for the categorical attribute (modal event_type,
+    count-then-name tie order: the deterministic mode), MOST RECENT
+    for the volatile attribute (last value by the unique (ts,
+    event_id) order — the argmax_latest rule), and lifecycle facts
+    (first/last day, event count). Each rule is a per-key window or
+    aggregate — key-grain bounded, partitioned on the entity id, no
+    global window anywhere; the three frames join back on the id.
+    At 100 TB: three shuffles on the same key (AQE-coalesced), output
+    one row per entity."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    mode_w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), "event_type"
+    )
+    mode_t = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(mode_w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    last_w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        events.withColumn("rn", F.row_number().over(last_w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+    span = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    return (
+        span.join(mode_t, "user_id")
+        .join(latest, "user_id")
+        .select(
+            "user_id", "n_events", "first_day", "last_day",
+            "modal_type", "last_value",
+        )
+    )
