@@ -124,6 +124,11 @@ QUERIES = [
     "txlog_zorder_optimize",
     "multimodal_scene_cuts",
     "assoc_rules_brands",
+    "ks_value_drift",
+    "revenue_gini_concentration",
+    "community_modularity_eval",
+    "shard_rebalance_audit",
+    "golden_record_users",
 ]
 N_RUNS = 3
 
