@@ -68,3 +68,36 @@ def test_every_inband_cell_reachable_no_overflow(spark):
     got = _run(spark, [flat], ref)[0]
     assert got == banded_dtw_reference(flat, ref)
     assert 0 < got < (1 << 40)
+
+
+def test_dtw_reference_properties():
+    """Property sweep on the pure-Python recurrence (the kernel's pin
+    target): identity ⇒ 0, symmetry for equal-length series under the
+    symmetric band, and monotone band relaxation (a wider band never
+    increases the optimal cost — more paths, same costs)."""
+    from hypothesis import given, settings, strategies as st
+
+    series = st.lists(st.integers(min_value=0, max_value=1000),
+                      min_size=4, max_size=16)
+
+    @settings(max_examples=60, deadline=None)
+    @given(series, series.flatmap(lambda a: st.tuples(st.just(a), series)))
+    def check(a, _unused):
+        assert banded_dtw_reference(a, a) == 0
+
+    check()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=4, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.lists(st.integers(0, 1000), min_size=n, max_size=n),
+            st.lists(st.integers(0, 1000), min_size=n, max_size=n),
+        )
+    ))
+    def check_sym_and_band(ab):
+        a, b = ab
+        assert banded_dtw_reference(a, b) == banded_dtw_reference(b, a)
+        assert (banded_dtw_reference(a, b, band=4)
+                <= banded_dtw_reference(a, b, band=2))
+
+    check_sym_and_band()
