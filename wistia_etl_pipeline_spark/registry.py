@@ -19333,3 +19333,67 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(both, 1)).cast("long").alias("leaked_contents"),
         F.count(F.lit(1)).cast("long").alias("distinct_contents"),
     )
+
+
+_MANIFEST_ORACLE = rf"""
+    WITH d AS (
+        SELECT doc_id,
+               md5({_NORM}) AS fp,
+               length(text) AS chars,
+               ('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS h60
+        FROM documents
+    ),
+    sharded AS (
+        SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 8 AS shard,
+               doc_id, chars, h60
+        FROM d
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor(h60) AS BIGINT) AS content_xor60
+    FROM sharded GROUP BY shard
+"""
+
+
+@query("dataset_release_manifest", oracle=_MANIFEST_ORACLE)
+def dataset_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE-RELEASE MANIFEST — the dataset-card table a corpus
+    ships with: documents hash-assigned to 8 shards, each shard row
+    carrying doc count, byte mass, id range, and an ORDER-INDEPENDENT
+    content checksum (bit_xor of the 60-bit content fingerprints — XOR
+    is the commutative/associative digest that any re-partitioning,
+    re-ordering, or re-computation of the shard must reproduce
+    bit-for-bit; a single flipped document flips the checksum). This
+    is how a 100 TB training-data release is verified after transport:
+    re-derive the manifest on the consumer side and diff six integers
+    per shard instead of re-hashing pairwise. All scan-local
+    expressions + one shard-grain aggregate; the shard hash is salted
+    separately from the split/signature families so assignments stay
+    independent."""
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = normalize_text(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('shard:',"
+            " cast(doc_id as string)) as binary)), 1, 15), 16, 10)"
+            " as bigint) % 8"
+        ).alias("shard"),
+        F.conv(F.substring(F.md5(nt.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.expr("CAST(bit_xor(h60) AS BIGINT)").alias("content_xor60"),
+    )
