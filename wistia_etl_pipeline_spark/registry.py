@@ -19397,3 +19397,194 @@ def dataset_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_doc_id"),
         F.expr("CAST(bit_xor(h60) AS BIGINT)").alias("content_xor60"),
     )
+
+
+def _tau_reach_sql(tag: str, num: int, den: int) -> str:
+    """Recursive component closure over candidate pairs verified at
+    jaccard >= num/den (compared as len_i * den >= num * len_u — the
+    exact integer form, no double anywhere)."""
+    return f"""edges{tag} AS (
+        SELECT a_id AS src, b_id AS dst FROM cand
+        WHERE li * {den} >= {num} * lu
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM cand
+        WHERE li * {den} >= {num} * lu
+    ),
+    reach{tag}(a, b) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.a, e.dst FROM reach{tag} r JOIN edges{tag} e ON r.b = e.src
+    ),
+    assign{tag} AS (
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach{tag} GROUP BY a
+    ),
+    stats{tag} AS (
+        SELECT CAST({num} * 100 / {den} AS BIGINT) AS tau_centi,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+                WHERE li * {den} >= {num} * lu) AS n_pairs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(MAX(sz) AS BIGINT) AS largest_cluster,
+               CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+                   AS n_dropped
+        FROM (SELECT doc_id, cluster_id,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+              FROM assign{tag})
+    )"""
+
+
+_TAU_SENS_ORACLE = rf"""
+    WITH RECURSIVE rawt AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {2 * _DUP_SHIFT} AS doc_id,
+               array_to_string(
+                   t[1:greatest(1, (3 * len(t)) // 5)], ' ') AS text
+        FROM rawt
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh])
+                for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    cand AS MATERIALIZED (
+        SELECT a_id, b_id,
+               len(list_intersect(a_sh, b_sh)) AS li,
+               len(list_distinct(a_sh || b_sh)) AS lu
+        FROM (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+                   l.sh AS a_sh, r.sh AS b_sh
+            FROM banded l
+            JOIN banded r ON l.b = r.b AND l.key = r.key
+                         AND l.doc_id < r.doc_id
+        )
+    ),
+    {_tau_reach_sql('50', 1, 2)},
+    {_tau_reach_sql('80', 4, 5)},
+    {_tau_reach_sql('95', 19, 20)}
+    SELECT * FROM stats50
+    UNION ALL SELECT * FROM stats80
+    UNION ALL SELECT * FROM stats95
+"""
+
+
+@query("dedup_threshold_sensitivity", oracle=_TAU_SENS_ORACLE)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-THRESHOLD SENSITIVITY CURVE — the tuning table behind
+    every MinHash deployment decision ("what does moving τ actually do
+    to my corpus?"): the banded candidate set is mined ONCE (with its
+    exact shingle-overlap integers), then verified at τ ∈ {0.50, 0.80,
+    0.95} and each cut closed into components — per τ: surviving
+    pairs, cluster count, largest cluster, docs a keep-canonical dedup
+    would drop. The corpus plants all three regimes deliberately:
+    exact copies (J=1), LSH-chain near-dups (~0.8+), and a 60%-PREFIX
+    MUTANT per document (J = (0.6n-1)/(n-1) ~ 0.6 — added because the
+    plain dup corpus measured FLAT across τ: every injected pair sat
+    above 0.8, so the first draft's τ=0.50 and τ=0.80 rows were
+    identical and proved nothing — the τ-lesson, caught live again).
+    τ=0.50 merges the mutants, τ=0.80 does not, τ=0.95 keeps only the
+    exact copies; the moving pair/cluster/drop counts ride the hash.
+
+    Exactness: verification compares len_intersect * den >= num *
+    len_union — the INTEGER cross-multiplied form of jaccard >= τ (no
+    double ever compared to a threshold; the miner's rounded-double
+    path is bypassed via jaccard_threshold=None + exact re-derivation
+    of the same shingle counts). Shape at 100 TB: ONE banding
+    self-join feeds all three cuts (lazy checkpoint — the fan-out
+    lesson); each closure is the O(log n) star-contraction; everything
+    else is cluster-grain."""
+    from .functions.dedupe import shingles
+    from .functions.dedupe import minhash_near_dup_pairs
+    from .functions.graph import dup_clusters as _clusters
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), r"\s+").alias("t")
+    )
+    mutant = t.select(
+        (F.col("doc_id") + F.lit(2 * _DUP_SHIFT)).alias("doc_id"),
+        F.expr(
+            "array_join(slice(t, 1, greatest(1, (3 * size(t)) div 5)), ' ')"
+        ).alias("text"),
+    )
+    corpus = _dup_corpus(docs).unionByName(mutant)
+    sh = F.array_distinct(
+        shingles(normalize_text(F.col("text")), k=2)
+    )
+    # candidate pairs with exact integer overlap sizes, mined once
+    with_sh = corpus.select("doc_id", sh.alias("sh"))
+    cand_ids = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=None,
+    ).select("a_id", "b_id")
+    cand = (
+        cand_ids.join(
+            with_sh.select(
+                F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
+            ),
+            "a_id",
+        )
+        .join(
+            with_sh.select(
+                F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("li"),
+            F.size(F.array_union("a_sh", "b_sh")).alias("lu"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for num, den in ((1, 2), (4, 5), (19, 20)):
+        pairs = cand.where(
+            F.col("li") * F.lit(den) >= F.lit(num) * F.col("lu")
+        ).select("a_id", "b_id")
+        n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        assign = _clusters(pairs, universe=corpus)
+        sizes = assign.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        stats = sizes.agg(
+            F.lit(num * 100 // den).cast("long").alias("tau_centi"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.max("sz").cast("long").alias("largest_cluster"),
+            (F.sum("sz") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(n_pairs)).select(
+                "tau_centi", "n_pairs", "n_clusters",
+                "largest_cluster", "n_dropped",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
