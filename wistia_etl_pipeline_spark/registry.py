@@ -19588,3 +19588,127 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_HEAPS_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id // 50 AS b,
+               regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT b, u.g
+        FROM toks, unnest([array_to_string(t[i:i+2], ' ')
+                           for i in range(1, len(t) - 1)]) AS u(g)
+    ),
+    first AS (SELECT g, MIN(b) AS fb FROM grams GROUP BY g),
+    occ AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS o FROM grams GROUP BY b),
+    newt AS (SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS v
+             FROM first GROUP BY fb),
+    curve AS (
+        SELECT o.b,
+               CAST(SUM(o.o) OVER (ORDER BY o.b) AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(n.v, 0)) OVER (ORDER BY o.b) AS BIGINT)
+                   AS cum_types
+        FROM occ o LEFT JOIN newt n ON n.b = o.b
+    ),
+    pts AS (
+        SELECT length(bin(cum_tokens)) - 1 AS x,
+               length(bin(cum_types)) - 1 AS y
+        FROM curve
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT c.b AS batch, c.cum_tokens, c.cum_types,
+           CAST(CASE WHEN s.n * s.sxx - s.sx * s.sx = 0 THEN 0
+                     ELSE (s.n * s.sxy - s.sx * s.sy) * 1000000
+                          // (s.n * s.sxx - s.sx * s.sx) END AS BIGINT)
+               AS beta_micro
+    FROM curve c CROSS JOIN s
+"""
+
+
+@query("heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW VOCABULARY GROWTH — the companion corpus law to
+    zipf_fit_tokens (Zipf profiles the frequency head; Heaps V(N) ~
+    N^beta profiles how fast NEW types keep arriving — the curve that
+    says when scraping more of the same source stops buying novelty,
+    and the sizing model behind BPE vocab budgets and ngram-novelty
+    expectations): documents in ingest-order batches of 50, cumulative
+    token occurrences N_b vs cumulative distinct TRIGRAM types V_b
+    (word trigrams, because the synthetic corpus saturates unigrams
+    after one batch — 31 types — and bigrams after two (~916); probed
+    before building, the tau lesson), beta fitted by OLS on the
+    floor-log2 grid (bit-length logs — the zipf/HLL no-libm rule).
+    First-seen batch per type (MIN over a hash aggregate) replaces any
+    running-distinct window, so the curve costs one gram aggregate +
+    one |batches|-bounded cumulative — never per-row distinct state.
+    Every curve row plus the fitted slope rides the hash."""
+    from pyspark.sql import Window
+    from .functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") / F.lit(50)).cast("long").alias("b"),
+        F.split(normalize_text(F.col("text")), r"\s+").alias("t"),
+    )
+    grams = toks.select(
+        "b",
+        F.explode(
+            # guard: Spark sequence(1, 0) yields DESCENDING [1, 0], so
+            # an unguarded short doc would emit bogus null-grams — the
+            # CASE keeps <3-token docs gram-free (DuckDB's range(1, 1)
+            # is empty and needs no guard)
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN"
+                " transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("b").alias("fb"))
+    occ = grams.groupBy("b").agg(F.count(F.lit(1)).alias("o"))
+    newt = first.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        occ.join(newt, "b", "left")
+        .select(
+            "b",
+            F.sum("o").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_types"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pts = curve.select(
+        (F.length(F.bin("cum_tokens")) - 1).alias("x"),
+        (F.length(F.bin("cum_types")) - 1).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return curve.crossJoin(F.broadcast(s)).select(
+        F.col("b").alias("batch"),
+        "cum_tokens",
+        "cum_types",
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            " ELSE (n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) END AS BIGINT)"
+        ).alias("beta_micro"),
+    )
