@@ -19840,3 +19840,132 @@ def ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_micro"
         ),
     )
+
+
+_TCLOSE_ORACLE = """
+    WITH c AS (
+        SELECT c_nationkey AS nk,
+               (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS sens
+        FROM customer
+    ),
+    bands AS (SELECT DISTINCT sens FROM c),
+    nations AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_c FROM c GROUP BY nk
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    cls AS (
+        SELECT nk, sens, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY nk, sens
+    ),
+    gdist AS (
+        SELECT sens, CAST(COUNT(*) AS BIGINT) AS gcnt FROM c GROUP BY sens
+    ),
+    grid AS (
+        SELECT n.nk, b.sens, n.n_c,
+               COALESCE(cl.cnt, 0) AS cnt, g.gcnt
+        FROM nations n CROSS JOIN bands b
+        JOIN gdist g ON g.sens = b.sens
+        LEFT JOIN cls cl ON cl.nk = n.nk AND cl.sens = b.sens
+    ),
+    cum AS (
+        SELECT nk, n_c,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY nk ORDER BY sens) AS BIGINT) AS cum_c,
+               CAST(SUM(gcnt) OVER (
+                   PARTITION BY nk ORDER BY sens) AS BIGINT) AS cum_g,
+               sens
+        FROM grid
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bands)
+    SELECT c.nk AS nationkey, c.n_c,
+           CAST(SUM(ABS(c.cum_c * t.n - c.cum_g * c.n_c)) * 1000000
+                // (c.n_c * t.n * (m.m - 1)) AS BIGINT) AS emd_micro,
+           CAST(CASE WHEN SUM(ABS(c.cum_c * t.n - c.cum_g * c.n_c))
+                          * 20 > 3 * (c.n_c * t.n * (m.m - 1))
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_t015
+    FROM cum c CROSS JOIN tot t CROSS JOIN m
+    GROUP BY c.nk, c.n_c, t.n, m.m
+"""
+
+
+@query("t_closeness_audit", oracle=_TCLOSE_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS — completes the privacy-governance trio
+    (k_anonymity_audit: class sizes; its l-diversity flag: distinct
+    sensitive values; THIS: Li/Li/Venkatasubramanian 2007's
+    distributional requirement — a class whose sensitive-attribute
+    DISTRIBUTION diverges from the global one leaks even when large
+    and diverse, e.g. a nation whose customers are uniformly
+    top-band). Divergence is the 1-D earth-mover's distance over the
+    ordered balance bands (the same banding as the k-anonymity audit):
+    EMD = sum_i |CumP_class(i) - CumP_global(i)| / (m-1), kept exact
+    by cross-multiplying the CDFs onto the integer grid
+    |cum_c*N - cum_g*n_c| and flooring once into micro units; the
+    t=0.15 violation flag compares 20*sum > 3*den — no fraction
+    anywhere. Zero-filled dense band grid per class (a class missing a
+    band still steps the CDF — the LEFT JOIN the naive per-class
+    census forgets).
+
+    Shape at 100 TB: one (class, band) hash aggregate; the grid is
+    |classes| x |bands| (bounded by governance design — QI classes and
+    band domains are policy-sized); cumulative windows run per class
+    over that bounded grid."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    c = customer.select(
+        F.col("c_nationkey").alias("nk"),
+        F.expr(
+            "CAST((CAST(floor(c_acctbal) AS BIGINT) + 1000)"
+            " div 1000 AS BIGINT)"
+        ).alias("sens"),
+    )
+    bands = c.select("sens").distinct()
+    nations = c.groupBy("nk").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = c.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cls = c.groupBy("nk", "sens").agg(F.count(F.lit(1)).alias("cnt"))
+    glob = c.groupBy("sens").agg(F.count(F.lit(1)).alias("gcnt"))
+    m = bands.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    grid = (
+        nations.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(glob), "sens")
+        .join(cls, ["nk", "sens"], "left")
+        .select(
+            "nk",
+            "sens",
+            "n_c",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "gcnt",
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("sens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "nk",
+        "n_c",
+        "sens",
+        F.sum("cnt").over(w).cast("long").alias("cum_c"),
+        F.sum("gcnt").over(w).cast("long").alias("cum_g"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .groupBy(F.col("nk").alias("nationkey"), "n_c", "n", "m")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("n_c"))
+            ).alias("s")
+        )
+        .select(
+            "nationkey",
+            F.col("n_c").cast("long").alias("n_c"),
+            F.expr(
+                "CAST(s * 1000000 div (n_c * n * (m - 1)) AS BIGINT)"
+            ).alias("emd_micro"),
+            F.expr(
+                "CAST(CASE WHEN s * 20 > 3 * (n_c * n * (m - 1))"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("violates_t015"),
+        )
+    )
