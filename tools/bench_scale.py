@@ -129,6 +129,12 @@ QUERIES = [
     "community_modularity_eval",
     "shard_rebalance_audit",
     "golden_record_users",
+    "cluster_aware_split",
+    "dedup_threshold_sensitivity",
+    "dataset_release_manifest",
+    "heaps_vocab_growth",
+    "ngram_overlap_eval",
+    "t_closeness_audit",
 ]
 N_RUNS = 3
 
