@@ -19969,3 +19969,102 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("violates_t015"),
         )
     )
+
+
+_MCNEMAR_ORACLE = """
+    WITH paired AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) <= DATE '2024-01-15'
+                   THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) > DATE '2024-01-15'
+                   THEN 1 ELSE 0 END) AS h2
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 END)
+                    AS BIGINT) AS n_00,
+               CAST(COUNT(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 END)
+                    AS BIGINT) AS n_01,
+               CAST(COUNT(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 END)
+                    AS BIGINT) AS n_10,
+               CAST(COUNT(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 END)
+                    AS BIGINT) AS n_11
+        FROM paired
+    )
+    SELECT n_users, n_00, n_01, n_10, n_11,
+           CAST(CASE WHEN n_01 + n_10 = 0 THEN 0
+                ELSE (n_10 - n_01) * (n_10 - n_01) * 1000000
+                     // (n_01 + n_10) END AS BIGINT) AS mcnemar_micro,
+           CAST(CASE WHEN n_01 + n_10 = 0 THEN 0
+                ELSE (ABS(n_10 - n_01) - 1) * (ABS(n_10 - n_01) - 1)
+                     * 1000000 // (n_01 + n_10) END AS BIGINT)
+               AS mcnemar_cc_micro
+    FROM cells
+"""
+
+
+@query("mcnemar_paired_test", oracle=_MCNEMAR_ORACLE)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the PAIRED member of the hypothesis-testing
+    family (experiment_ab_chisq compares independent groups; rank-sum
+    compares distributions; McNemar 1947 compares the SAME subjects
+    before/after — the within-user design that removes between-user
+    variance entirely): each user's purchase indicator in the first
+    vs second half of the observation window forms a 2x2 concordance
+    table, and only the DISCORDANT cells carry information —
+    chi2 = (n_10 - n_01)^2 / (n_01 + n_10), emitted in exact floored
+    micro with the Edwards continuity-corrected variant alongside
+    (both guard the all-concordant n_01+n_10=0 case to 0). All four
+    cells ride the hash, so the concordant mass — the whole point of
+    pairing — is verified too.
+
+    Shape at 100 TB: one user-grain aggregate with two conditional
+    MAX flags, one 1-row reduction. Nothing else."""
+    events = load_table(spark, sf_dir, "events")
+    paired = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") <= F.lit("2024-01-15")),
+                1,
+            ).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") > F.lit("2024-01-15")),
+                1,
+            ).otherwise(0)
+        ).alias("h2"),
+    )
+    cells = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when((F.col("h1") == 0) & (F.col("h2") == 0), 1))
+        .cast("long")
+        .alias("n_00"),
+        F.count(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1))
+        .cast("long")
+        .alias("n_01"),
+        F.count(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1))
+        .cast("long")
+        .alias("n_10"),
+        F.count(F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1))
+        .cast("long")
+        .alias("n_11"),
+    )
+    return cells.select(
+        "n_users", "n_00", "n_01", "n_10", "n_11",
+        F.expr(
+            "CAST(CASE WHEN n_01 + n_10 = 0 THEN 0"
+            " ELSE (n_10 - n_01) * (n_10 - n_01) * 1000000"
+            " div (n_01 + n_10) END AS BIGINT)"
+        ).alias("mcnemar_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_01 + n_10 = 0 THEN 0"
+            " ELSE (ABS(n_10 - n_01) - 1) * (ABS(n_10 - n_01) - 1)"
+            " * 1000000 div (n_01 + n_10) END AS BIGINT)"
+        ).alias("mcnemar_cc_micro"),
+    )
