@@ -409,3 +409,55 @@ def test_gini_matches_bruteforce_pairwise(spark):
     # G = mad / (2 n total); compare at exact integer scale
     assert row.n_customers == n and row.total_cents == total
     assert row.gini_micro == (mad * 1000000) // (2 * n * total)
+
+
+def test_shapley_efficiency_axiom_and_bruteforce(spark):
+    """(a) Efficiency: sum of Shapley values == v(full) - v(empty),
+    exactly, on the x24 integer grid. (b) The closed-form weighted sum
+    must equal the definition — average marginal contribution over all
+    4! channel orderings — computed brute-force from the same mask
+    census."""
+    from itertools import permutations
+
+    import pandas as pd
+
+    from wistia_etl_pipeline_spark import registry
+
+    rows = registry._QUERIES["shapley_channel_attribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.shapley_x24 for r in rows)
+    assert total == 24 * (rows[0].v_full - rows[0].v_empty)
+
+    # brute force: rebuild masks in pandas, enumerate orderings
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    first_p = (
+        ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    )
+    masks = {}
+    for uid, pts in first_p.items():
+        t = ev[(ev.user_id == uid) & (ev.ts < pts)
+               & (ev.event_type != "purchase")]
+        m = 0
+        for et in t.event_type:
+            m |= bits[et]
+        masks[uid] = m
+    from collections import Counter
+
+    cm = Counter(masks.values())
+
+    def v(s):
+        return sum(c for m, c in cm.items() if m & ~s == 0)
+
+    got = {r.channel: r.shapley_x24 for r in rows}
+    for name, b in bits.items():
+        acc = 0
+        for order in permutations(bits.values()):
+            s = 0
+            for x in order:
+                if x == b:
+                    acc += v(s | b) - v(s)
+                    break
+                s |= x
+        assert got[name] == acc, name  # 24 orderings == x24 grid

@@ -20068,3 +20068,152 @@ def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (n_01 + n_10) END AS BIGINT)"
         ).alias("mcnemar_cc_micro"),
     )
+
+
+_SHAPLEY_ORACLE = """
+    WITH firstp AS (
+        SELECT user_id, MIN(ts) AS pts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    masks AS (
+        SELECT f.user_id,
+               COALESCE(bit_or(CASE e.event_type
+                   WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                   WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                   ELSE 0 END), 0) AS m
+        FROM firstp f
+        LEFT JOIN events e
+          ON e.user_id = f.user_id AND e.ts < f.pts
+             AND e.event_type <> 'purchase'
+        GROUP BY f.user_id
+    ),
+    cm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM masks GROUP BY m),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+        SELECT s.s, CAST(COALESCE(SUM(cm.c), 0) AS BIGINT) AS v
+        FROM subsets s LEFT JOIN cm ON (cm.m & ~s.s) = 0
+        GROUP BY s.s
+    ),
+    channels AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) ch(name, bit)
+    ),
+    contrib AS (
+        SELECT ch.name,
+               CAST(SUM(CASE bit_count(v0.s)
+                        WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 WHEN 3 THEN 6 END
+                        * (v1.v - v0.v)) AS BIGINT) AS shapley_x24
+        FROM channels ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.bit)
+        GROUP BY ch.name
+    )
+    SELECT c.name AS channel,
+           c.shapley_x24,
+           CAST(c.shapley_x24 * 1000000 // 24 AS BIGINT) AS shapley_micro,
+           (SELECT v FROM v WHERE s = 0)  AS v_empty,
+           (SELECT v FROM v WHERE s = 15) AS v_full
+    FROM contrib c
+"""
+
+
+@query("shapley_channel_attribution", oracle=_SHAPLEY_ORACLE)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE ATTRIBUTION (Shapley 1953 applied to
+    marketing journeys — the game-theoretic upgrade of
+    attribution_position_weighted's heuristic credit): each converting
+    user's pre-purchase touchset becomes a 4-bit channel mask, the
+    characteristic function v(S) = converters reachable with channels
+    ⊆ S materializes for all 16 coalitions by one subset join over the
+    16-row mask census, and each channel's Shapley value is the
+    closed-form weighted sum of its marginal contributions — kept
+    EXACT as 24·φ (weights s!(3-s)! ∈ {6,2,2,6} — no factorial
+    fraction ever divides; micro floors once at the end). v(∅)
+    (baseline conversions with no prior touch) and v(full) ride along,
+    so the efficiency axiom Σφ = v(full) − v(∅) is checkable from the
+    output (``tests/test_sketch_ab.py::test_shapley_efficiency_axiom``
+    pins it, plus a brute-force over-all-orderings replica).
+
+    Shape at 100 TB: one first-purchase aggregate, one mask bit_or
+    aggregate (user-grain), then EVERYTHING is 16-row algebra — the
+    power-set join is constant-sized because the channel set is (4
+    channels = 16 coalitions); ten channels would make it 1024 rows,
+    still model-sized. The exactness story is the point: Shapley is
+    usually Monte-Carlo'd; over a small channel vocabulary it is a
+    closed-form relational query."""
+    events = load_table(spark, sf_dir, "events")
+    firstp = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    touches = events.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", bit.alias("b")
+    )
+    masks = (
+        firstp.join(
+            touches,
+            (firstp.user_id == touches.user_id)
+            & (touches.ts < firstp.pts),
+            "left",
+        )
+        .groupBy(firstp.user_id)
+        .agg(
+            F.coalesce(F.expr("bit_or(b)"), F.lit(0)).alias("m")
+        )
+    )
+    cm = masks.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cm),
+            F.expr("(m & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "name string, bit int",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    coef = F.expr(
+        "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2"
+        " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    )
+    contrib = (
+        F.broadcast(channels)
+        .join(v0, F.expr("(s0 & bit) = 0"))
+        .join(v1, F.expr("s1 = (s0 | bit)"))
+        .groupBy("name")
+        .agg(
+            F.sum(coef * (F.col("vb") - F.col("va")))
+            .cast("long")
+            .alias("shapley_x24")
+        )
+    )
+    vmeta = (
+        v.where(F.col("s") == 0)
+        .select(F.col("v").alias("v_empty"))
+        .crossJoin(v.where(F.col("s") == 15).select(F.col("v").alias("v_full")))
+    )
+    return contrib.crossJoin(F.broadcast(vmeta)).select(
+        F.col("name").alias("channel"),
+        "shapley_x24",
+        F.expr("CAST(shapley_x24 * 1000000 div 24 AS BIGINT)").alias(
+            "shapley_micro"
+        ),
+        "v_empty",
+        "v_full",
+    )
