@@ -20217,3 +20217,82 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_empty",
         "v_full",
     )
+
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(range(-7, 8)) AS k),
+    pairs AS (
+        SELECT l.k, a.cnt AS x, b.cnt AS y
+        FROM (SELECT dt, cnt FROM daily WHERE event_type = 'view') a
+        CROSS JOIN lags l
+        JOIN (SELECT dt, cnt FROM daily WHERE event_type = 'purchase') b
+          ON b.dt = a.dt + CAST(l.k AS INTEGER)
+    ),
+    suff AS (
+        SELECT k, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_k,
+           CAST(n AS BIGINT) AS n_pairs,
+           {_ACF_R} AS r_micro
+    FROM suff
+"""
+
+
+@query("xcorr_lead_lag", oracle=_XCORR_ORACLE)
+def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION lead-lag analysis between two daily series —
+    the two-series sibling of acf_daily_lags ("do views LEAD purchases,
+    and by how many days?"): Pearson r between view counts at day t
+    and purchase counts at day t+k for k in [-7, 7], negative lags
+    covering the reverse direction, so the argmax over the output IS
+    the estimated lead time. Identical exactness discipline to the ACF
+    (five integer sufficient statistics per lag; the one sqrt runs in
+    the shared _ACF_R IEEE-identical finisher; zero-variance guard).
+
+    Shape at 100 TB: one reduction to the day grain per series, a
+    15-row broadcast lag dim, one model-sized date equi join per lag —
+    never a window over raw events, calendar gaps just drop pairs
+    (n_pairs stays exact per lag)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.where(F.col("event_type") == "view").select(
+        "dt", F.col("cnt").alias("x")
+    )
+    b = daily.where(F.col("event_type") == "purchase").select(
+        F.col("dt").alias("bdt"), F.col("cnt").alias("y")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("k"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bdt") == F.expr("date_add(dt, k)")
+    ).select("k", F.col("x").cast("long").alias("x"),
+             F.col("y").cast("long").alias("y"))
+    suff = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return suff.select(
+        F.col("k").cast("long").alias("lag_k"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(_ACF_R).alias("r_micro"),
+    )
