@@ -135,6 +135,9 @@ QUERIES = [
     "heaps_vocab_growth",
     "ngram_overlap_eval",
     "t_closeness_audit",
+    "mcnemar_paired_test",
+    "shapley_channel_attribution",
+    "xcorr_lead_lag",
 ]
 N_RUNS = 3
 
