@@ -20296,3 +20296,134 @@ def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.expr(_ACF_R).alias("r_micro"),
     )
+
+
+_SCRIPTING_ORACLE = """
+    SELECT CAST(SUM(CASE (CAST(ts AS DATE) - DATE '2024-01-01') // 7 + 1
+                    WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 4
+                    ELSE 0 END) AS BIGINT) AS weighted_events,
+           CAST(COUNT(CASE WHEN CAST(ts AS DATE)
+                                < DATE '2024-01-29' THEN 1 END) AS BIGINT)
+               AS window_events,
+           CAST(4 AS BIGINT) AS n_weeks
+    FROM events
+"""
+
+
+@query("sql_scripting_surface", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 procedural SQL) — the engine's answer to
+    the reference's Redshift STORED PROCEDURES (SURVEY §2's upsert
+    procs live in wistia_redshift_schemas.py): a BEGIN/DECLARE/WHILE
+    script runs server-side over the registered events view, looping
+    over the four January weeks and accumulating week-weighted event
+    counts into declared variables — the recency-weighting loop a
+    warehouse proc would write imperatively. The oracle is the
+    closed-form CASE twin, so the hash proves the 4-iteration loop ==
+    the declarative aggregate (loop-vs-set-logic equivalence, the
+    txlog-IVM proof style applied to procedural SQL).
+
+    Scale note: each iteration issues ONE scan-bounded aggregate; the
+    script driver runs statements sequentially, so a loop over K
+    windows costs K scans — fine for control-flow orchestration
+    (retention loops, partition backfills), wrong for per-row logic —
+    exactly the boundary the docstring of the reference's delete-then-
+    insert procs needed too. Scripting is conf-gated
+    (spark.sql.scripting.enabled, set per-call here; harmless
+    elsewhere). The view name is uuid-suffixed (session-shared
+    catalog, the bucketed-join rule)."""
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    view = f"ev_script_{uuid.uuid4().hex[:8]}"
+    events.createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE weighted BIGINT = 0;
+      DECLARE in_window BIGINT = 0;
+      DECLARE wk INT = 1;
+      WHILE wk <= 4 DO
+        SET weighted = weighted + wk * (
+          SELECT COUNT(*) FROM {view}
+          WHERE to_date(ts) >= date_add(DATE'2024-01-01', (wk - 1) * 7)
+            AND to_date(ts) <  date_add(DATE'2024-01-01', wk * 7)
+        );
+        SET in_window = in_window + (
+          SELECT COUNT(*) FROM {view}
+          WHERE to_date(ts) >= date_add(DATE'2024-01-01', (wk - 1) * 7)
+            AND to_date(ts) <  date_add(DATE'2024-01-01', wk * 7)
+        );
+        SET wk = wk + 1;
+      END WHILE;
+      SELECT weighted AS weighted_events,
+             in_window AS window_events,
+             CAST(4 AS BIGINT) AS n_weeks;
+    END
+    """)
+
+
+_COLLATION_ORACLE = """
+    WITH mangled AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS name,
+               value
+        FROM events
+    )
+    SELECT lower(name) AS name_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS n_spellings,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM mangled GROUP BY lower(name)
+"""
+
+
+@query("collation_surface", oracle=_COLLATION_ORACLE)
+def collation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING COLLATIONS (Spark 4) — case-insensitive comparison
+    semantics declared in the TYPE rather than smeared lower() calls:
+    event types arrive with mixed casing (mangled deterministically
+    here — every even user's rows upper-cased), and the rollup groups
+    on the column CAST to ``string collate UTF8_LCASE`` — grouping,
+    equality, and joins then honor the collation engine-side. The
+    emitted key is normalized through lower() because a collated
+    group's REPRESENTATIVE spelling is whichever value the engine saw
+    first (nondeterministic across partitionings — found by design
+    review, pinned away rather than discovered red); n_spellings
+    counts the case variants folded into each group, proving the
+    collation actually merged distinct binaries. The oracle is the
+    classic lower()-everywhere twin — the differential shows the two
+    idioms produce identical rollups while the collated plan keeps
+    the original strings intact for output."""
+    events = load_table(spark, sf_dir, "events")
+    mangled = events.select(
+        F.when(
+            F.col("user_id") % 2 == 0, F.upper(F.col("event_type"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("name"),
+        "value",
+    )
+    ci = mangled.select(
+        F.expr("CAST(name AS STRING COLLATE UTF8_LCASE)").alias("name_ci"),
+        "name",
+        "value",
+    )
+    return (
+        ci.groupBy("name_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("name").alias("n_spellings"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.lower(F.col("name_ci").cast("string")).alias("name_ci"),
+            "n",
+            "n_spellings",
+            "sum_value",
+        )
+    )
