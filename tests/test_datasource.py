@@ -310,3 +310,63 @@ def test_bare_array_probe_catches_up_multiple_pages_per_batch():
     assert ids == list(range(50, 70))  # exactly the uncommitted tail
     # exhausted feed: next latestOffset reports no further progress
     assert reader.latestOffset() == {"m1": 8}
+
+
+def test_staged_writer_commits_manifest_and_checksums(spark, tmp_path):
+    """Two-phase commit: committed parts + manifest counts must match
+    the data, and the XOR-of-md5 checksum must re-derive from the
+    committed file CONTENTS (transport-verification contract)."""
+    import hashlib
+    import pathlib
+
+    from wistia_etl_pipeline_spark.sources.staged_sink import (
+        StagedJsonDataSource,
+        read_manifest,
+    )
+
+    spark.dataSource.register(StagedJsonDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string"
+    ).repartition(4)
+    df.write.format("staged_json").option("path", out).mode("append").save()
+    m = read_manifest(out)
+    assert m["total_rows"] == 100
+    parts = sorted(pathlib.Path(out).glob("part-*.json"))
+    assert parts and len(parts) == len(m["files"])
+    xor = 0
+    n = 0
+    for p in parts:
+        for line in p.read_text().splitlines():
+            xor ^= int(hashlib.md5(line.encode()).hexdigest()[:15], 16)
+            n += 1
+    assert n == 100 and xor == m["xor60"]
+    assert not (pathlib.Path(out) / "_staging").exists()
+
+
+def test_staged_writer_abort_leaves_no_commit(spark, tmp_path):
+    """A failing task must abort the whole write: no _MANIFEST, no
+    committed part files — nothing a reader would treat as data."""
+    import pathlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.sources.staged_sink import (
+        StagedJsonDataSource,
+    )
+
+    spark.dataSource.register(StagedJsonDataSource)
+    out = str(tmp_path / "sink")
+    poisoned = spark.createDataFrame(
+        [(i,) for i in range(50)], "k long"
+    ).repartition(4).select(
+        F.expr("CASE WHEN k = 13 THEN assert_true(false) ELSE NULL END"),
+        "k",
+    )
+    with pytest.raises(Exception):
+        (poisoned.write.format("staged_json")
+         .option("path", out).mode("append").save())
+    root = pathlib.Path(out)
+    assert not (root / "_MANIFEST.json").exists()
+    assert not list(root.glob("part-*.json"))

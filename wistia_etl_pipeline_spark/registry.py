@@ -20427,3 +20427,73 @@ def collation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "datasource_writer_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS sum_value,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS manifest_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATASOURCE WRITER — the WRITE half of the DSv2 surface
+    (``rest_datasource_ingest`` proved the batch/stream READERS): the
+    events table flows through ``df.write.format("staged_json")`` into
+    ``sources/staged_sink.py``'s two-phase-commit sink — per-task
+    staging files + WriterCommitMessages (path, rows, XOR-of-md5
+    checksum), driver-side rename-then-manifest commit, abort cleanup
+    — the reference's S4 object-store sink re-expressed through the
+    protocol Spark actually offers custom sinks, with the txlog's
+    nothing-visible-before-commit discipline
+    (``tests/test_datasource.py`` pins manifest counts, checksum
+    re-derivation, and that an aborted write leaves NO manifest and NO
+    committed parts).
+
+    The query writes, then reads the committed files back with an
+    explicit schema and rolls them up; the oracle is the same rollup
+    over the ORIGINAL table plus a scalar manifest_rows twin — so the
+    hash proves the custom writer round-trips every row and the
+    manifest count equals the data. JSON value fidelity: doubles
+    survive json.dumps/read exactly (shortest-roundtrip repr both
+    ways); timestamps are projected to strings before the sink
+    (serialization contract explicit, never implicit)."""
+    import os
+    import tempfile
+
+    from .sources.staged_sink import StagedJsonDataSource, read_manifest
+
+    spark.dataSource.register(StagedJsonDataSource)
+    events = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="wistia_sink_") + "/sink"
+    os.makedirs(out, exist_ok=True)
+    (
+        events.select(
+            "event_type",
+            "user_id",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+        .write.format("staged_json")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    manifest_rows = int(read_manifest(out)["total_rows"])
+    back = spark.read.schema(
+        "event_type string, user_id long, value double, ts_str string"
+    ).json(os.path.join(out, "part-*.json"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.lit(manifest_rows).cast("long").alias("manifest_rows"),
+    )
