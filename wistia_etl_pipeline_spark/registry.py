@@ -20497,3 +20497,92 @@ def datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
         F.lit(manifest_rows).cast("long").alias("manifest_rows"),
     )
+
+
+@query(
+    "streaming_datasource_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATASOURCE STREAM WRITER — the last DSv2 protocol slot
+    (batch reader / partitioned + simple stream readers / batch writer
+    all proven; this is ``writeStream.format("staged_json")``): the
+    events stream replays through 4+ micro-batches into
+    ``StagedJsonStreamWriter``, which lands one checksummed manifest
+    PER EPOCH (same task-staging + rename-then-manifest discipline as
+    the batch sink — a replayed epoch overwrites its own manifest id,
+    so the sink composes with the offset log into exactly-once). The
+    query reads back ONLY epoch files covered by a committed manifest
+    and rolls them up; the oracle is the plain batch SQL over the
+    source table, so the driver hash IS the stream==batch==sink
+    round-trip proof across every epoch boundary.
+
+    Shape at 100 TB: the sink's commit path is manifest-sized (counts
+    + checksums, never data); per-epoch work is the micro-batch's own;
+    nothing accumulates driver-side."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+
+    from .sources.staged_sink import StagedJsonDataSource
+    from .streaming.staging import stage_time_ordered
+
+    spark.dataSource.register(StagedJsonDataSource)
+    root = tempfile.mkdtemp(prefix="wistia_dsink_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    os.makedirs(out, exist_ok=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    cuts = ["2024-01-08", "2024-01-15", "2024-01-22", "2100-01-01"]
+    stage_time_ordered(events, "ts", src, cuts)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+    q = (
+        stream.writeStream.format("staged_json")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = []
+    for mf in sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json"))):
+        with open(mf, encoding="utf-8") as f:
+            m = _json.load(f)
+        prefix = f"epoch-{m['batch_id']:06d}-"
+        committed.extend(
+            os.path.join(out, fi["path"])
+            for fi in m["files"]
+            if fi["path"].startswith(prefix)
+        )
+    back = spark.read.schema(
+        "event_type string, value double, ts_str string"
+    ).json(committed)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -121,7 +122,73 @@ class StagedJsonDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> StagedJsonWriter:
         return StagedJsonWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return StagedJsonStreamWriter(self.options)
+
 
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as f:
         return json.load(f)
+
+
+class StagedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer: same per-task staging and
+    checksummed commit messages, but the driver commit lands one
+    manifest PER EPOCH (``_MANIFEST-<batchId>.json``) — together with
+    Spark's offset log this gives the sink exactly-once semantics: a
+    replayed epoch rewrites the same manifest id instead of appending
+    twice (idempotent by construction), and a reader consumes only
+    epochs whose manifest exists."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("staged_json requires option 'path'")
+
+    def write(self, iterator) -> StagedFileCommit:
+        return StagedJsonWriter(
+            {"path": self.path}, overwrite=False
+        ).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = []
+        total = 0
+        xor60 = 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                if m is not None:
+                    os.remove(m.staged_path)
+                continue
+            final = os.path.join(
+                self.path, f"epoch-{batchId:06d}-part-{i:05d}.json"
+            )
+            os.replace(m.staged_path, final)
+            files.append(
+                {
+                    "path": os.path.basename(final),
+                    "rows": m.rows,
+                    "xor60": m.xor60,
+                }
+            )
+            total += m.rows
+            xor60 ^= m.xor60
+        manifest = {
+            "batch_id": batchId,
+            "files": files,
+            "total_rows": total,
+            "xor60": xor60,
+        }
+        tmp = os.path.join(self.path, f"_manifest-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(
+            tmp, os.path.join(self.path, f"_MANIFEST-{batchId:06d}.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.staged_path)
+                except OSError:
+                    pass
