@@ -138,6 +138,10 @@ QUERIES = [
     "mcnemar_paired_test",
     "shapley_channel_attribution",
     "xcorr_lead_lag",
+    "sql_scripting_surface",
+    "collation_surface",
+    "datasource_writer_sink",
+    "streaming_datasource_sink",
 ]
 N_RUNS = 3
 
