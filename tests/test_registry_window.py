@@ -1,0 +1,94 @@
+"""Driver-window invariants (VERDICT r5 #1/#2/#6).
+
+Pure-Python guards — no Spark session — so they run first and fail fast
+if the rotation schedule, the registry, and COVERAGE.md drift apart.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from wistia_etl_pipeline_spark import registry  # noqa: E402
+from check_correctness import never_checked_names  # noqa: E402
+
+ANCHORS = (
+    "pipeline_e2e_gold",
+    "gold_daily_rollup",
+    "sessionize_events",
+    "canary_window_nulls",
+    "corpus_curation_e2e",
+    "merge_upsert_acid",
+    "rest_datasource_ingest",
+)
+
+
+def _window() -> list[str]:
+    return list(registry.queries())[:50]
+
+
+def test_fixed_core_holds_positions_1_to_7():
+    assert tuple(_window()[:7]) == ANCHORS
+
+
+def test_window_is_50_unique_registered_names():
+    w = _window()
+    assert len(w) == 50 and len(set(w)) == 50
+    qs = registry.queries()
+    assert all(n in qs for n in w)
+
+
+def test_every_window_name_has_an_oracle():
+    oracles = registry.oracle_sql()
+    missing = [n for n in _window() if n not in oracles]
+    assert not missing, f"window names without DuckDB oracle: {missing}"
+
+
+def test_promotions_are_all_never_driver_checked():
+    """Positions 8-50 must burn debt — re-promoting an already-green name
+    wastes a slot the closure schedule has budgeted (VERDICT r5 #1)."""
+    debt = set(never_checked_names())
+    wasted = [n for n in _window()[7:] if n not in debt]
+    assert not wasted, f"window slots wasted on already-checked names: {wasted}"
+
+
+def test_registry_growth_frozen_while_debt_exceeds_one_window():
+    """VERDICT r5 #1: zero new registry queries until the remaining debt
+    (after this round's 43 promotions) fits inside ONE window's 43 free
+    slots. Debt after r5 = 134; 134 - 43*2 = 48 > 43, so the freeze holds
+    through r7. Lifting it: bump the literal BELOW only when
+    len(never_checked_names()) - 43 <= 43 at the time you add queries."""
+    assert len(registry._REG_ORDER) == 269, (
+        "registry grew while the driver-verification debt exceeds one "
+        "window — see COVERAGE.md closure schedule before adding queries"
+    )
+
+
+def test_coverage_md_schedule_matches_window_and_debt():
+    """COVERAGE.md's closure table is generated from artifacts; this pins
+    it against drift: its r6 rows must equal the window promotions, and
+    the full table must equal the never-checked set exactly."""
+    text = (REPO / "COVERAGE.md").read_text()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| (r\d) \|$", text, re.M)
+    assert rows, "closure schedule table missing from COVERAGE.md"
+    sched = {name: rnd for name, rnd in rows}
+    debt = never_checked_names()
+    assert sorted(sched) == sorted(debt), (
+        "COVERAGE.md schedule out of sync with CORRECTNESS_r*.json debt"
+    )
+    r6 = [n for n, rnd in rows if rnd == "r6"]
+    assert r6 == _window()[7:], "COVERAGE.md r6 rows != window promotions"
+
+
+def test_anchor_rows_green_in_latest_correctness_artifact():
+    latest = sorted(REPO.glob("CORRECTNESS_r*.json"))[-1]
+    d = json.load(open(latest))
+    for a in ANCHORS:
+        row = d.get(a)
+        assert row and row.get("hash_match"), f"{a} not green in {latest.name}"

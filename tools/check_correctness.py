@@ -5,16 +5,42 @@ DuckDB over the same parquet, then compares row count, column names, and
 an order-insensitive value hash. Use while iterating:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Audit modes (VERDICT r5 #5 — one command whose green output IS the
+driver-verification-debt audit):
+
+    python tools/check_correctness.py --never-checked [sf_dir]
+        Run exactly the registry names that have never appeared in any
+        committed CORRECTNESS_r*.json window.
+    python tools/check_correctness.py --list-never-checked
+        Print that set (registration order) without running anything —
+        the COVERAGE.md closure schedule is generated from this list.
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
+import json
 import sys
 
 import duckdb
 
 sys.path.insert(0, ".")
+
+
+def never_checked_names() -> list[str]:
+    """Registry names absent from every committed CORRECTNESS_r*.json.
+
+    Reads the artifacts fresh each call so the ledger and the triple
+    sweep cannot drift from the driver's actual record.
+    """
+    checked: set[str] = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(path)).keys())
+    from wistia_etl_pipeline_spark import registry
+
+    return [n for n in registry._REG_ORDER if n not in checked]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -44,10 +70,22 @@ def _hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--hostile"]
-    hostile = "--hostile" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    hostile = "--hostile" in flags
+    if "--list-never-checked" in flags:
+        for n in never_checked_names():
+            print(n)
+        return 0
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if "--never-checked" in flags:
+        only = set(never_checked_names()) | only
+        if not only:
+            print("driver-verification debt is ZERO: every registry name "
+                  "has a CORRECTNESS_r*.json row")
+            return 0
+        print(f"auditing {len(only)} never-driver-checked queries")
 
     import __spark_entry__ as entrymod
 

@@ -94,14 +94,15 @@ def query(name: str, oracle: str | None = None):
 #: registration order after the listed ones; listing a name that isn't
 #: registered is a hard error (catches typos/renames).
 _PRIORITY: tuple[str, ...] = (
-    # ================= r5 WINDOW (driver hash-checks the first 50) ====
-    # VERDICT r4 #1: burn down the driver-verification debt. The fixed
-    # core shrinks to 7 family anchors for r5+r6 so the 62 never-
-    # driver-checked queries clear in two rounds (39 promoted here, the
-    # remaining ~23 scheduled for r6 — see the COVERAGE.md ledger).
-    # Everything rotated out is r1-r4 driver-green on record and stays
-    # covered every round by tools/check_correctness.py x3 configs.
-    # ---- FIXED CORE (7) ----
+    # ================= r6 WINDOW (driver hash-checks the first 50) ====
+    # VERDICT r5 #1: registry growth FROZEN this round; the window burns
+    # the driver-verification debt (134 never-checked names after r5).
+    # 7 fixed anchors + 43 promotions = the 19 judge-named families plus
+    # the 24 oldest never-checked names in registration order. The full
+    # r6->r9 closure schedule lives in COVERAGE.md (single authoritative
+    # table; supersedes all earlier rotation addenda). Audit command:
+    #   python tools/check_correctness.py --never-checked
+    # ---- FIXED CORE (7, pinned every round; VERDICT r5 #6) ----
     "pipeline_e2e_gold",        # flagship reference e2e (S1-S7/ST1-ST4)
     "gold_daily_rollup",        # gold agg family anchor
     "sessionize_events",        # r1 hash-red sentinel (rule #9 axis)
@@ -109,58 +110,61 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curation_e2e",      # LLM-curation flagship (dedup stack)
     "merge_upsert_acid",        # ACID txlog family anchor
     "rest_datasource_ingest",   # ingest/DataSource family anchor
-    # ---- NEW IN r5 (4): VERDICT items #2/#3/#5 ----
-    "customer_rfm_boundaries",  # approx-percentile RFM scale path (#2)
-    "customer_rfm_segments",    # its exact-ntile twin (never checked)
-    "streaming_gold_rollup",    # first streaming driver row (#3)
-    "aqe_skew_join_rollup",     # AQE skew-split demo (#5)
-    # ---- PROMOTED (39): never driver-checked until now ----
-    # TPC-H tail — completes driver coverage of all 22 shapes
-    "unshipped_orders_q3",
-    "order_priority_q4",
-    "local_supplier_volume_q5",
-    "market_share_q8",
-    "product_profit_q9",
-    "returned_items_q10",
-    "important_stock_q11",
-    "promo_revenue_q14",
-    "top_supplier_q15",
-    "supplier_cnt_q16",
-    "small_qty_revenue_q17",
-    "large_volume_customers_q18",
-    "disjunctive_pushdown_q19",
-    "excess_stock_suppliers_q20",
-    "waiting_suppliers_q21",
-    "global_sales_opportunity_q22",
-    # VERDICT r4 #1 named promotions
-    "data_quality_suite",
-    "grouped_outlier_profile",
-    "cogroup_asof_checkpoint",
-    "salted_join_first_seen",
-    "approx_sketch_anchor",
-    "decontaminate_bloom_prefilter",
-    "ssjoin_prefix_filter",
-    # one representative per remaining never-checked family
-    "txlog_snapshot_diff",
-    "pareto_doc_frontier",
-    "timeseries_gap_fill",
-    "ewma_user_activity",
-    "map_functions_surface",
-    "frequent_token_pairs",
-    "incremental_join_view",
-    "span_corruption_layout",
-    "dedup_eval_metrics",
-    "split_leakage_audit",
-    "kmeans_embedding_clusters",
-    "table_profile_events",
-    "embedding_random_projection",
-    "event_transition_matrix",
-    "variant_try_surface",
-    "text_chunking_bpe",
+    # ---- PROMOTED (43): never driver-checked until now ----
+    # judge-named families first (VERDICT r5 #1 parenthetical):
+    # sketches
+    "sketch_hll_visitors",
+    "sketch_hll_merge_daily",
+    "sketch_kmv_distinct",
+    "heavy_hitters_mg",
+    # graph
+    "triangle_count_dup_graph",
+    "kcore_decomposition",
+    "label_propagation_communities",
+    "sssp_nation_graph",
+    # streaming
+    "streaming_stream_join",
+    "streaming_session_windows",
+    "streaming_dedup_ingest",
+    # txlog
+    "txlog_delete_user",
+    "txlog_zorder_optimize",
+    # runtime-filter demos
+    "bloom_filter_join_prune",
+    "dpp_partition_prune_join",
+    # named singles
+    "bucketed_join_rollup",
+    "containment_quote_match",
+    "duplicate_span_removal",
+    "exact_median_two_pass",
+    # 24 oldest never-checked names, registration order:
+    "distributed_ingest_fanout",
+    "incremental_gold_maintenance",
+    "group_capped_docs",
+    "unpivot_daily_metrics",
+    "cube_event_engagement",
+    "corr_profile_docs",
+    "text_repetition_stats",
+    "embedding_centroid_profile",
+    "asof_join_forward",
+    "window_value_functions",
+    "hopping_window_activity",
+    "array_hof_surface",
+    "dataset_mixture_epochs",
+    "doc_tfidf_keywords",
+    "cluster_prototypes",
+    "source_dup_profile",
+    "sketch_count_min_tokens",
+    "fk_integrity_audit",
+    "negative_sampling_pairs",
+    "doc_feature_hashing",
+    "key_skew_profile",
+    "langid_confusion_matrix",
+    "bm25_topk",
+    "domain_importance_weights",
     # ---- window boundary at 50: every name NOT listed above sorts
-    # after the window in registration order (including the retired
-    # canary_sum_hugeint_uncast), fully checked each round by
-    # tools/check_correctness.py at sf0.01 + hostile + sf0.1 ----
+    # after the window in registration order, fully checked each round
+    # by tools/check_correctness.py at sf0.01 + hostile-tz + sf0.1 ----
 )
 
 
