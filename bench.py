@@ -205,6 +205,25 @@ HEADLINE = [
 ]
 
 
+def _release_cached(spark) -> None:
+    """Drop everything the previous query left pinned (VERDICT r5 #4).
+
+    A full-registry run accumulates ~200 lazily-materialized
+    ``localCheckpoint``/persist RDDs; the resulting storage-memory
+    pressure inflated late-running queries by up to 1.8x (measured:
+    pipeline_e2e_gold 20 s solo -> 35.6 s warm median inside the r5
+    full-registry run). ``catalog.clearCache()`` releases persist'd
+    DataFrames but NOT localCheckpoint RDDs, which live outside the
+    catalog — those need explicit unpersist via the persistent-RDD map.
+    """
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:
+        pass  # py4j map iteration is an internal API; never break the bench
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -230,12 +249,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-    # NOTE (measured r4): persisted intermediates are plan-keyed, so
-    # rounds 2..n can cache-hit round 1's frames for persist-heavy
-    # queries — medians are therefore warm-cache figures. Clearing the
-    # cache per query was tried and rejected: it cools every round but
-    # breaks comparability with the r1-r3 artifact series (same
-    # methodology kept; cold-cache deltas live in NOTES_r4).
+            _release_cached(spark)
+    # METHODOLOGY (r6, VERDICT r5 #4): each query's leftover pinned
+    # state is released AFTER its timer stops, so a query still reuses
+    # its own persists internally but cannot cache-pollute its
+    # successors or cache-hit its own next round. "Warm" now means
+    # warm JVM/JIT/parquet-footers with a cold storage layer — within
+    # ~1.2x of the cold column by construction. (The r1-r5 warm series
+    # allowed plan-keyed cross-round cache hits AND suffered
+    # storage-pressure inflation; deltas documented in NOTES_r4/r6.)
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -252,11 +274,11 @@ def main() -> None:
     cold: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
         for name in bench_names:
-            spark.catalog.clearCache()
+            _release_cached(spark)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        _release_cached(spark)
 
     payload = json.dumps(
         {

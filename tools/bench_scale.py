@@ -142,6 +142,13 @@ QUERIES = [
     "collation_surface",
     "datasource_writer_sink",
     "streaming_datasource_sink",
+    # r6: exact-vs-scale twin coverage for the PLANS.md crossover table
+    # (VERDICT r5 #7) — the exact/percentile variants whose scale twins
+    # are already curved
+    "exact_median_two_pass",
+    "trimmed_mean_census",
+    "percentile_engagement",
+    "approx_sketch_anchor",
 ]
 N_RUNS = 3
 
