@@ -149,6 +149,17 @@ QUERIES = [
     "trimmed_mean_census",
     "percentile_engagement",
     "approx_sketch_anchor",
+    # r6 batch 2: the heaviest remaining uncurved queries by the r5
+    # cold column (BENCH_LOCAL.json), flagship first
+    "pipeline_e2e_gold",
+    "streaming_session_windows",
+    "dedup_eval_metrics",
+    "ssjoin_prefix_filter",
+    "dedup_incremental_minhash",
+    "fk_integrity_audit",
+    "ngram_novelty_by_batch",
+    "decontaminate_ngrams",
+    "star_join_revenue",
 ]
 N_RUNS = 3
 
