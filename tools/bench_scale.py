@@ -172,12 +172,30 @@ def main() -> None:
     # BENCH_SCALE.json so incremental additions don't re-pay the full
     # (serial, cold) sweep.
     selected = [a for a in sys.argv[1:] if not a.startswith("-")]
-    run_queries = selected or QUERIES
-    unknown = [n for n in run_queries if n not in QUERIES]
-    if unknown:
-        raise SystemExit(f"not in QUERIES: {unknown}")
+    flags = {a for a in sys.argv[1:] if a.startswith("-")}
     from wistia_etl_pipeline_spark.registry import queries
     from wistia_etl_pipeline_spark.session import get_spark
+
+    if "--uncurved" in flags:
+        # Sweep every registry query with no BENCH_SCALE row yet,
+        # heaviest first (BENCH_LOCAL cold column) so an interrupted
+        # run still banks the curves that matter most.
+        path = os.path.join(ROOT, "BENCH_SCALE.json")
+        curved = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                curved = set(json.load(f).get("queries", {}))
+        cold: dict[str, float] = {}
+        bl = os.path.join(ROOT, "BENCH_LOCAL.json")
+        if os.path.exists(bl):
+            with open(bl) as f:
+                cold = json.load(f).get("queries_cold", {})
+        selected = sorted(
+            (n for n in queries() if n not in curved),
+            key=lambda n: -cold.get(n, 0.0),
+        )
+        print(f"--uncurved: {len(selected)} queries")
+    run_queries = selected or QUERIES
 
     sfs = sorted(
         (float(d[2:]), os.path.join(SCALE_DIR, d))
@@ -186,6 +204,9 @@ def main() -> None:
     )
     spark = get_spark("bench-scale")
     qs = dict(queries())
+    unknown = [n for n in run_queries if n not in qs and n != "pagerank_dup_graph_6r"]
+    if unknown:
+        raise SystemExit(f"not registry queries: {unknown}")
 
     def _pagerank_6r(spark, sf_dir):
         # pagerank_dup_graph with iterations=6: the exponent OVER SF
@@ -235,8 +256,17 @@ def main() -> None:
                 # intermediates accumulated across 10 queries × 3 SFs
                 # in one JVM were measured distorting the sf1 numbers
                 # ~2× via GC pressure (GCLocker retry warnings) —
-                # every sample here is deliberately cold-cache
+                # every sample here is deliberately cold-cache.
+                # clearCache alone does NOT release localCheckpoint
+                # RDDs (the bench.py r6 lesson) — drop those too.
                 spark.catalog.clearCache()
+                try:
+                    for jrdd in (
+                        spark.sparkContext._jsc.getPersistentRDDs().values()
+                    ):
+                        jrdd.unpersist()
+                except Exception:
+                    pass
             medians[name][f"{sf:g}"] = round(statistics.median(ts), 3)
             print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
 
