@@ -316,6 +316,51 @@ def test_prefix_filtered_jaccard_matches_brute_force(spark):
         assert got == sorted(expect), (num, den)
 
 
+def test_prefix_filtered_jaccard_dense_universe_deletion_path(spark):
+    """The degenerate regime the r6 adaptive switch exists for: every
+    document drawn from a tiny vocabulary (near-uniform df), high τ —
+    the deletion-neighborhood path must reproduce brute force exactly,
+    including the subset case (sizes n vs n+1), set-identical dups,
+    1-token documents (md5-of-empty deletion signatures collide across
+    docs — verification must reject those), and zero-match queries."""
+    import itertools
+    import random
+
+    from wistia_etl_pipeline_spark.functions.dedupe import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(12)]
+    rows = []
+    for n in range(40):
+        k = rng.choice([1, 9, 10, 10, 11, 12])
+        toks = rng.sample(vocab, k)
+        rows.append(Row(i=n, q=(n % 5 == 0), t=" ".join(toks)))
+    # force subset pairs across the q/c boundary: c = q + one token
+    rows.append(Row(i=100, q=True, t="v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+    rows.append(Row(i=101, q=False, t="v0 v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+    rows.append(Row(i=102, q=False, t="v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+    df = spark.createDataFrame(rows)
+    num, den = 9, 10  # n_max=12 -> floor(12*1/9)=1 -> deletion path
+    got = sorted(
+        (r.q_id, r.c_id, r.inter, r.uni)
+        for r in prefix_filtered_jaccard_pairs(
+            df, "i", "t", "q", tau_num=num, tau_den=den
+        ).collect()
+    )
+    sets = {r.i: set(r.t.split()) for r in rows}
+    qs = [r.i for r in rows if r.q]
+    cs = [r.i for r in rows if not r.q]
+    expect = sorted(
+        (a, b, len(sets[a] & sets[b]), len(sets[a] | sets[b]))
+        for a, b in itertools.product(qs, cs)
+        if den * len(sets[a] & sets[b]) >= num * len(sets[a] | sets[b])
+    )
+    assert got == expect
+    assert (100, 101, 10, 11) in got and (100, 102, 10, 10) in got
+
+
 def test_prefix_filtered_jaccard_repartition_invariant(spark):
     from wistia_etl_pipeline_spark.functions.dedupe import (
         prefix_filtered_jaccard_pairs,
