@@ -63,7 +63,7 @@ ANNOTATED = {
     "pagerank_dup_graph": "PageRank: the banded pair-mine feeds a persisted edge+degree frame (InMemoryTableScan in every round); each of 3 fixed rounds is one src-keyed hash join + one dst-keyed aggregate — no driver state, no iteration-dependent plan growth.",
     "txlog_snapshot_diff": "snapshot diff: both versions read file-pinned manifests; ONE full-outer SortMergeJoin on the (user, event_type) key grain; classification is pure projection above it.",
     "pareto_doc_frontier": "skyline: the raw corpus only feeds a hash aggregate (max tokens per distinct length); the single Window runs over that value-cardinality-bounded point table; winners return via LeftSemi — the naive O(n²) dominance exists only in the oracle.",
-    "ssjoin_prefix_filter": "prefix-filtered SSJoin: per-document row_number windows cut prefixes under the global (df, token) rarity order (no global rank/sort); the candidate join blocks on rare tokens with a size-ratio residual; exact verification touches candidates only.",
+    "ssjoin_prefix_filter": "adaptive exact SSJoin: in the high-threshold/dense-universe regime (n_max*(den-num)//num <= 1, one bounded MAX) candidates come from an equi join on 1-deletion-neighborhood signatures — linear in true collisions where every rarity-prefix degenerates; otherwise the classic (df, token)-order prefix filter. Exact verification touches candidates only either way.",
     "event_transition_matrix": "transition matrix: one per-user lead window, then a hash aggregate whose output is |event_types|²-bounded; count_distinct plans via Expand under the same single exchange.",
     "fk_integrity_audit": "FK audit: per relation both tables collapse to per-key counts (partial_count below the exchange) before ONE full-outer join; orphans and childless derive from the same join — the oracle's two anti-joins per relation exist only there.",
 }
@@ -73,6 +73,18 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entry
     from wistia_etl_pipeline_spark.session import get_spark
+
+    # Preserve the hand-maintained block (the exact-vs-scale crossover
+    # table) across regenerations.
+    hand = ""
+    try:
+        with open("PLANS.md") as f:
+            prev = f.read()
+        b, e = "<!-- BEGIN HAND-MAINTAINED", "<!-- END HAND-MAINTAINED -->"
+        if b in prev and e in prev:
+            hand = prev[prev.index(b): prev.index(e) + len(e)] + "\n"
+    except OSError:
+        pass
 
     spark = get_spark("dump-plans", shuffle_partitions=16)
     qs = entry.queries()
@@ -84,6 +96,8 @@ def main() -> None:
         "human-readable audit trail.",
         "",
     ]
+    if hand:
+        out += [hand]
     for name, note in ANNOTATED.items():
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", "", f"**Why this plan:** {note}", "", "```", plan.rstrip(), "```", ""]
