@@ -86,6 +86,15 @@ def test_coverage_md_schedule_matches_window_and_debt():
     assert r6 == _window()[7:], "COVERAGE.md r6 rows != window promotions"
 
 
+def test_rotate_window_reproduces_current():
+    """tools/rotate_window.py run for the current round must reproduce
+    the committed window exactly — the mechanical rotation and the
+    hand-committed state cannot drift."""
+    from rotate_window import plan_window
+
+    assert plan_window("r6") == _window()
+
+
 def test_anchor_rows_green_in_latest_correctness_artifact():
     latest = sorted(REPO.glob("CORRECTNESS_r*.json"))[-1]
     d = json.load(open(latest))
