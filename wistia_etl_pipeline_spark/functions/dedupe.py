@@ -121,7 +121,27 @@ def _staged_bands(
     the tokenizer runs 3× and the 16-hash signature 2× over the
     corpus; with them, once each. MEMORY_AND_DISK: a 100 TB corpus's
     shingle cache won't fit RAM — spilled blocks are still far cheaper
-    than recomputation."""
+    than recomputation.
+
+    ADAPTIVE signature computation (r6): the inline form evaluates
+    num_hashes salted md5s PER SHINGLE OCCURRENCE — corpus_rows ×
+    shingles_per_doc × num_hashes digest calls. When the distinct-
+    shingle universe is small (repetitive corpora: boilerplate, tiny
+    vocabularies, short n-grams — here ≤961 distinct bigrams over a
+    31-token vocabulary while 150k docs carry ~30M occurrences), the
+    same digests are recomputed ~500k times each. In that regime the
+    hash family is evaluated ONCE PER DISTINCT SHINGLE into a
+    model-sized dictionary, broadcast onto the exploded (doc, shingle)
+    pairs, and the signature becomes num_hashes map-side-combined MIN
+    aggregates — identical values (same md5 family over the same
+    distinct-shingle multiset, min is order-free), so candidates,
+    verification, and every downstream oracle are bit-unchanged; only
+    the digest count drops from occurrences×num_hashes to
+    distinct×num_hashes. The regime probe is one approx_count_distinct
+    scan; above the dictionary cap the inline path is unchanged (for
+    natural corpora the distinct-shingle set grows with the data and
+    the dictionary would be data-sized — exactly when the inline form's
+    digest count per occurrence is no longer redundant)."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
@@ -136,15 +156,36 @@ def _staged_bands(
         .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    banded = (
-        staged_sh.filter(F.size("sh") > 0)
-        .select(
+    occurrences = staged_sh.select(F.explode("sh").alias("__s"))
+    n_distinct = occurrences.agg(
+        F.approx_count_distinct("__s").alias("n")
+    ).first()["n"]
+    if n_distinct <= 65536:
+        hash_cols = [
+            F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+        dictionary = occurrences.distinct().select("__s", *hash_cols)
+        sig_rows = (
+            staged_sh.filter(F.size("sh") > 0)
+            .select("doc", F.explode("sh").alias("__s"))
+            .join(F.broadcast(dictionary), "__s")
+            .groupBy("doc")
+            .agg(*[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)])
+            .select(
+                "doc",
+                F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
+            )
+        )
+    else:
+        sig_rows = staged_sh.filter(F.size("sh") > 0).select(
             "doc",
             F.array(
                 *[F.array_min(F.transform(F.col("sh"), _salted(i))) for i in range(num_hashes)]
             ).alias("sig"),
         )
-        .select(
+    banded = (
+        sig_rows.select(
             "doc",
             F.posexplode(
                 band_keys(F.col("sig"), bands=bands, rows_per_band=rows_per_band)
@@ -230,6 +271,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_k: int = 1,
     jaccard_threshold: float | None = 0.8,
+    return_counts: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id) via MinHash banding.
 
@@ -237,6 +279,16 @@ def minhash_near_dup_pairs(
     keys (×bands) → self-join on (band, key) → distinct pairs →
     optional exact-Jaccard verification. The self-join never sees two
     docs that share no band — that's the whole scale trick.
+
+    ``return_counts=True`` appends the exact integer intersection /
+    union sizes (``li``, ``lu``) computed from the SAME cached shingle
+    frame the miner already joins for verification. Consumers that
+    need the exact integers (threshold algebra in cross-multiplied
+    form) must use this instead of re-deriving shingles themselves:
+    an external re-derivation scans + regex-shingles the corpus once
+    per join side UNCACHED — measured 71 s of a 99 s query at sf1,
+    invisible to a count() probe because count prunes the array
+    payloads (r6 lesson).
     """
     staged_sh, banded = _staged_bands(
         df, id_col, text_col,
@@ -263,6 +315,14 @@ def minhash_near_dup_pairs(
     out = pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("a_sh"), F.col("b_sh")), 6))
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard_sim") >= jaccard_threshold)
+    if return_counts:
+        return out.select(
+            "a_id",
+            "b_id",
+            "jaccard_sim",
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("li"),
+            F.size(F.array_union("a_sh", "b_sh")).alias("lu"),
+        )
     return out.select("a_id", "b_id", "jaccard_sim")
 
 

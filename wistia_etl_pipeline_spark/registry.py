@@ -19518,7 +19518,6 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join feeds all three cuts (lazy checkpoint — the fan-out
     lesson); each closure is the O(log n) star-contraction; everything
     else is cluster-grain."""
-    from .functions.dedupe import shingles
     from .functions.dedupe import minhash_near_dup_pairs
     from .functions.graph import dup_clusters as _clusters
     from .functions.text import normalize_text
@@ -19534,34 +19533,19 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = _dup_corpus(docs).unionByName(mutant)
-    sh = F.array_distinct(
-        shingles(normalize_text(F.col("text")), k=2)
-    )
-    # candidate pairs with exact integer overlap sizes, mined once
-    with_sh = corpus.select("doc_id", sh.alias("sh"))
-    cand_ids = minhash_near_dup_pairs(
-        corpus, "doc_id", "text",
-        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=None,
-    ).select("a_id", "b_id")
+    # Candidate pairs WITH their exact integer overlap sizes, mined
+    # once — return_counts rides the miner's internal cached shingle
+    # frame. (r6 fix: the first draft re-derived shingles through two
+    # uncached corpus-wide joins to compute li/lu — 71 s of the 99 s
+    # query at sf1, invisible to count() probes because count prunes
+    # the array payloads.)
     cand = (
-        cand_ids.join(
-            with_sh.select(
-                F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh")
-            ),
-            "a_id",
+        minhash_near_dup_pairs(
+            corpus, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=None,
+            return_counts=True,
         )
-        .join(
-            with_sh.select(
-                F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh")
-            ),
-            "b_id",
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.size(F.array_intersect("a_sh", "b_sh")).alias("li"),
-            F.size(F.array_union("a_sh", "b_sh")).alias("lu"),
-        )
+        .select("a_id", "b_id", "li", "lu")
         .localCheckpoint(eager=False)
     )
     outs = []
