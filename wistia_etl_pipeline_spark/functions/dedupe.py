@@ -23,9 +23,17 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import normalize_text, tokens
+
+#: Distinct-shingle cap for the MinHash digest-dictionary path (see
+#: _staged_bands). The dictionary must stay model-sized (it is
+#: broadcast); 65536 × num_hashes md5 strings ≈ 35 MB. Env-overridable
+#: for A/B measurement (0 disables the dictionary path entirely).
+_MINHASH_DICT_CAP = int(os.environ.get("SPARK_GRAFT_MINHASH_DICT_CAP", "65536"))
 
 
 def fan_out(df: DataFrame, key: str) -> DataFrame:
@@ -160,7 +168,7 @@ def _staged_bands(
     n_distinct = occurrences.agg(
         F.approx_count_distinct("__s").alias("n")
     ).first()["n"]
-    if n_distinct <= 65536:
+    if n_distinct <= _MINHASH_DICT_CAP:
         hash_cols = [
             F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
             for i in range(num_hashes)
