@@ -35,6 +35,18 @@ from .text import normalize_text, tokens
 #: for A/B measurement (0 disables the dictionary path entirely).
 _MINHASH_DICT_CAP = int(os.environ.get("SPARK_GRAFT_MINHASH_DICT_CAP", "65536"))
 
+#: Minimum shingle OCCURRENCES before the dictionary engages. The
+#: dictionary path replaces per-occurrence digests with three extra
+#: jobs (distinct shuffle, broadcast, min-aggregate shuffle) whose
+#: fixed latencies dominate small corpora: measured at the 5k-doc
+#: bench grain it REGRESSED every minhash consumer by 1-3 s while
+#: saving <1 s of digests, and at the 150k-doc grain it saved 60 s.
+#: Below this floor the inline path is simply cheaper regardless of
+#: redundancy.
+_MINHASH_DICT_MIN_OCC = int(
+    os.environ.get("SPARK_GRAFT_MINHASH_DICT_MIN_OCC", "2000000")
+)
+
 
 def fan_out(df: DataFrame, key: str) -> DataFrame:
     """Repartition to the session's parallelism when the source scan
@@ -145,11 +157,15 @@ def _staged_bands(
     distinct-shingle multiset, min is order-free), so candidates,
     verification, and every downstream oracle are bit-unchanged; only
     the digest count drops from occurrences×num_hashes to
-    distinct×num_hashes. The regime probe is one approx_count_distinct
-    scan; above the dictionary cap the inline path is unchanged (for
-    natural corpora the distinct-shingle set grows with the data and
-    the dictionary would be data-sized — exactly when the inline form's
-    digest count per occurrence is no longer redundant)."""
+    distinct×num_hashes. The regime probe is one count +
+    approx_count_distinct scan; the dictionary engages only when the
+    universe fits the broadcast cap AND the occurrence volume clears
+    the floor where the digest saving outweighs the path's three fixed
+    extra jobs (_MINHASH_DICT_MIN_OCC — measured: 1-3 s REGRESSION per
+    query at the 5k-doc grain, 60 s saving at the 150k-doc grain).
+    Outside the regime the inline path is unchanged (natural corpora
+    grow their distinct-shingle set with the data — exactly when the
+    per-occurrence digest count is no longer redundant)."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
@@ -165,10 +181,11 @@ def _staged_bands(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     occurrences = staged_sh.select(F.explode("sh").alias("__s"))
-    n_distinct = occurrences.agg(
-        F.approx_count_distinct("__s").alias("n")
-    ).first()["n"]
-    if n_distinct <= _MINHASH_DICT_CAP:
+    stats = occurrences.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.approx_count_distinct("__s").alias("n"),
+    ).first()
+    if stats["n"] <= _MINHASH_DICT_CAP and stats["occ"] >= _MINHASH_DICT_MIN_OCC:
         hash_cols = [
             F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
             for i in range(num_hashes)
