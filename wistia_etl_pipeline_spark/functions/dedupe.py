@@ -47,6 +47,18 @@ _MINHASH_DICT_MIN_OCC = int(
     os.environ.get("SPARK_GRAFT_MINHASH_DICT_MIN_OCC", "2000000")
 )
 
+#: Generous per-document distinct-shingle bound used ONLY to decide
+#: whether counting occurrences is worth a job at all: corpora with
+#: fewer than MIN_OCC / MAX_SH_PER_DOC rows cannot reach the floor
+#: under any realistic document length, so they skip straight to the
+#: inline path with zero shingle-level probe jobs. Overestimating this
+#: is safe (one wasted probe); underestimating it could deny the
+#: dictionary to a corpus of pathologically long documents — hence
+#: generous.
+_MINHASH_MAX_SH_PER_DOC = int(
+    os.environ.get("SPARK_GRAFT_MINHASH_MAX_SH_PER_DOC", "4096")
+)
+
 
 def fan_out(df: DataFrame, key: str) -> DataFrame:
     """Repartition to the session's parallelism when the source scan
@@ -180,12 +192,28 @@ def _staged_bands(
         .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    occurrences = staged_sh.select(F.explode("sh").alias("__s"))
-    stats = occurrences.agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.approx_count_distinct("__s").alias("n"),
-    ).first()
-    if stats["n"] <= _MINHASH_DICT_CAP and stats["occ"] >= _MINHASH_DICT_MIN_OCC:
+    # Hierarchical regime decision, cheapest evidence first — the full
+    # occurrence probe itself costs ~1 s at small grain (it forces an
+    # extra materialize-then-reread round trip over the shingle cache),
+    # which is exactly the overhead class the floor exists to avoid:
+    # 1. row count (column-pruned scan, no shingling) — if even a
+    #    generous shingles-per-doc bound cannot reach the floor, go
+    #    inline with zero shingle-level jobs;
+    # 2. otherwise one pass over the (now warranted) shingle cache for
+    #    the exact occurrence count + distinct estimate.
+    n_rows = df.count()
+    use_dictionary = False
+    if n_rows * _MINHASH_MAX_SH_PER_DOC >= _MINHASH_DICT_MIN_OCC:
+        occurrences = staged_sh.select(F.explode("sh").alias("__s"))
+        stats = occurrences.agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.approx_count_distinct("__s").alias("n"),
+        ).first()
+        use_dictionary = (
+            stats["n"] <= _MINHASH_DICT_CAP
+            and stats["occ"] >= _MINHASH_DICT_MIN_OCC
+        )
+    if use_dictionary:
         hash_cols = [
             F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
             for i in range(num_hashes)
