@@ -59,6 +59,34 @@ def test_minhash_lsh_finds_exact_dups(spark):
             assert r.jaccard_sim == 1.0
 
 
+def test_minhash_dictionary_path_matches_inline(spark, monkeypatch):
+    """The dictionary branch of _staged_bands only engages above a
+    2M-occurrence floor the unit corpus can't reach, so without this
+    test its bit-identical claim is exercised only at bench grain
+    (ADVICE r6). Force the path by dropping the floor to 1 and assert
+    the full (pairs + exact integer counts) output equals the inline
+    path's on the same corpus."""
+    from wistia_etl_pipeline_spark.functions import dedupe
+
+    rows = [Row(doc_id=i, text=f"alpha beta gamma {i} delta {i % 7} eps")
+            for i in range(40)]
+    rows += [Row(doc_id=i + 100, text=rows[i].text) for i in range(10)]
+    df = spark.createDataFrame(rows)
+
+    def _mine():
+        out = minhash_near_dup_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=4, shingle_k=2,
+            jaccard_threshold=None, return_counts=True,
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    inline = _mine()
+    monkeypatch.setattr(dedupe, "_MINHASH_DICT_MIN_OCC", 1)
+    dictionary = _mine()
+    assert dictionary == inline
+    assert inline, "corpus produced no candidate pairs — test is vacuous"
+
+
 def test_jaccard(spark):
     df = spark.createDataFrame([Row(a=["x", "y"], b=["y", "z"])])
     assert abs(df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j

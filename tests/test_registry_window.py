@@ -50,10 +50,31 @@ def test_every_window_name_has_an_oracle():
     assert not missing, f"window names without DuckDB oracle: {missing}"
 
 
+def _state() -> dict:
+    """The rotation's recorded provenance (VERDICT r6 #2): the round it
+    targeted and the exact CORRECTNESS artifact set it was computed
+    FROM. Pinning against this — never against "whatever artifacts are
+    on disk now" — keeps the suite green across round boundaries: a
+    driver writing a new CORRECTNESS_r*.json does not move these pins;
+    only re-running tools/rotate_window.py does."""
+    return json.load(open(REPO / "WINDOW_STATE.json"))
+
+
+def test_window_state_matches_registry():
+    st = _state()
+    assert st["window"] == _window(), (
+        "WINDOW_STATE.json and registry._PRIORITY drifted — re-run "
+        "tools/rotate_window.py <round> --write"
+    )
+    missing = [a for a in st["artifacts"] if not (REPO / a).exists()]
+    assert not missing, f"pinned artifacts missing from repo: {missing}"
+
+
 def test_promotions_are_all_never_driver_checked():
     """Positions 8-50 must burn debt — re-promoting an already-green name
-    wastes a slot the closure schedule has budgeted (VERDICT r5 #1)."""
-    debt = set(never_checked_names())
+    wastes a slot the closure schedule has budgeted (VERDICT r5 #1).
+    Debt is computed as-of the rotation's pinned artifact set."""
+    debt = set(never_checked_names(_state()["artifacts"]))
     wasted = [n for n in _window()[7:] if n not in debt]
     assert not wasted, f"window slots wasted on already-checked names: {wasted}"
 
@@ -61,9 +82,10 @@ def test_promotions_are_all_never_driver_checked():
 def test_registry_growth_frozen_while_debt_exceeds_one_window():
     """VERDICT r5 #1: zero new registry queries until the remaining debt
     (after this round's 43 promotions) fits inside ONE window's 43 free
-    slots. Debt after r5 = 134; 134 - 43*2 = 48 > 43, so the freeze holds
-    through r7. Lifting it: bump the literal BELOW only when
-    len(never_checked_names()) - 43 <= 43 at the time you add queries."""
+    slots. Debt as-of the r7 rotation = 91; 91 - 43 = 48 > 43, so the
+    freeze holds through r7. Lifting it: bump the literal BELOW only
+    when len(never_checked_names()) - 43 <= 43 at the time you add
+    queries (earliest: r8, within r9's 38 spare slots)."""
     assert len(registry._REG_ORDER) == 269, (
         "registry grew while the driver-verification debt exceeds one "
         "window — see COVERAGE.md closure schedule before adding queries"
@@ -71,28 +93,34 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
 
 
 def test_coverage_md_schedule_matches_window_and_debt():
-    """COVERAGE.md's closure table is generated from artifacts; this pins
-    it against drift: its r6 rows must equal the window promotions, and
-    the full table must equal the never-checked set exactly."""
+    """COVERAGE.md's closure table is pruned by the rotation to exactly
+    the debt as-of the pinned artifact set; its current-round rows (plus
+    any carryovers from earlier rounds) must equal the window
+    promotions."""
+    st = _state()
     text = (REPO / "COVERAGE.md").read_text()
-    rows = re.findall(r"^\| `([a-z0-9_]+)` \| (r\d) \|$", text, re.M)
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| (r\d+) \|$", text, re.M)
     assert rows, "closure schedule table missing from COVERAGE.md"
     sched = {name: rnd for name, rnd in rows}
-    debt = never_checked_names()
+    debt = never_checked_names(st["artifacts"])
     assert sorted(sched) == sorted(debt), (
-        "COVERAGE.md schedule out of sync with CORRECTNESS_r*.json debt"
+        "COVERAGE.md schedule out of sync with the rotation's pinned debt"
     )
-    r6 = [n for n, rnd in rows if rnd == "r6"]
-    assert r6 == _window()[7:], "COVERAGE.md r6 rows != window promotions"
+    target = int(st["round"][1:])
+    due = [n for n, rnd in rows if int(rnd[1:]) <= target][:43]
+    assert due == _window()[7:], (
+        "COVERAGE.md rows due this round != window promotions"
+    )
 
 
 def test_rotate_window_reproduces_current():
-    """tools/rotate_window.py run for the current round must reproduce
-    the committed window exactly — the mechanical rotation and the
-    hand-committed state cannot drift."""
+    """tools/rotate_window.py run for the recorded round against the
+    recorded artifact set must reproduce the committed window exactly —
+    the mechanical rotation and the committed state cannot drift."""
     from rotate_window import plan_window
 
-    assert plan_window("r6") == _window()
+    st = _state()
+    assert plan_window(st["round"], st["artifacts"]) == _window()
 
 
 def test_anchor_rows_green_in_latest_correctness_artifact():

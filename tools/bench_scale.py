@@ -195,6 +195,9 @@ def main() -> None:
             key=lambda n: -cold.get(n, 0.0),
         )
         print(f"--uncurved: {len(selected)} queries")
+        if not selected:
+            print("every registry query already has a BENCH_SCALE curve")
+            return
     run_queries = selected or QUERIES
 
     sfs = sorted(

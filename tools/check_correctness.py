@@ -29,14 +29,25 @@ import duckdb
 sys.path.insert(0, ".")
 
 
-def never_checked_names() -> list[str]:
-    """Registry names absent from every committed CORRECTNESS_r*.json.
+def never_checked_names(artifacts: list[str] | None = None) -> list[str]:
+    """Registry names absent from every ON-DISK CORRECTNESS_r*.json
+    (committed or not — a driver artifact counts the moment it lands).
 
-    Reads the artifacts fresh each call so the ledger and the triple
-    sweep cannot drift from the driver's actual record.
+    Pass ``artifacts`` (file names relative to the repo root) to compute
+    the debt as-of a pinned artifact set instead — this is how
+    ``tests/test_registry_window.py`` stays green across round
+    boundaries: it pins against ``WINDOW_STATE.json``'s recorded set,
+    not whatever the driver has written since the last rotation.
     """
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if artifacts is None:
+        paths = sorted(glob.glob(str(root / "CORRECTNESS_r*.json")))
+    else:
+        paths = [str(root / a) for a in artifacts]
     checked: set[str] = set()
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for path in paths:
         checked |= set(json.load(open(path)).keys())
     from wistia_etl_pipeline_spark import registry
 
