@@ -43,6 +43,7 @@ from .operators.flatten import conform_dim_media, flatten_events
 from .operators.merge import merge_into_path
 from .operators.rollup import media_daily_agg
 from .schemas import RAW_EVENT_SCHEMA, RAW_METADATA_SCHEMA
+from .session import arrow_local_df
 from .sources.rest_source import PullConfig, Transport, fetch_pages
 
 
@@ -89,6 +90,8 @@ class BatchPipeline:
         states = self.state_store.read()
         summary: dict[str, dict] = {}
         pulled: list[tuple[str, dict]] = []  # (media_id, metadata)
+        staged: list[tuple[str, list[dict]]] = []  # rows awaiting bronze
+        folds: list[tuple] = []  # checkpoint folds deferred past the write
 
         for media_id in media_ids:
             state = states.get(media_id, MediaState())
@@ -126,14 +129,10 @@ class BatchPipeline:
                     default=None,
                 )
                 if rows:
-                    self._write_bronze(media_id, rows)
-                states[media_id] = fold_checkpoint(
-                    state,
-                    remote_updated=remote_updated,
-                    action=action,
-                    pages_done=result.completed,
-                    next_page=result.next_page or 1,
-                    max_received_at=max_received,
+                    staged.append((media_id, rows))
+                folds.append(
+                    (media_id, state, remote_updated, action, result,
+                     max_received)
                 )
                 summary[media_id].update(
                     events=len(rows), completed=result.completed
@@ -141,6 +140,33 @@ class BatchPipeline:
                 pulled.append((media_id, meta))
             except Exception as exc:  # ST6 — isolate per media, keep going
                 summary[media_id] = {"action": "error", "error": repr(exc)}
+
+        # ONE partitioned bronze write for every media pulled this run
+        # (was one Spark job per media — pure fixed cost at any scale;
+        # the partitionBy layout per media/dt is identical). Checkpoint
+        # folds happen only after the batch lands: if the write fails,
+        # no watermark advances and the whole run re-pulls next time
+        # (at-least-once + idempotent-by-key, same contract as a
+        # mid-loop crash). Fetch/parse errors stay isolated per media
+        # above; a write failure is an infra failure of the shared
+        # stage, so it errors every pulled media at once.
+        if staged:
+            try:
+                self._write_bronze_batch(staged)
+            except Exception as exc:
+                for media_id, _ in pulled:
+                    summary[media_id] = {"action": "error", "error": repr(exc)}
+                self.state_store.write(states)
+                return summary
+        for media_id, state, remote_updated, action, result, max_received in folds:
+            states[media_id] = fold_checkpoint(
+                state,
+                remote_updated=remote_updated,
+                action=action,
+                pages_done=result.completed,
+                next_page=result.next_page or 1,
+                max_received_at=max_received,
+            )
 
         if pulled:
             self._silver_and_gold([m for m, _ in pulled], [meta for _, meta in pulled])
@@ -150,11 +176,30 @@ class BatchPipeline:
     # -- stages ----------------------------------------------------------
 
     def _write_bronze(self, media_id: str, rows: list[dict]) -> None:
-        """S4 — partitioned JSON-lines bronze, event-time dt grain."""
-        fields = [f.name for f in RAW_EVENT_SCHEMA.fields]
-        df = self.spark.createDataFrame(
-            [tuple(r.get(f) for f in fields) for r in rows], schema=RAW_EVENT_SCHEMA
-        )
+        """S4 — partitioned JSON-lines bronze for one media (kept for
+        direct callers; ``run_once`` batches all media into one write)."""
+        self._write_bronze_batch([(media_id, rows)])
+
+    def _write_bronze_batch(self, batches: list[tuple[str, list[dict]]]) -> None:
+        """S4 — partitioned JSON-lines bronze, event-time dt grain.
+
+        One write job for the whole run's pull: rows cross the Python→
+        JVM boundary as ONE Arrow table (``pa.Table.from_pylist`` over
+        the explicit schema) instead of per-row pickled tuples — at the
+        flagship's sf0.1 grain that is 40k rows/cycle through Arrow
+        instead of 10 pickle round-trips, and 1 write job instead of 5.
+        Rows missing ``media_id`` inherit the id of the feed they came
+        from; the Hive ``media_id=…/dt=…`` layout is unchanged.
+        """
+        rows: list[dict] = []
+        for media_id, rs in batches:
+            for r in rs:
+                if r.get("media_id") is None:
+                    r = {**r, "media_id": media_id}
+                rows.append(r)
+        if not rows:
+            return
+        df = arrow_local_df(self.spark, rows, RAW_EVENT_SCHEMA)
         (
             df.withColumn("dt", F.to_date(F.to_timestamp("received_at")))
             .repartition("media_id", "dt")
@@ -200,9 +245,15 @@ class BatchPipeline:
         silver_delta = dedup_exact(flatten_events(bronze), ["event_key"])
         merge_into_path(spark, silver_delta, self.silver_path, ["event_key"])
 
-        # dim_media from the metadata fetched this run (P2 + A7 on media_id)
-        meta_df = spark.createDataFrame(
-            [_meta_tuple(m) for m in metas], schema=RAW_METADATA_SCHEMA
+        # dim_media from the metadata fetched this run (P2 + A7 on
+        # media_id). Arrow-built: a pickle-parallelized metadata frame
+        # costs a Python-worker round-trip per core per downstream job
+        # (see session.arrow_local_df).
+        names = [f.name for f in RAW_METADATA_SCHEMA.fields]
+        meta_df = arrow_local_df(
+            spark,
+            [dict(zip(names, _meta_tuple(m))) for m in metas],
+            RAW_METADATA_SCHEMA,
         )
         dim_delta = conform_dim_media(meta_df)
         merge_into_path(spark, dim_delta, self.dim_path, ["media_id"])

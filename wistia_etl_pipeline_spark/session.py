@@ -160,6 +160,37 @@ _NANOS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def arrow_local_df(spark: SparkSession, rows: list[dict], schema):
+    """Driver-local rows → DataFrame through ONE Arrow batch.
+
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    pickled slices, and every downstream job pays a Python-worker
+    round-trip PER SLICE to decode them — ~1 s of fixed cost per action
+    for a 5-row frame at local[32], and a 1-task ``coalesce`` of such a
+    frame replays all slices sequentially (~3.4 s measured). The Arrow
+    table instead lands JVM-side as a local scan: no Python workers at
+    execution time, partition count = Arrow batch count (small). Use
+    for any driver-built frame on a hot path (dim deltas, bronze
+    batches); falls back to the pickle path on conversion surprises
+    (identical semantics, just slower).
+
+    ``rows`` are dicts keyed by field name; missing keys become nulls,
+    extra keys are ignored (same as the ``.get`` tuple path).
+    """
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return spark.createDataFrame(
+            pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
+        )
+    except Exception:
+        names = [f.name for f in schema.fields]
+        return spark.createDataFrame(
+            [tuple(r.get(n) for n in names) for r in rows], schema=schema
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False):
     """Read one driver-generated parquet table (TESTDATA.md).
 

@@ -134,7 +134,12 @@ class ParquetWistiaFeedTransport:
                     "percent_viewed": None if value is None else float(value),
                     "embed_url": None, "email": None, "ip": None,
                     "user_agent_details": None,
-                    "visitor_key": user_id, "country": None, "region": None,
+                    # str(): the schema declares visitor_key STRING; the
+                    # JVM pickle path coerced the raw int64 via toString,
+                    # the Arrow ingest path (pipeline._write_bronze_batch)
+                    # rejects it — same "123" either way
+                    "visitor_key": None if user_id is None else str(user_id),
+                    "country": None, "region": None,
                     "city": None, "lat": None, "lon": None, "org": None,
                     "media_id": media_id, "media_name": media_id.upper(),
                 }
