@@ -203,7 +203,9 @@ def state_to_df(spark: SparkSession, states: dict[str, MediaState]) -> DataFrame
     rows = [
         (k, s.updated, s.next_page, s.last_received_at) for k, s in sorted(states.items())
     ]
-    return spark.createDataFrame(rows, schema=WATERMARK_SCHEMA)
+    from ..session import arrow_local_df
+
+    return arrow_local_df(spark, rows, WATERMARK_SCHEMA)
 
 
 def filter_changed(

@@ -174,9 +174,17 @@ def arrow_local_df(spark: SparkSession, rows: list[dict], schema):
     batches); falls back to the pickle path on conversion surprises
     (identical semantics, just slower).
 
-    ``rows`` are dicts keyed by field name; missing keys become nulls,
-    extra keys are ignored (same as the ``.get`` tuple path).
+    ``rows`` are dicts keyed by field name (missing keys become nulls,
+    extra keys are ignored, same as the ``.get`` tuple path) or tuples
+    in field order; ``schema`` is a StructType or a DDL string.
     """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    if rows and not isinstance(rows[0], dict):
+        rows = [dict(zip(names, r)) for r in rows]
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -185,7 +193,6 @@ def arrow_local_df(spark: SparkSession, rows: list[dict], schema):
             pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
         )
     except Exception:
-        names = [f.name for f in schema.fields]
         return spark.createDataFrame(
             [tuple(r.get(n) for n in names) for r in rows], schema=schema
         )

@@ -163,8 +163,12 @@ def fetch_media_pages_distributed(
 
     starts = start_pages or {}
     n = parallelism or min(len(media_ids), 64) or 1
-    media_df = spark.createDataFrame(
-        [(m, starts.get(m, 1)) for m in media_ids], "media_id string, start_page int"
+    from ..session import arrow_local_df
+
+    media_df = arrow_local_df(
+        spark,
+        [(m, starts.get(m, 1)) for m in media_ids],
+        "media_id string, start_page int",
     ).repartition(n, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

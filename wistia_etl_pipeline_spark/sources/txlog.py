@@ -55,6 +55,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import arrow_local_df
+
 
 class ConcurrentCommitError(RuntimeError):
     """Raised when a merge loses the commit race ``max_retries`` times."""
@@ -326,7 +328,7 @@ class TxLogTable:
             # Empty snapshot (or every file pruned): an empty frame with
             # the schema the manifest recorded at commit time.
             schema = StructType.fromJson(json.loads(manifest["schema"]))
-            return spark.createDataFrame([], schema)
+            return arrow_local_df(spark, [], schema)
         reader = spark.read
         if "schema" in manifest:
             # The manifest schema is authoritative: files predating a
@@ -392,7 +394,7 @@ class TxLogTable:
             prev = cur
         schema = StructType.fromJson(json.loads(self._manifest(to_v)["schema"]))
         if not added:
-            return spark.createDataFrame([], schema)
+            return arrow_local_df(spark, [], schema)
         return spark.read.schema(schema).parquet(
             *(os.path.join(self.path, p) for p in added)
         )
