@@ -205,6 +205,20 @@ def main() -> None:
         for d in os.listdir(SCALE_DIR)
         if d.startswith("sf")
     )
+    # --add-sf=X: measure ONLY that SF for the selected queries and
+    # merge the point into their existing curves (VERDICT r6 #5 — add
+    # an sf2 point to already-curved families without re-paying their
+    # 0.1/0.5/1 sweeps; every sample is cold-cache in both runs, so the
+    # merged curve stays internally comparable). Only valid for
+    # queries whose code is unchanged since their curve was measured —
+    # a changed query must re-run its FULL curve.
+    add_sf = next((f.split("=", 1)[1] for f in flags if f.startswith("--add-sf")), None)
+    if add_sf is not None:
+        sfs = [(sf, d) for sf, d in sfs if f"{sf:g}" == f"{float(add_sf):g}"]
+        if not sfs:
+            raise SystemExit(f"no .scaledata dir for sf{add_sf}")
+        if not selected:
+            raise SystemExit("--add-sf requires an explicit query list")
     spark = get_spark("bench-scale")
     qs = dict(queries())
     unknown = [n for n in run_queries if n not in qs and n != "pagerank_dup_graph_6r"]
@@ -274,14 +288,26 @@ def main() -> None:
             print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
 
     path = os.path.join(ROOT, "BENCH_SCALE.json")
-    out: dict = {"sfs": [sf for sf, _ in sfs], "n_runs": N_RUNS, "queries": {}}
-    if selected and os.path.exists(path):
+    prev: dict = {}
+    if os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        if prev.get("sfs") == out["sfs"]:
-            out["queries"].update(prev.get("queries", {}))
+    out: dict = {"n_runs": N_RUNS, "queries": {}}
+    if selected:
+        # subset run: untouched rows carry over verbatim (their curves
+        # keep whatever SF points they were measured at)
+        out["queries"].update(prev.get("queries", {}))
     for name in run_queries:
-        pts = [(sf, medians[name][f"{sf:g}"]) for sf, _ in sfs]
+        # merge this run's points into any the query already has, so an
+        # --add-sf run extends the curve instead of replacing it
+        merged = dict(
+            prev.get("queries", {}).get(name, {}).get("median_sec_by_sf", {})
+        )
+        merged.update(medians[name])
+        medians[name] = dict(
+            sorted(merged.items(), key=lambda kv: float(kv[0]))
+        )
+        pts = [(float(k), v) for k, v in medians[name].items()]
         pairwise = [
             round(
                 math.log(t2 / t1) / math.log(s2 / s1), 3

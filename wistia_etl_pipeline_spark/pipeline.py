@@ -222,8 +222,8 @@ class BatchPipeline:
         ]
         if not rows:
             return
-        df = self.spark.createDataFrame(
-            rows, "media_id string, page int, payload string"
+        df = arrow_local_df(
+            self.spark, rows, "media_id string, page int, payload string"
         )
         (
             df.repartition("media_id")
