@@ -198,3 +198,40 @@ def test_stats_feed_ingestion(spark, tmp_path):
     payloads = [_json.loads(r.payload) for r in stats.collect()]
     assert sorted(p["plays"] for p in payloads) == [3, 5]
     assert {r.media_id for r in stats.collect()} == {"m1"}
+
+
+def test_bronze_write_failure_advances_nothing(spark, tmp_path):
+    """The batched bronze write (r7) defers every checkpoint fold until
+    the batch lands: if the write fails, NO watermark advances, every
+    pulled media reports an error row, and the NEXT run re-pulls and
+    converges to the exact same silver/gold as an unfailed run
+    (at-least-once + idempotent-by-key, same contract as a crash
+    mid-loop)."""
+    fake = FakeWistia()
+    pipe = _mk(spark, tmp_path, fake)
+
+    real = pipe._write_bronze_batch
+    calls = {"n": 0}
+
+    def flaky(batches):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected bronze outage")
+        return real(batches)
+
+    pipe._write_bronze_batch = flaky
+
+    s1 = pipe.run_once(["m1", "m2"])
+    assert all(v["action"] == "error" for v in s1.values())
+    assert not (tmp_path / "silver").exists()  # no partial stage ran
+    assert pipe.state_store.read() == {}  # no watermark advanced
+
+    s2 = pipe.run_once(["m1", "m2"])  # outage over: full re-pull
+    assert s2["m1"]["action"] == "full_pull" and s2["m1"]["events"] == 3
+    assert spark.read.parquet(str(tmp_path / "silver")).count() == 4
+    gold = {(r.media_id, str(r.dt)) for r in
+            spark.read.parquet(str(tmp_path / "gold")).collect()}
+    assert ("m1", "2024-01-01") in gold and ("m2", "2024-01-01") in gold
+
+    s3 = pipe.run_once(["m1", "m2"])  # converged
+    assert {v["action"] for v in s3.values()} == {"skip"}
