@@ -308,3 +308,60 @@ def test_span_query_matches_independent_automaton(spark, sf_dir):
         labels = _span_labels_python(r.doc_id, n_tokens)
         assert r.n_spans == sum(1 for l in labels if l >= 0)
         assert r.n_masked == sum(1 for l in labels if l != -1)
+
+
+def test_arrow_local_df_matches_pickle_path(spark):
+    """session.arrow_local_df falls back to the pickle path SILENTLY on
+    any conversion surprise, so a semantic DIFFERENCE between the two
+    paths (rather than a clean failure) would be invisible in
+    production. Pin equality across the value shapes the engine
+    actually ships: strings, longs, doubles, bools, nulls, nested
+    structs, missing dict keys, tuple rows, DDL schemas, empty input."""
+    from pyspark.sql import types as T
+
+    from wistia_etl_pipeline_spark.session import arrow_local_df
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("nested", T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ])),
+    ])
+    rows = [
+        {"s": "a", "i": 1, "d": 0.5, "b": True,
+         "nested": {"k": "x", "n": 7}},
+        {"s": None, "i": None, "d": None, "b": None, "nested": None},
+        {"s": "c", "i": -9_007_199_254_740_993, "d": float("inf"),
+         "b": False, "nested": {"k": None, "n": None}},
+        {"s": "missing-keys-row"},
+        {"s": "extra-key-row", "i": 2, "d": 1.0, "b": True,
+         "nested": None, "ignored_extra": "dropped"},
+    ]
+
+    def rendered(df):
+        assert df.schema == schema
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    via_arrow = rendered(arrow_local_df(spark, rows, schema))
+
+    names = [f.name for f in schema.fields]
+    pickle_df = spark.createDataFrame(
+        [tuple(r.get(n) for n in names) for r in rows], schema=schema
+    )
+    assert via_arrow == rendered(pickle_df)
+
+    # tuple rows + DDL-string schema produce the same frame
+    ddl = "x string, y long"
+    t_rows = [("a", 1), ("b", None), (None, 3)]
+    via_ddl = arrow_local_df(spark, t_rows, ddl)
+    assert [tuple(r) for r in via_ddl.orderBy("x").collect()] == [
+        tuple(r) for r in spark.createDataFrame(t_rows, ddl).orderBy("x").collect()
+    ]
+
+    # empty input keeps the schema and yields zero rows
+    empty = arrow_local_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == schema
