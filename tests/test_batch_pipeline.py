@@ -199,6 +199,18 @@ def test_stats_feed_ingestion(spark, tmp_path):
     assert sorted(p["plays"] for p in payloads) == [3, 5]
     assert {r.media_id for r in stats.collect()} == {"m1"}
 
+    # replay convergence (ADVICE r7): the stats sink is a per-media
+    # dynamic partition OVERWRITE, so a re-pull of the same feed (the
+    # at-least-once crash path) replaces rather than re-appends
+    pipe._write_stats_batch([
+        ("m1", type("R", (), {"pages": [(1, stats_data["m1"])]})()),
+    ])
+    again = spark.read.json(str(tmp_path / "bronze_stats"))
+    assert again.count() == 2
+    assert sorted(
+        _json.loads(r.payload)["plays"] for r in again.collect()
+    ) == [3, 5]
+
 
 def test_bronze_write_failure_advances_nothing(spark, tmp_path):
     """The batched bronze write (r7) defers every checkpoint fold until

@@ -365,3 +365,23 @@ def test_arrow_local_df_matches_pickle_path(spark):
     # empty input keeps the schema and yields zero rows
     empty = arrow_local_df(spark, [], schema)
     assert empty.count() == 0 and empty.schema == schema
+
+
+def test_arrow_local_df_fallback_warns(spark):
+    """A mistyped row (int where the schema says string) must not fall
+    back SILENTLY (ADVICE r7: the bare except masked both row-type bugs
+    and the exact perf regression the helper exists to remove) — the
+    pickle fallback still runs, but with a visible warning naming the
+    Arrow error."""
+    import warnings
+
+    from wistia_etl_pipeline_spark.session import arrow_local_df
+
+    rows = [{"s": 123, "i": 1}]  # 123 is an int; schema says string
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        df = arrow_local_df(spark, rows, "s string, i long")
+        got = [tuple(r) for r in df.collect()]
+    assert got == [("123", 1)]  # pickle path coerces via JVM toString
+    msgs = [str(w.message) for w in caught if "arrow_local_df" in str(w.message)]
+    assert msgs and "pickle path" in msgs[0]

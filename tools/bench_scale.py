@@ -212,7 +212,12 @@ def main() -> None:
     # merged curve stays internally comparable). Only valid for
     # queries whose code is unchanged since their curve was measured —
     # a changed query must re-run its FULL curve.
-    add_sf = next((f.split("=", 1)[1] for f in flags if f.startswith("--add-sf")), None)
+    add_sf = next((f.split("=", 1)[1] for f in flags if f.startswith("--add-sf=")), None)
+    if any(f == "--add-sf" for f in flags):
+        # the space-separated form would silently treat the SF as a
+        # query name (ADVICE r7) — reject it explicitly
+        raise SystemExit("use --add-sf=N (the space-separated form is ambiguous "
+                         "with the query list)")
     if add_sf is not None:
         sfs = [(sf, d) for sf, d in sfs if f"{sf:g}" == f"{float(add_sf):g}"]
         if not sfs:
@@ -308,14 +313,21 @@ def main() -> None:
             sorted(merged.items(), key=lambda kv: float(kv[0]))
         )
         pts = [(float(k), v) for k, v in medians[name].items()]
+        # a single-point curve (e.g. --add-sf for a query with no prior
+        # curve) has no exponent: emit nulls instead of dying on
+        # log(1)=0 AFTER the whole sweep already ran (ADVICE r7)
         pairwise = [
             round(
                 math.log(t2 / t1) / math.log(s2 / s1), 3
             )
             for (s1, t1), (s2, t2) in zip(pts, pts[1:])
         ]
-        overall = round(
-            math.log(pts[-1][1] / pts[0][1]) / math.log(pts[-1][0] / pts[0][0]), 3
+        overall = (
+            round(
+                math.log(pts[-1][1] / pts[0][1]) / math.log(pts[-1][0] / pts[0][0]), 3
+            )
+            if len(pts) >= 2
+            else None
         )
         tail = (
             round(

@@ -85,12 +85,17 @@ class BatchPipeline:
         reference's contract, SURVEY.md §7.4): watermark state persists
         only after silver/gold succeed, so a crash mid-run re-pulls;
         the resulting duplicate bronze rows collapse in the event_key
-        dedup, and the MERGEs converge on replay.
+        dedup, and the MERGEs converge on replay. The stats feed (no
+        natural key) converges by OVERWRITE instead: stats writes are
+        staged past the bronze batch and land as a per-media dynamic
+        partition overwrite, so a failed run leaves no stats behind and
+        a re-pull replaces rather than re-appends (``_write_stats_batch``).
         """
         states = self.state_store.read()
         summary: dict[str, dict] = {}
         pulled: list[tuple[str, dict]] = []  # (media_id, metadata)
         staged: list[tuple[str, list[dict]]] = []  # rows awaiting bronze
+        staged_stats: list[tuple[str, object]] = []  # stats feeds, ditto
         folds: list[tuple] = []  # checkpoint folds deferred past the write
 
         for media_id in media_ids:
@@ -112,16 +117,16 @@ class BatchPipeline:
                     start_page=start_page,
                     config=self.config,
                 )
-                # stats only on a FULL pull (bronze.py:180-181): the
-                # append-mode stats sink would otherwise duplicate the
-                # whole feed on every resume
+                # stats only on a FULL pull (bronze.py:180-181); staged
+                # past the bronze batch so a bronze failure never leaves
+                # stats written for a media whose watermark did not move
                 if self.api.stats_url is not None and action == FULL_PULL:
                     stats = fetch_pages(
                         self.api.transport,
                         lambda p, m=media_id: self.api.stats_url(m, p),
                         config=self.config,
                     )
-                    self._write_stats(media_id, stats)
+                    staged_stats.append((media_id, stats))
                     summary[media_id]["stats_pages"] = len(stats.pages)
                 rows = [r for _page, page_rows in result.pages for r in page_rows]
                 max_received = max(
@@ -150,9 +155,16 @@ class BatchPipeline:
         # mid-loop crash). Fetch/parse errors stay isolated per media
         # above; a write failure is an infra failure of the shared
         # stage, so it errors every pulled media at once.
-        if staged:
+        if staged or staged_stats:
             try:
-                self._write_bronze_batch(staged)
+                if staged:
+                    self._write_bronze_batch(staged)
+                # stats land only after bronze: a bronze failure leaves
+                # no stats rows behind, and the per-media OVERWRITE in
+                # _write_stats_batch makes the re-pull's re-write
+                # converge instead of re-appending the whole feed
+                if staged_stats:
+                    self._write_stats_batch(staged_stats)
             except Exception as exc:
                 for media_id, _ in pulled:
                     summary[media_id] = {"action": "error", "error": repr(exc)}
@@ -209,14 +221,27 @@ class BatchPipeline:
         )
 
     def _write_stats(self, media_id: str, result) -> None:
+        """One-media convenience wrapper over ``_write_stats_batch``."""
+        self._write_stats_batch([(media_id, result)])
+
+    def _write_stats_batch(self, batches: list[tuple[str, object]]) -> None:
         """Bronze stats feed (S4 second file kind, ``stats_page=N``
         analog): raw page payloads as JSON-lines under the stats path,
         partitioned by media. Stats never reach silver in the reference
-        either — this is at-rest parity for downstream consumers."""
+        either — this is at-rest parity for downstream consumers.
+
+        Idempotent by media: stats are only fetched on a FULL pull (the
+        whole feed), so each media's partition is OVERWRITTEN with the
+        full feed via dynamic partition overwrite — a crash-and-replay
+        re-pull converges instead of re-appending duplicates (the
+        at-least-once contract run_once documents). Partitions of media
+        NOT in this batch are untouched.
+        """
         import json as _json
 
         rows = [
             (media_id, page_no, _json.dumps(r))
+            for media_id, result in batches
             for page_no, page_rows in result.pages
             for r in page_rows
         ]
@@ -227,7 +252,8 @@ class BatchPipeline:
         )
         (
             df.repartition("media_id")
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("media_id")
             .json(self.bronze_path.rstrip("/") + "_stats")
         )

@@ -185,17 +185,34 @@ def arrow_local_df(spark: SparkSession, rows: list[dict], schema):
     names = [f.name for f in schema.fields]
     if rows and not isinstance(rows[0], dict):
         rows = [dict(zip(names, r)) for r in rows]
+    # Narrow fallback (ADVICE r7): a bare except here silently rewrote
+    # row-type bugs (e.g. an int where the schema says string) into a
+    # permanent hot-path perf regression. Only conversion-shaped errors
+    # fall back — and loudly — so a mistyped row surfaces either as the
+    # Arrow error in the warning or as the pickle path's own cast.
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
+    except ImportError:
+        pa = None
+    if pa is not None:
+        try:
+            return spark.createDataFrame(
+                pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
+            )
+        except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+                pa.lib.ArrowNotImplementedError, ValueError, TypeError) as exc:
+            import warnings
 
-        return spark.createDataFrame(
-            pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
-        )
-    except Exception:
-        return spark.createDataFrame(
-            [tuple(r.get(n) for n in names) for r in rows], schema=schema
-        )
+            warnings.warn(
+                "arrow_local_df falling back to the pickle path "
+                f"({type(exc).__name__}: {str(exc)[:200]}) — fix the row "
+                "types; this path is ~10x slower per downstream action",
+                stacklevel=2,
+            )
+    return spark.createDataFrame(
+        [tuple(r.get(n) for n in names) for r in rows], schema=schema
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, *, raw: bool = False):
