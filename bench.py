@@ -264,21 +264,33 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
 
-    # Cold-cache companion column (VERDICT r4 #4/#7): one extra pass
-    # with the cache cleared before EVERY query. The warm medians above
-    # stay the r1+ comparability series; the cold column records the
-    # honest per-run cost of persist/localCheckpoint-heavy queries
-    # (plan-keyed cache hits understate them by up to ~4x — the
-    # BENCH_SCALE methodology lesson). Disable with
-    # SPARK_GRAFT_BENCH_COLD=0 if a round needs the short run.
+    # Cold-cache companion column (VERDICT r4 #4/#7): extra passes with
+    # the cache cleared before EVERY query. The warm medians above stay
+    # the r1+ comparability series; the cold column records the honest
+    # per-run cost of persist/localCheckpoint-heavy queries (plan-keyed
+    # cache hits understate them by up to ~4x — the BENCH_SCALE
+    # methodology lesson). MEDIAN of interleaved passes since r8: the
+    # r7 single-sample column manufactured a phantom +23 % regression
+    # out of ~1 s of JIT/GC noise smeared across 20 small queries
+    # (VERDICT r7 — the judge's median-of-3 re-measurement reproduced
+    # the builder's numbers, not the single sample's). Disable with
+    # SPARK_GRAFT_BENCH_COLD=0; tune passes with
+    # SPARK_GRAFT_BENCH_COLD_RUNS (default 3).
     cold: dict[str, float] = {}
+    n_cold = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_COLD_RUNS", "3")))
     if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
-        for name in bench_names:
-            _release_cached(spark)
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            cold[name] = round(time.perf_counter() - t0, 3)
+        cold_samples: dict[str, list[float]] = {name: [] for name in bench_names}
+        for _round in range(n_cold):
+            for name in bench_names:
+                _release_cached(spark)
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                cold_samples[name].append(time.perf_counter() - t0)
         _release_cached(spark)
+        cold = {
+            name: round(statistics.median(ts), 3)
+            for name, ts in cold_samples.items()
+        }
 
     payload = json.dumps(
         {
@@ -291,6 +303,7 @@ def main() -> None:
             "sf": sf,
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "runs_per_query": n_runs,
+            "cold_runs_per_query": n_cold if cold else 0,
         }
     )
     # The driver captures stdout-tail only (BENCH_r02 lost its first ~16

@@ -70,13 +70,20 @@ def test_window_state_matches_registry():
     assert not missing, f"pinned artifacts missing from repo: {missing}"
 
 
-def test_promotions_are_all_never_driver_checked():
-    """Positions 8-50 must burn debt — re-promoting an already-green name
+def test_promotions_are_all_debt_or_last_fail():
+    """Positions 8-50 must burn debt — re-promoting an already-GREEN name
     wastes a slot the closure schedule has budgeted (VERDICT r5 #1).
-    Debt is computed as-of the rotation's pinned artifact set."""
-    debt = set(never_checked_names(_state()["artifacts"]))
+    Debt = never-checked ∪ latest-row-is-FAIL (VERDICT r7 #2: an
+    ever-failed name whose fix never re-entered a window is the worse
+    debt and jumps the queue). Computed as-of the rotation's pinned
+    artifact set."""
+    from check_correctness import last_failed_names
+
+    st = _state()
+    debt = set(never_checked_names(st["artifacts"]))
+    debt |= set(last_failed_names(st["artifacts"]))
     wasted = [n for n in _window()[7:] if n not in debt]
-    assert not wasted, f"window slots wasted on already-checked names: {wasted}"
+    assert not wasted, f"window slots wasted on already-green names: {wasted}"
 
 
 def test_registry_growth_frozen_while_debt_exceeds_one_window():
@@ -107,9 +114,19 @@ def test_coverage_md_schedule_matches_window_and_debt():
         "COVERAGE.md schedule out of sync with the rotation's pinned debt"
     )
     target = int(st["round"][1:])
-    due = [n for n, rnd in rows if int(rnd[1:]) <= target][:43]
+    from check_correctness import last_failed_names
+
+    failed = [
+        n for n in last_failed_names(st["artifacts"]) if n not in ANCHORS
+    ]
+    due_sched = [
+        n for n, rnd in rows
+        if int(rnd[1:]) <= target and n not in failed
+    ]
+    due = (failed + due_sched)[:43]
     assert due == _window()[7:], (
-        "COVERAGE.md rows due this round != window promotions"
+        "COVERAGE.md rows due this round (after last-fail promotion) "
+        "!= window promotions"
     )
 
 

@@ -53,6 +53,47 @@ def never_checked_names(artifacts: list[str] | None = None) -> list[str]:
 
     return [n for n in registry._REG_ORDER if n not in checked]
 
+
+def _row_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match", True)
+        and not row.get("err")
+    )
+
+
+def last_failed_names(artifacts: list[str] | None = None) -> list[str]:
+    """Registry names whose LATEST driver row is a FAIL (VERDICT r7 #2:
+    ever-failed-but-never-recleared is a worse debt than never-checked —
+    the driver's last visible status for the name is still red even if
+    the fix landed rounds ago). Artifact rows are folded in ROUND order
+    (numeric, r10+ safe); a later green row clears an earlier fail.
+
+    Same ``artifacts`` pinning semantics as ``never_checked_names``.
+    """
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if artifacts is None:
+        paths = glob.glob(str(root / "CORRECTNESS_r*.json"))
+    else:
+        paths = [str(root / a) for a in artifacts]
+    paths = sorted(
+        paths, key=lambda p: int(re.search(r"r(\d+)", pathlib.Path(p).name).group(1))
+    )
+    latest_ok: dict[str, bool] = {}
+    for path in paths:
+        for name, row in json.load(open(path)).items():
+            latest_ok[name] = _row_green(row)
+    from wistia_etl_pipeline_spark import registry
+
+    return [
+        n for n in registry._REG_ORDER
+        if n in latest_ok and not latest_ok[n]
+    ]
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
