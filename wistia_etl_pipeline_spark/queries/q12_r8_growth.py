@@ -1,0 +1,592 @@
+"""r8 growth wave: variant arrays, recursive CTE, CMS second moment,
+interval endpoint semantics, HLL day-over-day delta.
+
+The five surfaces planned in NOTES_r7 §"r8 planning" — each a distinct
+engine capability not yet in the registry, each with an exact-integer
+DuckDB oracle. Mechanically follows the chunk contract in
+``queries/_base.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..session import apply_runtime_confs, arrow_local_df, load_table
+from ._base import query
+
+# ---------------------------------------------------------------------------
+# VARIANT array paths + try_variant_get null semantics (Spark 4 VARIANT)
+
+# One JSON doc per event, built identically on both engines:
+#   {"vals": [<floor(value*1e6)>, <event_id % 7>], "tag": "<event_type>"}
+# floor(value*1e6) is IEEE-deterministic (one multiply, one floor); the doc
+# string is therefore byte-identical cross-engine.
+_VARIANT_DOC_SQL = (
+    "'{\"vals\":[' || CAST(floor(value * 1000000) AS BIGINT) || ',' || "
+    "CAST(event_id % 7 AS BIGINT) || '],\"tag\":\"' || event_type || '\"}'"
+)
+
+_VARIANT_ARRAY_ORACLE = f"""
+    WITH docs AS (
+        SELECT event_type, {_VARIANT_DOC_SQL} AS doc
+        FROM events WHERE value IS NOT NULL
+    ),
+    ext AS (
+        SELECT event_type,
+               CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS val1,
+               CAST(json_extract(doc, '$.vals[5]') AS BIGINT) AS val_oob,
+               TRY_CAST(json_extract_string(doc, '$.tag') AS BIGINT)
+                   AS tag_as_int,
+               json_extract_string(doc, '$.missing') AS missing_str
+        FROM docs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(val1) AS BIGINT) AS sum_val1,
+           CAST(COUNT(*) - COUNT(val_oob) AS BIGINT) AS n_null_oob,
+           CAST(COUNT(*) - COUNT(tag_as_int) AS BIGINT) AS n_null_cast,
+           CAST(COUNT(*) - COUNT(missing_str) AS BIGINT) AS n_null_missing
+    FROM ext
+    GROUP BY event_type
+"""
+
+
+@query("variant_array_paths", oracle=_VARIANT_ARRAY_ORACLE)
+def variant_array_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ARRAY PATHS + try_variant_get NULL SEMANTICS — the
+    second half of the Spark 4 VARIANT surface (props_variant_extract
+    covers scalar keys; this covers array indexing and every NULL
+    path a shredded-JSON pipeline must define). Each event renders a
+    JSON doc with a 2-element int array and a string tag; parse_json
+    runs ONCE per row and four typed extractions share the variant:
+
+    - ``variant_get($.vals[1])`` — in-bounds array index, typed hit;
+    - ``try_variant_get($.vals[5])`` — OUT-OF-BOUNDS index: NULL,
+      never an error (the "schema drifted under me" production case);
+    - ``try_variant_get($.tag, bigint)`` — TYPE-MISMATCHED cast of a
+      non-numeric string: NULL under try semantics;
+    - ``try_variant_get($.missing)`` — absent key: NULL.
+
+    The aggregate counts each NULL class per event_type, so a single
+    wrongly-erroring or wrongly-non-NULL path flips the hash. The
+    oracle replays the same doc construction and extraction through
+    DuckDB's JSON functions (json_extract on a missing path is NULL;
+    TRY_CAST models the try-cast path).
+
+    Shape at 100 TB: parse_json once + N projections is the shredding
+    idiom — the variant binary is columnar-cached, extractions are
+    codegen'd, and NO Python touches the row. One narrow projection,
+    one map-side-combinable hash aggregate keyed by event_type."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    doc = F.expr(
+        "concat('{\"vals\":[', CAST(floor(value * 1000000) AS BIGINT),"
+        " ',', CAST(event_id % 7 AS BIGINT), '],\"tag\":\"', event_type,"
+        " '\"}')"
+    )
+    v = F.parse_json(doc)
+    ext = events.select(
+        "event_type",
+        F.variant_get(v, "$.vals[1]", "bigint").alias("val1"),
+        F.try_variant_get(v, "$.vals[5]", "bigint").alias("val_oob"),
+        F.try_variant_get(v, "$.tag", "bigint").alias("tag_as_int"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("val1").cast("long").alias("sum_val1"),
+        (F.count(F.lit(1)) - F.count("val_oob")).cast("long")
+        .alias("n_null_oob"),
+        (F.count(F.lit(1)) - F.count("tag_as_int")).cast("long")
+        .alias("n_null_cast"),
+        (F.count(F.lit(1)) - F.count("missing_str")).cast("long")
+        .alias("n_null_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE over the decimal-digit BOM tree (Spark 4 WITH RECURSIVE)
+
+_RECURSIVE_BOM_ORACLE = """
+    WITH RECURSIVE node AS (
+        SELECT p_partkey + 1 AS id,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    ),
+    walk AS (
+        SELECT id, cents AS path_cents, 1 AS depth
+        FROM node WHERE id BETWEEN 1 AND 9
+        UNION ALL
+        SELECT n.id, w.path_cents + n.cents, w.depth + 1
+        FROM node n JOIN walk w ON n.id // 10 = w.id
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(path_cents) AS BIGINT) AS sum_path_cents,
+           CAST(MAX(path_cents) AS BIGINT) AS max_path_cents
+    FROM walk
+    GROUP BY depth
+"""
+
+
+@query("recursive_cte_bom", oracle=_RECURSIVE_BOM_ORACLE)
+def recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE SQL — ``WITH RECURSIVE`` root-to-leaf walk over the
+    decimal-digit part tree (parent(k) = k div 10, ids shifted +1;
+    same hierarchy as bom_hierarchy_rollup, OPPOSITE traversal).
+    bom_hierarchy_rollup aggregates each node's DESCENDANTS with an
+    arithmetic ancestor explode — zero iteration, because the
+    ancestor chain is computable. Root-to-leaf PATH SUMS (each node's
+    cumulative price from its root) are the inverse problem: a node's
+    path sum depends on its parent's, so the dependency chain runs
+    DOWN the tree and genuinely needs iteration — the recursive CTE
+    seeds the 9 roots and joins one level of children per round.
+
+    This is the first recursive-CTE query in the registry (Spark 4's
+    WITH RECURSIVE), and its semantics are pinned against DuckDB's
+    native recursive CTE running the nearly-verbatim SQL: per-depth
+    node counts, exact-integer path-sum totals, and the max path sum
+    (a longest-root-to-node-price witness).
+
+    Shape at 100 TB: rounds = tree DEPTH (log10 of the key space — 8
+    here), never data-sized; each round is one equi-join of the next
+    level against the frontier, partitioned on the join key. Frontier
+    rows are (id, path_cents, depth) — no per-node history
+    accumulates. Compare bfs_customer_supplier_reach: same bounded-
+    rounds discipline, hand-rolled loop; here the ENGINE owns the
+    loop (UnionLoop in the plan) and AQE sizes each round's join."""
+    part = load_table(spark, sf_dir, "part")
+    part.select(
+        (F.col("p_partkey") + 1).alias("id"),
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    ).createOrReplaceTempView("_bom_node")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT id, cents AS path_cents, 1 AS depth
+            FROM _bom_node WHERE id BETWEEN 1 AND 9
+            UNION ALL
+            SELECT n.id, w.path_cents + n.cents, w.depth + 1
+            FROM _bom_node n JOIN walk w ON n.id div 10 = w.id
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(path_cents) AS BIGINT) AS sum_path_cents,
+               CAST(MAX(path_cents) AS BIGINT) AS max_path_cents
+        FROM walk
+        GROUP BY depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS self-inner-product: second frequency moment (F2) / self-join sizing
+
+_F2_DEPTH = 4
+_F2_WIDTH = 4096
+
+
+def _f2_bucket_sql(key: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key} AS VARCHAR) || ':f2' || j),"
+        f" 1, 15))::BIGINT % {_F2_WIDTH}"
+    )
+
+
+_F2_ORACLE = f"""
+    WITH rows_j AS (SELECT unnest(range(0, {_F2_DEPTH})) AS j),
+    cms AS (
+        SELECT j, {_f2_bucket_sql('user_id')} AS w, COUNT(*) AS c
+        FROM events, rows_j WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ),
+    dots AS (SELECT j, CAST(SUM(c * c) AS BIGINT) AS dot FROM cms GROUP BY j),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS f2_est FROM dots),
+    ex AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+               CAST(MAX(c) AS BIGINT) AS max_freq,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM (SELECT COUNT(*) AS c FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id)
+    )
+    SELECT ex.f2_exact, est.f2_est, ex.max_freq, ex.n_rows,
+           CAST(CASE WHEN est.f2_est >= ex.f2_exact THEN 1 ELSE 0 END
+               AS BIGINT) AS no_undercount,
+           CAST((est.f2_est - ex.f2_exact) * 1000000 // ex.f2_exact
+               AS BIGINT) AS overcount_micro
+    FROM ex, est
+"""
+
+
+@query("cms_self_join_f2", oracle=_F2_ORACLE)
+def cms_self_join_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND FREQUENCY MOMENT (F2) from a count-min sketch — the
+    skew detector. F2 = sum_k c(k)^2 is exactly the user-level
+    SELF-join size: the number a planner needs before it dares
+    ``events JOIN events ON user_id`` (sessionization pair analysis,
+    co-visitation) and the canonical skew statistic (F2 >> n^2/|keys|
+    means salting territory). The CMS estimates it by the self inner
+    product min_j <CMS_j, CMS_j> — the j-th row's dot with ITSELF —
+    which never undercounts (cross terms are non-negative) and
+    overcounts by ~n^2/width per row (AMS/CMS inner-product theorem,
+    Cormode & Muthukrishnan 2005). sketch_join_size_cms sizes an
+    A-JOIN-B on one column pair; this is the second pair planned in
+    NOTES_r7 — (events.user_id x events.user_id) — and the
+    qualitatively different regime: self-products square the heavy
+    keys, so collision noise concentrates where skew lives, and the
+    estimate degrades EXACTLY when the answer matters most (the
+    overcount_micro column measures that, riding the hash).
+
+    max_freq is the exact heaviest-key witness (the l-infinity bound
+    CMS point queries promise within eps*n), n_rows anchors both.
+
+    Shape at 100 TB: the sketch is depth x 4096 cells built by one
+    map-side-combined aggregate; the exact branch (per-key counts,
+    then one sum of squares) is the audit path — a hash aggregate on
+    the key, model-free, no join at all. Nothing driver-sized; the
+    self-join itself NEVER runs."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    js = spark.range(_F2_DEPTH).select(F.col("id").cast("int").alias("j"))
+    cms = (
+        ev.crossJoin(F.broadcast(js))
+        .select(
+            "j",
+            F.expr(
+                f"conv(substring(md5(concat(CAST(user_id AS STRING),"
+                f" ':f2', j)), 1, 15), 16, 10) % {_F2_WIDTH}"
+            ).cast("long").alias("w"),
+        )
+        .groupBy("j", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        cms.groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("f2_est"))
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+            F.max("c").cast("long").alias("max_freq"),
+            F.sum("c").cast("long").alias("n_rows"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "f2_exact",
+        "f2_est",
+        "max_freq",
+        "n_rows",
+        (F.col("f2_est") >= F.col("f2_exact")).cast("long")
+        .alias("no_undercount"),
+        F.expr(
+            "CAST((f2_est - f2_exact) * 1000000 div f2_exact AS BIGINT)"
+        ).alias("overcount_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval endpoint semantics: closed / half-open / open overlap variants
+
+_ENDPOINT_GAP_MIN = 60
+
+_ENDPOINT_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               event_type
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    gaps AS (
+        SELECT user_id, sec,
+               CASE WHEN sec - LAG(sec) OVER w > {_ENDPOINT_GAP_MIN * 60}
+                    OR LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    sess AS (
+        SELECT user_id, sec,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    ivl AS (
+        SELECT user_id, sid, MIN(sec) AS s, MAX(sec) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    err AS (SELECT user_id, sec FROM ev WHERE event_type = 'error')
+    SELECT
+        CAST(SUM(CASE WHEN err.sec >= ivl.s AND err.sec <= ivl.e
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+        CAST(SUM(CASE WHEN err.sec >= ivl.s AND err.sec < ivl.e
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_half_open,
+        CAST(SUM(CASE WHEN err.sec > ivl.s AND err.sec < ivl.e
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(SUM(CASE WHEN err.sec = ivl.s THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_start_ties,
+        CAST(SUM(CASE WHEN err.sec = ivl.e THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_end_ties
+    FROM err JOIN ivl ON ivl.user_id = err.user_id
+    WHERE err.sec >= ivl.s - 1 AND err.sec <= ivl.e + 1
+"""
+
+
+@query("interval_endpoint_semantics", oracle=_ENDPOINT_ORACLE)
+def interval_endpoint_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP ENDPOINT SEMANTICS — the same error-in-session
+    range join computed under all three endpoint conventions at once:
+    closed [s,e], half-open [s,e), open (s,e). Sessions are min/max
+    second bounds of 60-minute-gap islands, so an error that STARTS
+    or ENDS its own session ties an endpoint exactly — the rows on
+    which the three conventions disagree. Every real range-join bug
+    report is an endpoint bug (billing periods, validity intervals,
+    watermark cutoffs); this query makes the divergence a FIRST-CLASS
+    measured output instead of a footnote: n_closed - n_half_open
+    must equal n_end_ties and n_half_open - n_open must equal
+    n_start_ties minus start==end degenerates, and the hash pins all
+    five counts. range_join_errors_in_sessions picks ONE convention
+    and scales it; this one audits the choice.
+
+    The candidate pass is a single equi-join on user_id with a +-1s
+    residual band (sessions belong to their user, so the join never
+    crosses users); all three conventions and both tie counts come
+    from ONE pass over the joined rows — conditional aggregation, not
+    three joins. Timestamps compare as floor-epoch whole seconds on
+    both engines (determinism rule #11).
+
+    Shape at 100 TB: sessionization is the windowed gaps-and-islands
+    scan (one shuffle on user_id); the join is user-partitioned and
+    the residual is scan-local; the output is ONE row — conditional
+    aggregation makes endpoint auditing free relative to the join it
+    audits."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 1000000").alias("sec"),
+            "event_type",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("sec")
+    sess = (
+        ev.withColumn(
+            "brk",
+            F.when(
+                F.col("sec") - F.lag("sec").over(w)
+                > _ENDPOINT_GAP_MIN * 60,
+                1,
+            )
+            .when(F.lag("sec").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("sec").alias("s"), F.max("sec").alias("e"))
+    )
+    err = ev.where(F.col("event_type") == "error").select("user_id", "sec")
+    joined = err.join(sess, "user_id").where(
+        (F.col("sec") >= F.col("s") - 1) & (F.col("sec") <= F.col("e") + 1)
+    )
+    return joined.agg(
+        F.sum(
+            ((F.col("sec") >= F.col("s")) & (F.col("sec") <= F.col("e")))
+            .cast("long")
+        ).cast("long").alias("n_closed"),
+        F.sum(
+            ((F.col("sec") >= F.col("s")) & (F.col("sec") < F.col("e")))
+            .cast("long")
+        ).cast("long").alias("n_half_open"),
+        F.sum(
+            ((F.col("sec") > F.col("s")) & (F.col("sec") < F.col("e")))
+            .cast("long")
+        ).cast("long").alias("n_open"),
+        F.sum((F.col("sec") == F.col("s")).cast("long")).cast("long")
+        .alias("n_start_ties"),
+        F.sum((F.col("sec") == F.col("e")).cast("long")).cast("long")
+        .alias("n_end_ties"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL day-over-day NEW-visitor delta (register-level cumulative merge)
+
+_HD_M = 64
+_HD_SCALE_BITS = 30
+_HD_NUM = 709 * _HD_M * _HD_M * (1 << _HD_SCALE_BITS)
+
+
+def _hd_est_sql(m_col: str) -> str:
+    """Estimate over a (d, bucket, m) grid group — NULL m = empty reg."""
+    return (
+        f"CAST({_HD_NUM} // (1000 * ("
+        f"SUM(CASE WHEN {m_col} IS NULL OR {m_col} > {_HD_SCALE_BITS} THEN 0"
+        f" ELSE (1::BIGINT << ({_HD_SCALE_BITS} - {m_col})) END)"
+        f" + (COUNT(*) - COUNT({m_col}))"
+        f" * (1::BIGINT << {_HD_SCALE_BITS}))) AS BIGINT)"
+    )
+
+
+_HLL_DELTA_ORACLE = f"""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    daily AS (
+        SELECT d, hv % {_HD_M} AS bucket,
+               MAX(CASE WHEN hv // {_HD_M} = 0 THEN 55
+                   ELSE 55 - length(bin(hv // {_HD_M})) END) AS m
+        FROM h GROUP BY d, hv % {_HD_M}
+    ),
+    grid AS (
+        SELECT days.d, b.bucket, daily.m
+        FROM (SELECT DISTINCT d FROM daily) days
+        CROSS JOIN (SELECT unnest(range(0, {_HD_M})) AS bucket) b
+        LEFT JOIN daily ON daily.d = days.d AND daily.bucket = b.bucket
+    ),
+    cum AS (
+        SELECT d, bucket,
+               MAX(m) OVER (PARTITION BY bucket ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS m_incl,
+               MAX(m) OVER (PARTITION BY bucket ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS m_excl
+        FROM grid
+    ),
+    ests AS (
+        SELECT d, {_hd_est_sql('m_incl')} AS est_incl,
+               {_hd_est_sql('m_excl')} AS est_excl
+        FROM cum GROUP BY d
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    exact_new AS (
+        SELECT d0 AS d, COUNT(*) AS exact_new FROM first_seen GROUP BY d0
+    )
+    SELECT ests.d AS dt,
+           CAST(ests.est_incl - ests.est_excl AS BIGINT) AS hll_new_est,
+           CAST(COALESCE(exact_new.exact_new, 0) AS BIGINT) AS exact_new
+    FROM ests LEFT JOIN exact_new ON exact_new.d = ests.d
+    WHERE ests.d > (SELECT MIN(d) FROM daily)
+"""
+
+
+@query("hll_new_visitors_delta", oracle=_HLL_DELTA_ORACLE)
+def hll_new_visitors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL DAY-OVER-DAY DELTA — estimated NEW visitors per day as
+    |HLL(days <= d)| - |HLL(days < d)|, computed entirely from stored
+    daily register vectors. This is the question dashboards actually
+    ask of cardinality state ("how many of today's visitors are
+    new?"), and the only form a mergeable sketch can answer it in:
+    HLLs union (register MAX) but never subtract, so "new" must be
+    the DIFFERENCE OF TWO UNION ESTIMATES — each unbiased, their
+    difference noisy at ~1.04/sqrt(64) of the PREFIX cardinality, not
+    of the delta. The exact first-seen count per day rides alongside
+    so the hash pins both the estimator and the honest caveat (the
+    estimate can even go negative on a quiet day; sketches answer
+    prefix questions well and delta questions only approximately —
+    that measured gap IS the query's finding, the reason heavy-hitter
+    days need the exact path).
+
+    Register plumbing: per-(day, bucket) MAX-rho registers (the
+    sketch_hll_merge_daily state), completed to a days x 64 GRID so
+    buckets silent on a day still carry their prefix value, then a
+    cumulative MAX window per bucket gives every day's inclusive and
+    exclusive prefix registers in one pass — no day-at-a-time loop,
+    no re-reading history. Empty/NULL registers contribute the
+    2^scale zero-register term exactly like the merge-estimate
+    formula (same integer pipeline as sketch_hll_visitors; first day
+    excluded — its exclusive prefix is the empty sketch, raw-regime
+    garbage by construction).
+
+    Shape at 100 TB: daily register state is days x 64 ints per key —
+    model-sized; the grid completion is |days| x 64 rows; windows
+    partition by bucket (64 partitions of |days| rows). The events
+    scan happens ONCE (register build); the exact branch is one
+    (user, min-day) hash aggregate, the audit path a production run
+    samples rather than pays in full."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    daily = (
+        events.select(F.to_date("ts").alias("d"), h.alias("hv"))
+        .select(
+            "d",
+            (F.col("hv") % _HD_M).alias("bucket"),
+            F.when(F.expr(f"hv div {_HD_M}") == 0, F.lit(55))
+            .otherwise(
+                F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HD_M}")))
+            )
+            .alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = daily.select("d").distinct()
+    buckets = spark.range(_HD_M).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    grid = days.crossJoin(F.broadcast(buckets)).join(
+        daily, ["d", "bucket"], "left"
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket").orderBy("d")
+    cum = grid.select(
+        "d",
+        "bucket",
+        F.max("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("m_incl"),
+        F.max("m").over(wb.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("m_excl"),
+    )
+
+    def est(m_col: str) -> Column:
+        return F.expr(
+            f"CAST({_HD_NUM} div (1000 * ("
+            f"SUM(CASE WHEN {m_col} IS NULL OR {m_col} > {_HD_SCALE_BITS}"
+            f" THEN CAST(0 AS BIGINT)"
+            f" ELSE shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({_HD_SCALE_BITS} - {m_col} AS INT)) END)"
+            f" + (COUNT(1) - COUNT({m_col}))"
+            f" * shiftleft(CAST(1 AS BIGINT), {_HD_SCALE_BITS})))"
+            f" AS BIGINT)"
+        )
+
+    ests = cum.groupBy("d").agg(
+        est("m_incl").alias("est_incl"), est("m_excl").alias("est_excl")
+    )
+    exact_new = (
+        events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+        .groupBy(F.col("d0").alias("d"))
+        .agg(F.count(F.lit(1)).alias("exact_new"))
+    )
+    first_day = daily.agg(F.min("d").alias("d_min"))
+    return (
+        ests.join(exact_new, "d", "left")
+        .crossJoin(F.broadcast(first_day))
+        .where(F.col("d") > F.col("d_min"))
+        .select(
+            F.col("d").alias("dt"),
+            (F.col("est_incl") - F.col("est_excl")).cast("long")
+            .alias("hll_new_est"),
+            F.coalesce(F.col("exact_new"), F.lit(0)).cast("long")
+            .alias("exact_new"),
+        )
+    )
