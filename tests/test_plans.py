@@ -692,3 +692,16 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         apply_runtime_confs(spark)  # restores autoBroadcastJoinThreshold
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The r8 correlated LATERAL (... ORDER BY ... LIMIT 3) must plan
+    as ONE window top-k over a single hash exchange plus a broadcast
+    of the 25-row dim — never per-outer-row subquery execution (no
+    nested loop, no cartesian). WindowGroupLimit is the marker that
+    the rank<=3 filter was pushed into the sort itself."""
+    plan = _plan(spark, sf_dir, "lateral_join_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -590,3 +590,256 @@ def hll_new_visitors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_new"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: lateral join, observe() metrics, _metadata audit, temperature mix
+
+_LATERAL_TOPK_ORACLE = """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey, t.c_acctbal AS acctbal
+    FROM nation n JOIN LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 3
+    ) t ON TRUE
+"""
+
+
+@query("lateral_join_topk", oracle=_LATERAL_TOPK_ORACLE)
+def lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL JOIN — top-3 customers by balance PER NATION
+    via ``JOIN LATERAL (... ORDER BY ... LIMIT 3)``, the SQL surface
+    that expresses per-row/per-group subqueries directly (Spark 4
+    lateral subquery join; DuckDB runs the same SQL natively as the
+    oracle). Semantically identical to the window row_number top-k
+    (window_topk_per_media), but the ENGINE owns the decorrelation:
+    Catalyst rewrites the correlated limit into a partitioned window
+    under DecorrelateInnerQuery instead of executing the subquery once
+    per outer row — the same nested-loop-to-hash rewrite the
+    min_cost_supplier_q2 scalar subquery pins, extended to multi-row
+    TABLE subqueries. Ties break on c_custkey so the top-3 set is
+    deterministic; acctbal is a per-row double (no aggregation — rule:
+    per-row doubles compare bit-exact cross-engine).
+
+    Shape at 100 TB: the rewritten plan is one shuffle of customer on
+    nationkey + WindowGroupLimit (rank <= 3 pushed into the sort) +
+    broadcast of the 25-row nation dim — NOT 25 correlated scans. A
+    lateral join that survives decorrelation into per-outer-row
+    execution would be the scale bug; the differential hash plus the
+    plan pin in tests/test_plans.py guard the rewrite."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_custkey AS custkey,
+               t.c_acctbal AS acctbal
+        FROM _lat_nation n JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM _lat_customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        """
+    )
+
+
+_OBSERVE_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_users,
+           CAST(SUM(CAST(floor(value * 1000000) AS DECIMAL(25,0)))
+               AS BIGINT) AS sum_value_micro,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+"""
+
+
+@query("observe_metrics_audit", oracle=_OBSERVE_ORACLE)
+def observe_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe()`` — data-quality metrics collected as a
+    SIDE EFFECT of a pass the pipeline already runs, not a second
+    scan. The production pattern: every bronze->silver batch observes
+    row counts, null rates, and checksums, and the orchestrator alarms
+    on drift WITHOUT doubling the I/O (observe metrics ride the
+    executors' accumulator channel; a separate audit query would
+    re-read the table). Here the observed pass is a per-type count
+    (the kind of aggregate a silver step computes anyway); the
+    returned row carries the OBSERVED totals — row count, null-user
+    count, exact DECIMAL-routed value checksum — plus the distinct
+    type count computed from the pass's own output, and the oracle
+    recomputes all four from the raw table: the hash proves the
+    accumulator channel loses nothing (a dropped partition's metrics
+    or a double-counted retry would flip it).
+
+    Shape at 100 TB: zero extra scans, metric state is a handful of
+    accumulators merged on the driver; the collected per-type frame is
+    |event_type|-sized (model-sized census collect, bound stated)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("silver_quality")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_users"),
+        F.sum(
+            F.expr("CAST(floor(value * 1000000) AS DECIMAL(25,0))")
+        ).alias("sum_value_micro"),
+    )
+    # The observed pass: a per-type census (<= |event_type| rows).
+    per_type = ev.groupBy("event_type").count().collect()
+    got = obs.get
+    return arrow_local_df(
+        spark,
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_null_users"]),
+                int(got["sum_value_micro"]),
+                len(per_type),
+            )
+        ],
+        "n_rows long, n_null_users long, sum_value_micro long, n_types long",
+    )
+
+
+_FILE_METADATA_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(1 AS BIGINT) AS path_consistent
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("file_metadata_audit", oracle=_FILE_METADATA_ORACLE)
+def file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN ``_metadata`` FILE COLUMN — lineage audit of a
+    partitioned write through the file-source metadata struct. The
+    engine writes events Hive-partitioned by event_type, reads the
+    directory back selecting ``_metadata.file_path`` alongside the
+    data, re-derives each row's partition value FROM ITS FILE PATH,
+    and checks path-derived == column-derived for every row while
+    re-counting rows and distinct ids per partition. This is the
+    post-write audit a 100 TB pipeline runs after every backfill:
+    rows landed in the wrong partition directory (the classic
+    dynamic-partition bug) are detectable ONLY by joining file
+    identity against row content — exactly what _metadata exposes
+    without a filename() UDF or input_file_name()'s whole-stage
+    restrictions. The oracle recomputes the per-type counts from the
+    source table and pins path_consistent=1: a misplaced row flips
+    the flag; a lost or duplicated row flips the counts.
+
+    Shape at 100 TB: _metadata is generated per-file by the scan (no
+    shuffle, no extra I/O); the audit aggregate is one map-side-
+    combinable hash agg keyed by partition value. The audit write
+    here targets a session temp dir; the collected result is
+    |event_type|-sized (model-sized, bound stated)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wistia_fmeta_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        "event_id",
+        "event_type",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+        ).alias("path_type"),
+    )
+    audit = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("event_id").cast("long").alias("n_ids"),
+            F.min(
+                (F.col("path_type") == F.col("event_type")).cast("long")
+            ).alias("path_consistent"),
+        )
+        .collect()
+    )
+    return arrow_local_df(
+        spark,
+        [
+            (r["event_type"], r["n_rows"], r["n_ids"], r["path_consistent"])
+            for r in sorted(audit, key=lambda r: r["event_type"])
+        ],
+        "event_type string, n_rows long, n_ids long, path_consistent long",
+    )
+
+
+_TEMPERATURE_ORACLE = """
+    WITH src AS (
+        SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, c,
+               CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS wgt
+        FROM src
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(wgt) AS BIGINT) AS tw
+        FROM w
+    )
+    SELECT w.source,
+           CAST(w.c AS BIGINT) AS n_docs,
+           w.wgt AS weight,
+           CAST(w.c * 1000000 // tot.tc AS BIGINT) AS share_raw_micro,
+           CAST(w.wgt * 1000000 // tot.tw AS BIGINT) AS share_temp_micro,
+           CAST(CASE WHEN w.wgt * tot.tc > w.c * tot.tw
+                THEN 1 ELSE 0 END AS BIGINT) AS upweighted
+    FROM w, tot
+"""
+
+
+@query("temperature_mixture_weights", oracle=_TEMPERATURE_ORACLE)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS — the data-mixing step of
+    every large pretraining corpus (GPT-3 / LLaMA style): per-source
+    sampling shares proportional to c^tau with tau=1/2, flattening the
+    source distribution so giant crawl domains stop drowning small
+    high-quality ones. tau=1/2 is chosen deliberately: sqrt is the ONE
+    fractional power IEEE 754 requires to be correctly rounded, so
+    floor(sqrt(c)) is bit-identical cross-engine where a pow(c, 0.7)
+    would be last-ulp territory — the weight column stays exact-
+    integer and every share is integer cross-multiplication from
+    there (the upweighted flag is w_i*T_c > c_i*T_w, fraction-free).
+    Consumes mixture_epochs' input side (this query derives the
+    weights; mixture_epochs applies a given weight vector — together
+    they are the full mixing pipeline).
+
+    Shape at 100 TB: one hash aggregate to |sources| rows, integer
+    arithmetic against two broadcast totals; nothing data-sized
+    leaves the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "wgt",
+            F.expr("CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    tot = w.agg(
+        F.sum("c").cast("long").alias("tc"),
+        F.sum("wgt").cast("long").alias("tw"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("c").cast("long").alias("n_docs"),
+        F.col("wgt").alias("weight"),
+        F.expr("CAST(c * 1000000 div tc AS BIGINT)").alias(
+            "share_raw_micro"
+        ),
+        F.expr("CAST(wgt * 1000000 div tw AS BIGINT)").alias(
+            "share_temp_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN wgt * tc > c * tw THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("upweighted"),
+    )
