@@ -843,3 +843,215 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN wgt * tc > c * tw THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("upweighted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: mapInArrow surface, CSV corrupt-record isolation, XML round-trip
+
+_NORM_SCALE = 1 << 40
+
+_ARROW_NORM_ORACLE = f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                          * {_NORM_SCALE}) AS BIGINT)
+           )) AS BIGINT) AS norm2_scaled
+    FROM embeddings
+"""
+
+
+@query("embedding_norms_arrow", oracle=_ARROW_NORM_ORACLE)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the FIFTH Python-worker surface (mapInPandas,
+    applyInPandasWithState, applyInPandas, cogroup-applyInPandas are
+    the other four, README inventory): RecordBatches cross the Arrow
+    boundary with NO pandas materialization, the cheapest possible
+    Python hop for numeric kernels. The kernel computes each
+    embedding's scaled squared L2 norm straight off the Arrow list
+    layout — values buffer -> one vectorized multiply, list offsets ->
+    one ``np.add.reduceat`` — never building per-row Python objects
+    (the flatten+offsets idiom is THE pattern for list columns; a
+    to_pandas() here would allocate 64-element ndarrays per row).
+
+    Exactness: each float32-squared product is EXACT in float64 (53
+    bits hold a 24-bit significand squared), so per-element
+    floor(x*x * 2^40) is engine-stable, and the row sum is an INTEGER
+    sum — order-free, immune to numpy's pairwise-vs-sequential
+    summation difference that makes raw float norms hash-unstable.
+    The oracle replays the identical per-element pipeline through
+    DuckDB list functions.
+
+    Shape at 100 TB: embarrassingly parallel scan -> Arrow batch ->
+    kernel; no shuffle, no state, output one narrow row per vector.
+    The norm table is the input ANN/IVF indexes precompute once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            arr = batch.column(batch.schema.get_field_index("embedding"))
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+                "float64"
+            )
+            lens = pc.list_value_length(arr).to_numpy().astype("int64")
+            starts = np.zeros(len(lens), dtype="int64")
+            np.cumsum(lens[:-1], out=starts[1:])
+            prod = np.floor(flat * flat * float(_NORM_SCALE)).astype(
+                "int64"
+            )
+            sums = np.add.reduceat(prod, starts)
+            vid = batch.column(
+                batch.schema.get_field_index("vec_id")
+            ).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vid, type=pa.int64()),
+                    pa.array(lens),
+                    pa.array(sums),
+                ],
+                names=["vec_id", "dims", "norm2_scaled"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInArrow(
+        kernel, "vec_id long, dims long, norm2_scaled long"
+    )
+
+
+_CSV_N_CORRUPT = 3
+
+_CSV_CORRUPT_ORACLE = f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(event_id) AS BIGINT) AS n_parsed_ids
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__corrupt__' AS event_type, CAST({_CSV_N_CORRUPT} AS BIGINT)
+        AS n_rows, CAST(0 AS BIGINT) AS n_parsed_ids
+"""
+
+
+@query("csv_corrupt_records", oracle=_CSV_CORRUPT_ORACLE)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SOURCE with PERMISSIVE corrupt-record isolation — the
+    format-breadth row of the source family (JSON has it via
+    schemas.py; this proves the same contract on CSV, the format
+    every vendor drop actually arrives in). The engine round-trips
+    events through a CSV directory, injects {_CSV_N_CORRUPT}
+    deterministic malformed lines (unparseable event_id) as an extra
+    file in the same directory — the classic "one bad file in the
+    drop" incident — and reads back with an explicit schema,
+    PERMISSIVE mode, and a named corrupt-record column. Every good
+    row must survive with its type intact; every bad line must land
+    in the corrupt column, NOT kill the job (FAILFAST) and NOT
+    silently vanish (DROPMALFORMED) — the per-type counts plus the
+    corrupt count are hash-pinned against the parquet source, so a
+    row lost or misparsed either way flips the result.
+
+    The load-bearing subtlety (found live by this query's first
+    differential run): CSV COLUMN PRUNING scopes malformation to the
+    columns the query actually reads — with event_id pruned, its
+    failed LONG conversion never executes and the bad lines sail
+    through as (null, 'mystery') with NO corrupt marker. The audit
+    therefore counts parsed event_ids per group (n_parsed_ids), which
+    both forces the conversion into the scan and asserts the corrupt
+    group parsed zero ids — the production rule: a corrupt-record
+    audit must PROJECT every column whose parse it claims to check.
+
+    Shape at 100 TB: schema-explicit CSV scans parallelize per file
+    split like any other source. The audit aggregate is one
+    map-side-combinable count keyed by type."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wistia_csv_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    ev.write.mode("overwrite").option("header", "false").csv(out)
+    bad = "\n".join(
+        f"not_a_long_{i},mystery" for i in range(_CSV_N_CORRUPT)
+    )
+    with open(os.path.join(out, "extra-vendor-drop.csv"), "w") as fh:
+        fh.write(bad + "\n")
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("__corrupt__"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "event_id",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("event_id").cast("long").alias("n_parsed_ids"),
+        )
+    )
+
+
+_XML_ROUNDTRIP_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 1000000) AS DECIMAL(25,0)))
+               AS BIGINT) AS sum_value_micro
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("xml_roundtrip_audit", oracle=_XML_ROUNDTRIP_ORACLE)
+def xml_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SOURCE/SINK round-trip (Spark 4 built-in XML format) — the
+    last first-class file format in the engine's source inventory
+    (parquet, JSON, CSV, ORC-capable writers, now XML: the format
+    enterprise feeds and sitemap/catalog drops still arrive in). The
+    engine writes events as <row> elements under a root tag, reads
+    the directory back with an explicit schema, and hash-pins
+    per-type counts plus the exact DECIMAL-routed value checksum
+    against the parquet source — a value corrupted by the XML text
+    round-trip (precision loss, whitespace handling, escaping) or a
+    row dropped by the reader flips the hash. value crosses as a
+    pre-scaled BIGINT (floor(value*1e6), IEEE-deterministic) so the
+    audit never depends on double->text->double round-tripping —
+    the same string-bridge discipline as determinism rule "money
+    sums" (NOTES_r7).
+
+    Shape at 100 TB: XML files split per-file (rowTag framing), the
+    audit is one hash aggregate; nothing driver-sized. XML is the
+    interchange slot, not the analytics layout — the query documents
+    the boundary, parquet stays the engine-native format."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="wistia_xml_")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias(
+            "value_micro"
+        ),
+    )
+    ev.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_type string, value_micro long")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("value_micro").cast("long").alias("sum_value_micro"),
+    )
