@@ -89,13 +89,24 @@ def test_promotions_are_all_debt_or_last_fail():
 def test_registry_growth_frozen_while_debt_exceeds_one_window():
     """VERDICT r5 #1: zero new registry queries until the remaining debt
     (after this round's 43 promotions) fits inside ONE window's 43 free
-    slots. Debt as-of the r7 rotation = 91; 91 - 43 = 48 > 43, so the
-    freeze holds through r7. Lifting it: bump the literal BELOW only
-    when len(never_checked_names()) - 43 <= 43 at the time you add
-    queries (earliest: r8, within r9's 38 spare slots)."""
-    assert len(registry._REG_ORDER) == 269, (
-        "registry grew while the driver-verification debt exceeds one "
-        "window — see COVERAGE.md closure schedule before adding queries"
+    slots. The freeze held r6-r7 (debt 134 -> 91 -> 48). It lifted in r8
+    per the committed rule: debt after the r8 window = 5, so growth may
+    use r9's 38 spare slots — the r8 waves added 12 (r9 debt = 17 <=
+    43). Bumping the literal BELOW requires the same arithmetic in this
+    docstring, and every new name must be in the COVERAGE.md schedule
+    (machine-readable row) BEFORE the next rotation."""
+    assert len(registry._REG_ORDER) == 281, (
+        "registry size drifted from the documented growth budget — "
+        "see COVERAGE.md closure schedule before adding queries"
+    )
+    # the freeze condition itself, recomputed: debt beyond the CURRENT
+    # window must fit one future window's promotion budget
+    st = _state()
+    debt = set(never_checked_names(st["artifacts"]))
+    remaining = debt - set(_window())
+    assert len(remaining) <= 43, (
+        f"{len(remaining)} debt names beyond this window exceed one "
+        "window's 43 slots — registry growth must re-freeze"
     )
 
 
