@@ -1055,3 +1055,163 @@ def xml_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("value_micro").cast("long").alias("sum_value_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: streaming sketch-state maintenance (idempotent-monoid sink)
+
+_STREAM_HLL_ORACLE = f"""
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT hv % {_HD_M} AS bucket,
+               MAX(CASE WHEN hv // {_HD_M} = 0 THEN 55
+                   ELSE 55 - length(bin(hv // {_HD_M})) END) AS m
+        FROM h GROUP BY hv % {_HD_M}
+    ),
+    est AS (
+        SELECT CAST({_HD_NUM} // (1000 * (
+            SUM(CASE WHEN m > {_HD_SCALE_BITS} THEN 0
+                ELSE (1::BIGINT << ({_HD_SCALE_BITS} - m)) END)
+            + ({_HD_M} - COUNT(*)) * (1::BIGINT << {_HD_SCALE_BITS})))
+            AS BIGINT) AS hll_visitors
+        FROM regs
+    ),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_visitors
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT est.hll_visitors, ex.exact_visitors,
+           CAST(abs(est.hll_visitors - ex.exact_visitors) * 1000000
+                // ex.exact_visitors AS BIGINT) AS err_micro,
+           CAST(1 AS BIGINT) AS state_matches_batch
+    FROM est, ex
+"""
+
+
+@query("streaming_hll_sketch_state", oracle=_STREAM_HLL_ORACLE)
+def streaming_hll_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SKETCH-STATE MAINTENANCE — the incremental form of
+    sketch_hll_merge_daily: micro-batches fold their HLL registers into
+    a 64-row txlog STATE TABLE by register MAX, and the final estimate
+    from the persisted state must equal the batch recomputation over
+    all events (state_matches_batch pins register-for-register
+    equality; the differential hash pins the estimate).
+
+    The sink contract is the novel part: streaming_gold_rollup gets
+    exactly-once from at-least-once replay + key-merge of CUMULATIVE
+    update-mode state — the stream itself carries the fold. Here the
+    stream is STATELESS (no streaming agg, no watermark, no state
+    store): each foreachBatch computes the BATCH's registers and
+    MAX-folds them into the table. Because register MAX is an
+    IDEMPOTENT, commutative monoid, a replayed or duplicated batch
+    folds to the identical state — exactly-once semantics from the
+    ALGEBRA of the sink, with zero delivery bookkeeping. That is the
+    production recipe for every mergeable-sketch state (HLL, KMV,
+    CMS-max variants, Bloom): pick a fold that absorbs replay and the
+    hardest streaming problem disappears.
+
+    Shape at 100 TB: per-batch work is one hash aggregate to <= 64
+    rows; the state table is 64 integers FOREVER, regardless of stream
+    volume; the read-modify-write touches sketch-sized data under the
+    txlog's serializable commit. ``maxFilesPerTrigger=2`` over 8
+    staged files forces >= 4 real micro-batches, so the fold chain is
+    genuinely exercised, and the final state is trigger-boundary
+    independent (max over any partition of the input)."""
+    import os
+    import tempfile
+
+    from ..sources.txlog import TxLogTable
+
+    root = tempfile.mkdtemp(prefix="wistia_stream_hll_")
+    src = os.path.join(root, "src")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    events.select("user_id").repartition(8).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(h.alias("hv"))
+            .select(
+                (F.col("hv") % _HD_M).alias("bucket"),
+                F.when(F.expr(f"hv div {_HD_M}") == 0, F.lit(55))
+                .otherwise(
+                    F.lit(55) - F.length(F.bin(F.expr(f"hv div {_HD_M}")))
+                )
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    table = TxLogTable(os.path.join(root, "registers"))
+
+    def _fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        new = regs_of(batch_df)
+        cur = table.read(sess)
+        if cur is not None:
+            new = (
+                cur.unionByName(new)
+                .groupBy("bucket")
+                .agg(F.max("m").alias("m"))
+            )
+        table.merge(sess, new, ["bucket"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(_fold_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = table.read(spark)
+    batch_regs = regs_of(events)
+    mismatch = (
+        state.withColumnRenamed("m", "m_state")
+        .join(batch_regs, "bucket", "full_outer")
+        .where(
+            ~F.col("m_state").eqNullSafe(F.col("m"))
+        )
+        .count()
+    )
+    est = state.agg(
+        F.expr(
+            f"CAST({_HD_NUM} div (1000 * ("
+            f"SUM(CASE WHEN m > {_HD_SCALE_BITS} THEN CAST(0 AS BIGINT)"
+            f" ELSE shiftleft(CAST(1 AS BIGINT),"
+            f" CAST({_HD_SCALE_BITS} - m AS INT)) END)"
+            f" + ({_HD_M} - COUNT(1))"
+            f" * shiftleft(CAST(1 AS BIGINT), {_HD_SCALE_BITS})))"
+            f" AS BIGINT)"
+        ).alias("hll_visitors")
+    )
+    exact = events.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_visitors")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "hll_visitors",
+        "exact_visitors",
+        F.expr(
+            "CAST(abs(hll_visitors - exact_visitors) * 1000000"
+            " div exact_visitors AS BIGINT)"
+        ).alias("err_micro"),
+        F.lit(1 if mismatch == 0 else 0).cast("long").alias(
+            "state_matches_batch"
+        ),
+    )
