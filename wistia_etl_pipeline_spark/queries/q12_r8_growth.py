@@ -1,10 +1,16 @@
-"""r8 growth wave: variant arrays, recursive CTE, CMS second moment,
-interval endpoint semantics, HLL day-over-day delta.
+"""r8 growth waves: thirteen new engine surfaces, each with an exact
+DuckDB oracle.
 
-The five surfaces planned in NOTES_r7 §"r8 planning" — each a distinct
-engine capability not yet in the registry, each with an exact-integer
-DuckDB oracle. Mechanically follows the chunk contract in
-``queries/_base.py``.
+Wave 1 (planned in NOTES_r7 §"r8 planning"): variant arrays +
+try_variant_get NULL paths, WITH RECURSIVE, CMS second moment, interval
+endpoint semantics, HLL day-over-day delta. Wave 2: correlated LATERAL
+join, DataFrame.observe(), the hidden _metadata column, temperature
+mixture weights. Wave 3: mapInArrow (fifth Python-worker surface), CSV
+corrupt-record isolation, XML round-trip. Wave 4: streaming
+sketch-state maintenance via an idempotent-monoid sink.
+
+Mechanically follows the chunk contract in ``queries/_base.py``;
+semantic invariants pinned in ``tests/test_r8_growth.py``.
 """
 
 from __future__ import annotations
