@@ -1221,3 +1221,269 @@ def streaming_hll_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_matches_batch"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: map functions, ANSI try-arithmetic, modern aggregates, Datasketches
+
+_MAP_SURFACE_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c * 3) AS BIGINT) AS sum_scaled
+    FROM per_user WHERE c >= 2
+    GROUP BY event_type
+"""
+
+
+@query("map_function_surface", oracle=_MAP_SURFACE_ORACLE)
+def map_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-TYPED COLUMN SURFACE — the map function family exercised
+    end-to-end: per-user maps built with ``map_from_entries`` over
+    collected (event_type, count) structs (keys unique per user by the
+    groupBy, so collection order cannot change the map), thinned with
+    ``map_filter`` (count >= 2), rescaled with ``transform_values``
+    (x3), and EXPLODED back to rows for the final aggregate. Maps are
+    the natural shape for per-entity feature bags (user activity
+    profiles, sparse feature vectors) — but map columns themselves
+    must never be hash-compared or returned raw, because map ITERATION
+    order is engine- and partitioning-dependent; the explode-then-
+    aggregate at the end is the determinism discipline this query
+    demonstrates (same rule as collect_set: unordered containers leave
+    the plan only through order-insensitive folds). The oracle skips
+    the map entirely and replays the relational algebra the map ops
+    encode — the hash proves the round-trip through MapType lost
+    nothing.
+
+    Shape at 100 TB: one (user, type) hash aggregate, one per-user
+    map build (row-local), map ops scan-local in codegen, explode
+    bounded by |event_type| per user, final map-side-combinable
+    aggregate. No shuffle the relational form wouldn't also need."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = per_user.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m")
+    )
+    cooked = m.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("m"), lambda k, v: v >= 2),
+            lambda k, v: v * 3,
+        ).alias("m"),
+    )
+    exploded = cooked.select(
+        "user_id", F.explode("m").alias("event_type", "scaled")
+    )
+    return exploded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("scaled").cast("long").alias("sum_scaled"),
+    )
+
+
+_TRY_ARITH_ORACLE = """
+    WITH t AS (
+        SELECT event_type, event_id,
+               CASE WHEN event_id % 3 = 0 THEN 9223372036854775807
+                    ELSE NULL END AS ta,
+               CASE WHEN event_id % 2 = 0 THEN 4611686018427387904
+                    ELSE NULL END AS tm,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE event_id % 7 END AS tmod_in,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE event_id % 7 END AS tmod
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) - COUNT(ta) AS BIGINT) AS n_add_overflow,
+           CAST(COUNT(*) - COUNT(tm) AS BIGINT) AS n_mul_overflow,
+           CAST(COUNT(*) - COUNT(CASE WHEN event_id % 5 <> 0 THEN 1 END)
+               AS BIGINT) AS n_div_by_zero,
+           CAST(COUNT(*) - COUNT(tmod) AS BIGINT) AS n_mod_by_zero,
+           CAST(SUM(tmod) AS BIGINT) AS sum_mod
+    FROM t GROUP BY event_type
+"""
+
+
+@query("try_arith_null_paths", oracle=_TRY_ARITH_ORACLE)
+def try_arith_null_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI TRY-ARITHMETIC NULL PATHS — the four ``try_*`` operators a
+    pipeline reaches for when one poisoned row must not kill a 100 TB
+    job under ANSI mode: ``try_add`` at int64 max (overflow -> NULL
+    whenever the addend isn't 0), ``try_multiply`` at 2^62 x 3,
+    ``try_divide`` by zero (NULL even in floating point — no Inf
+    leaks), ``try_mod`` by zero. Each NULL class is triggered on a
+    deterministic residue of event_id and counted per event_type, and
+    the surviving try_mod values are summed exactly — so an operator
+    that THROWS where it should NULL (the ANSI default without try_),
+    or NULLs where it should compute, flips the hash. The oracle
+    replays the semantics arithmetically (DuckDB would promote to
+    HUGEINT rather than overflow, which is exactly why the expected
+    NULL pattern is spelled as CASE logic — the CONTRACT, not the
+    mechanism, is what's pinned).
+
+    Shape at 100 TB: pure scan-local codegen expressions, one hash
+    aggregate; try_* costs nothing over the throwing forms."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "try_add(9223372036854775807,"
+            " CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END)"
+        ).alias("ta"),
+        F.expr(
+            "try_multiply(4611686018427387904,"
+            " CASE WHEN event_id % 2 = 0 THEN 1 ELSE 3 END)"
+        ).alias("tm"),
+        F.expr(
+            "try_divide(CAST(event_id AS DOUBLE),"
+            " CASE WHEN event_id % 5 = 0 THEN 0.0 ELSE 2.0 END)"
+        ).alias("td"),
+        F.expr(
+            "try_mod(event_id % 7,"
+            " CASE WHEN event_id % 7 = 0 THEN 0 ELSE 7 END)"
+        ).alias("tmod"),
+    )
+    return t.groupBy("event_type").agg(
+        (F.count(F.lit(1)) - F.count("ta")).cast("long")
+        .alias("n_add_overflow"),
+        (F.count(F.lit(1)) - F.count("tm")).cast("long")
+        .alias("n_mul_overflow"),
+        (F.count(F.lit(1)) - F.count("td")).cast("long")
+        .alias("n_div_by_zero"),
+        (F.count(F.lit(1)) - F.count("tmod")).cast("long")
+        .alias("n_mod_by_zero"),
+        F.sum("tmod").cast("long").alias("sum_mod"),
+    )
+
+
+_MODERN_AGG_ORACLE = """
+    SELECT event_type,
+           median(CAST(floor(value * 1000000) AS BIGINT)) AS median_micro,
+           CAST(count_if(value > 150.0) AS BIGINT) AS n_high,
+           CAST(bool_and(value IS NOT NULL) AS BIGINT) AS all_valued,
+           CAST(bool_or(value > 190.0) AS BIGINT) AS any_extreme,
+           CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+           arg_max(user_id, event_id) AS latest_user,
+           arg_min(user_id, event_id) AS first_user
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("modern_aggregate_surface", oracle=_MODERN_AGG_ORACLE)
+def modern_aggregate_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODERN AGGREGATE SURFACE — the Spark 4 aggregate additions in
+    one hash-pinned pass: ``median`` (exact; both engines average the
+    two middle values on even counts — deterministic because the
+    micro-scaled operands stay far below 2^53), ``count_if``,
+    ``bool_and``/``bool_or`` (flags cast to BIGINT — rule #9 posture),
+    ``bit_xor`` (the order-free integer fold — the same algebra the
+    CC fingerprint uses), and ``max_by``/``min_by`` keyed on event_id,
+    which is UNIQUE, making the argmax row well-defined (max_by with a
+    tied ordering key is nondeterministic by contract — the query
+    encodes the rule: argmax aggregates enter a differential pipeline
+    only with a tie-free key). DuckDB's median/count_if/bool_and/
+    bit_xor/arg_max are the oracle twins, name for name.
+
+    Shape at 100 TB: every one of these folds map-side (median via
+    partial sort-merge of compact state); one shuffle on the group
+    key, no window, no global sort."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.median(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+            "median_micro"
+        ),
+        F.count_if(F.col("value") > 150.0).cast("long").alias("n_high"),
+        F.bool_and(F.col("value").isNotNull()).cast("long").alias(
+            "all_valued"
+        ),
+        F.bool_or(F.col("value") > 190.0).cast("long").alias(
+            "any_extreme"
+        ),
+        F.bit_xor("event_id").cast("long").alias("id_xor"),
+        F.max_by("user_id", "event_id").alias("latest_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+    )
+
+
+_DATASKETCHES_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_visitors,
+           CAST(1 AS BIGINT) AS within_5pct,
+           CAST(1 AS BIGINT) AS union_within_5pct
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("native_datasketches_anchor", oracle=_DATASKETCHES_ORACLE)
+def native_datasketches_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE DATASKETCHES HLL — Spark 4's built-in
+    ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``
+    (Apache DataSketches), the production-grade counterpart of the
+    from-scratch register pipeline (sketch_hll_visitors builds the
+    algorithm; THIS is what a deployment should actually call, with
+    binary sketch columns that persist and merge across tables/days).
+    The estimate is order-independent (register folds are max-monoid)
+    and therefore deterministic for fixed input, but its exact value
+    rides the library's internal hashing, which no SQL oracle can
+    replay — so the anchor pattern applies (approx_sketch_anchor
+    precedent): the oracle pins the EXACT distinct count and two
+    CONTRACT flags the engine must earn — the estimate lands within
+    5 % at lgK=12 (theory: ~1.04/sqrt(4096) ≈ 1.6 % sigma), and the
+    union of per-half sketches lands within the same 5 % bound
+    (mergeability, the property sketch state exists for). Found live
+    at sf0.1: the union flag CANNOT demand exact equality with the
+    direct estimate — DataSketches HLL runs in exact-coupon SPARSE
+    mode at low cardinality and promotes to dense registers at a
+    mode boundary each sketch crosses independently, so
+    union-of-halves and direct-whole can sit in different modes with
+    slightly different estimates (equal at 150 and 6000 distinct,
+    off-by-a-few at 1500). Register-exact merge equality is a
+    property of the from-scratch fixed-register pipeline
+    (sketch_hll_merge_daily pins it); for the library, the honest
+    contract is the accuracy bound.
+
+    Shape at 100 TB: sketch state is KB-sized binary per group,
+    map-side combinable; the union path is how daily sketch tables
+    roll up to quarters without re-reading history."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est"),
+        F.count_distinct("user_id").cast("long").alias("exact_visitors"),
+    )
+    halves = ev.groupBy(
+        "event_type", (F.col("event_id") % 2).alias("h")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = halves.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u")
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_visitors",
+        (
+            F.abs(F.col("est") - F.col("exact_visitors")) * 100
+            <= F.col("exact_visitors") * 5
+        ).cast("long").alias("within_5pct"),
+        (
+            F.abs(F.col("est_u") - F.col("exact_visitors")) * 100
+            <= F.col("exact_visitors") * 5
+        ).cast("long").alias("union_within_5pct"),
+    )
