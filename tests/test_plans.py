@@ -705,3 +705,15 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_recursive_cte_plans_as_union_loop(spark, sf_dir):
+    """The r8 WITH RECURSIVE query must plan through the engine-owned
+    loop operator (UnionLoop anchor + UnionLoopRef per-round frontier),
+    with the 9-root seed filter pushed into the anchor's scan and the
+    final per-depth aggregate partial (map-side) before its exchange."""
+    plan = _plan(spark, sf_dir, "recursive_cte_bom")
+    assert "UnionLoop" in plan
+    assert "UnionLoopRef" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
