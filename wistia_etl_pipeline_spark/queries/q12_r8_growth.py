@@ -1487,3 +1487,78 @@ def native_datasketches_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_visitors") * 5
         ).cast("long").alias("union_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: schema-evolution union (generation drift with null back-fill)
+
+_EVOLUTION_ORACLE = """
+    WITH old_gen AS (
+        SELECT event_id, event_type, CAST(NULL AS BIGINT) AS value_micro,
+               CAST(0 AS BIGINT) AS gen
+        FROM events WHERE event_id % 2 = 0
+    ),
+    new_gen AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS value_micro,
+               CAST(1 AS BIGINT) AS gen
+        FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (
+        SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen
+    )
+    SELECT event_type, gen,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value_micro) AS BIGINT) AS n_valued,
+           CAST(SUM(value_micro) AS BIGINT) AS sum_value_micro
+    FROM unioned
+    GROUP BY event_type, gen
+"""
+
+
+@query("schema_evolution_union", oracle=_EVOLUTION_ORACLE)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION UNION — ``unionByName(allowMissingColumns=
+    True)`` across two table GENERATIONS: the old feed lacks the
+    value column entirely (simulated by projecting it away), the new
+    feed carries it, and the union back-fills the missing column with
+    NULL while matching the shared columns BY NAME — the operation
+    every long-lived table needs the day a column is added upstream.
+    The trap it guards against is positional UNION: with drifted
+    column orders a positional union silently crosses columns of
+    compatible types (the classic corrupt-backfill incident);
+    unionByName is the only safe form once schemas evolve, and the
+    per-generation null-count + checksum aggregate makes a
+    misaligned or non-null-backfilled column flip the hash.
+
+    The generations split on event_id parity so both the null-filled
+    and valued populations are deterministic and interleave every
+    group; the oracle replays the union with an explicit NULL literal
+    — the CONTRACT of allowMissingColumns spelled in SQL.
+
+    Shape at 100 TB: union is a zero-shuffle plan concatenation; the
+    name-resolution and null back-fill are compile-time projections.
+    One map-side-combinable aggregate on (type, generation)."""
+    ev = load_table(spark, sf_dir, "events")
+    old_gen = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type")
+        .withColumn("gen", F.lit(0).cast("long"))
+    )
+    new_gen = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias(
+                "value_micro"
+            ),
+        )
+        .withColumn("gen", F.lit(1).cast("long"))
+    )
+    unioned = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return unioned.groupBy("event_type", "gen").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value_micro").cast("long").alias("n_valued"),
+        F.sum("value_micro").cast("long").alias("sum_value_micro"),
+    )
