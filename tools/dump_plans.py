@@ -38,6 +38,11 @@ ANNOTATED = {
     "cube_event_engagement": "full CUBE: Expand feeds 4 grouping sets into ONE partial aggregate before the single exchange.",
     "scd2_media_state": "SCD2: both windows sort within the same media_id exchange — one shuffle for lag-collapse and lead-chaining.",
     "top_supplier_q15": "Q15 window form: ONE lineitem scan into the revenue aggregate; max-filter is a window over the |suppliers|-sized aggregate (oracle's scalar-subquery form scans twice).",
+    "recursive_cte_bom": "WITH RECURSIVE as the engine-owned loop: UnionLoop anchor (seed filter pushed to the part scan) + UnionLoopRef frontier join per round; rounds = tree depth, final per-depth aggregate partial before its one exchange.",
+    "lateral_join_topk": "correlated LATERAL (ORDER BY+LIMIT) decorrelated: WindowGroupLimit pushes rank<=3 into the sort, one hash exchange on the correlation key, 25-row dim broadcast — never per-outer-row subquery execution.",
+    "hll_new_visitors_delta": "HLL delta: register build is one hash aggregate; days x 64 grid completion via broadcast bucket spine; inclusive/exclusive prefix registers from TWO frame variants of the same bucket-partitioned window sort.",
+    "embedding_norms_arrow": "mapInArrow kernel: scan -> ArrowEvalPython(mapInArrow) -> project, embarrassingly parallel, no shuffle, no pandas materialization — the minimal Python-hop plan shape.",
+    "map_function_surface": "map ops stay scan-local: map_from_entries/map_filter/transform_values evaluate inside the per-user aggregate's projection; explode bounded by |event_type| per user before the final partial aggregate.",
     "small_qty_revenue_q17": "Q17: correlated AVG decorrelated to a per-partkey aggregate hash-joined back; brand filter pushed to the probe-side part scan.",
     "disjunctive_pushdown_q19": "Q19: each OR branch's single-table conjuncts are derived and pushed — both parquet scans show Or(Or(And(...))) in PushedFilters; full disjunction re-checked post-join.",
     "excess_stock_suppliers_q20": "Q20: inner HAVING block reduces to qualifying suppkeys; outer IN is a LeftSemi hash join; nation IN-list prunes the supplier scan.",
