@@ -91,11 +91,11 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     (after this round's 43 promotions) fits inside ONE window's 43 free
     slots. The freeze held r6-r7 (debt 134 -> 91 -> 48). It lifted in r8
     per the committed rule: debt after the r8 window = 5, so growth may
-    use r9's 38 spare slots — the r8 waves added 18 (r9 debt = 23 <=
+    use r9's 38 spare slots — the r8 waves added 19 (r9 debt = 24 <=
     43). Bumping the literal BELOW requires the same arithmetic in this
     docstring, and every new name must be in the COVERAGE.md schedule
     (machine-readable row) BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 287, (
+    assert len(registry._REG_ORDER) == 288, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

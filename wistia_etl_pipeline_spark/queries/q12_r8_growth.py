@@ -1562,3 +1562,81 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value_micro").cast("long").alias("n_valued"),
         F.sum("value_micro").cast("long").alias("sum_value_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: embedding-space decontamination (eval-set leakage by ANN blocking)
+
+_DECONTAM_EMB_ORACLE = """
+    WITH eval_set AS (
+        SELECT vec_id + 1000000 AS eval_id, embedding, label
+        FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    pairs AS (
+        SELECT t.vec_id AS train_id, e.eval_id,
+               ROUND(
+                 list_sum(list_transform(list_zip(t.embedding, e.embedding),
+                          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 / ( sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                    for v in t.embedding]))
+                   * sqrt(list_sum([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                    for v in e.embedding])) ), 6
+               ) AS cos_sim
+        FROM embeddings t
+        JOIN eval_set e ON e.label = t.label
+    )
+    SELECT train_id, eval_id, cos_sim FROM pairs WHERE cos_sim >= 0.99
+"""
+
+
+@query("embedding_decontamination", oracle=_DECONTAM_EMB_ORACLE)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DECONTAMINATION — the semantic member of the
+    decontamination family (decontamination_ngrams catches VERBATIM
+    benchmark leakage by token overlap; paraphrased or re-formatted
+    leakage needs the embedding space). A simulated eval benchmark
+    (every 40th vector, re-identified as eval_id = vec_id + 1e6 — the
+    leaked-into-training scenario by construction) is screened against
+    the FULL training corpus: candidates come from an equi join on
+    (label, LSH bucket) — the same lossless-at-tau=0.99 blocking
+    embedding_near_dup pins (near-identical vectors share every
+    hyperplane sign bit on this corpus) — and exact cosine verifies
+    each candidate. Output is the contamination REPORT: (train_id,
+    eval_id, cos_sim) pairs a curation pipeline would route to the
+    removal stage (cluster-collapse via dedup_clusters if transitive).
+
+    The oracle brute-forces train x eval within label — the engine's
+    bucket blocking must lose NOTHING relative to it, so the hash is
+    simultaneously a recall proof for the blocking at this threshold
+    (the r3 similarity-family discipline).
+
+    Shape at 100 TB: the eval side is benchmark-sized (thousands),
+    broadcast; the train side never self-joins — each train vector
+    meets only same-(label, bucket) eval vectors, so the candidate
+    count is |eval| x avg bucket occupancy, linear in the corpus. The
+    exact-verify cost is per-candidate, not per-corpus-pair."""
+    from ..functions.similarity import cosine, hyperplane_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = hyperplane_buckets(emb, n_planes=8, dim=64)
+    base = emb.join(buckets, "vec_id")
+    eval_set = base.where(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        "label",
+        "bucket",
+    )
+    train = base.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        "label",
+        "bucket",
+    )
+    cand = train.join(F.broadcast(eval_set), ["label", "bucket"])
+    return cand.select(
+        "train_id",
+        "eval_id",
+        F.round(cosine(F.col("t_emb"), F.col("e_emb")), 6).alias(
+            "cos_sim"
+        ),
+    ).where(F.col("cos_sim") >= 0.99)
