@@ -164,7 +164,6 @@ HEADLINE = [
     "aqe_skew_join_rollup",       # adaptive skew-split SMJ demo
     "pipeline_e2e_gold",          # flagship reference e2e (writes + resume)
     "canary_window_nulls",        # null-order determinism canary
-    "canary_sum_hugeint_uncast",  # HUGEINT divergence canary (runs clean)
     "approx_sketch_anchor",       # HLL/percentile sketch error anchors
     "variant_try_surface",        # VARIANT/try_* error-tolerant parsing
     "silver_dedup_keys",          # plain key dedup

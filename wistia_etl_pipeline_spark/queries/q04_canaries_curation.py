@@ -18,25 +18,30 @@ from .q01_core_gold_silver import _CUTOFF, _DUP_SHIFT, _NORM, _TOKS, _sql_stopli
 # r3: divergence-axis canaries, ST6 fault injection, compound suites
 # --------------------------------------------------------------------------
 
-@query(
-    "canary_sum_hugeint_uncast",
-    oracle="""
+#: Deliberately-uncast oracle kept for tests/test_hugeint_canary.py —
+#: the ONLY SUM in the repo not cast to BIGINT (determinism rule #9).
+HUGEINT_CANARY_ORACLE = """
     SELECT event_type, SUM(user_id) AS s_uid, COUNT(*) AS n
     FROM events GROUP BY 1
-    """,
-)
+    """
+
+
 def canary_sum_hugeint_uncast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CANARY (expected red at the driver iff the r1/r2 divergence
-    hypothesis holds; green on the local fetchall-based replica): the
-    oracle's ``SUM(user_id)`` is deliberately NOT cast, so DuckDB
-    returns HUGEINT. A pandas-based fetch renders int128 as float64
-    ("5.0" vs Spark's "5") and hash-mismatches; a fetchall-based one
-    yields Python ints and matches. This query's driver status
-    therefore NAMES the axis that made sessionize_events /
+    """RETIRED from ``queries()`` in r9 (VERDICT r8 #2) — the axis it
+    names is proven twice (driver red r3 + r8, green on the local
+    fetchall replica both times) and now lives as a permanent
+    assertion in ``tests/test_hugeint_canary.py`` instead of burning a
+    window slot on a designed-red row every rotation.
+
+    Original contract: the oracle's ``SUM(user_id)`` is deliberately
+    NOT cast, so DuckDB returns HUGEINT. A pandas-based fetch renders
+    int128 as float64 ("5.0" vs Spark's "5") and hash-mismatches; a
+    fetchall-based one yields Python ints and matches. Its driver
+    status therefore NAMED the axis that made sessionize_events /
     rolling_7d_activity / multimodal_decode_stats red in r1/r2 while
     they passed the local replica bit-for-bit. Every production oracle
-    now CASTs integer SUMs to BIGINT (determinism rule #9); this is
-    the only intentionally uncast one."""
+    CASTs integer SUMs to BIGINT (determinism rule #9); this is the
+    only intentionally uncast one."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.sum("user_id").alias("s_uid"), F.count(F.lit(1)).alias("n")
