@@ -176,6 +176,18 @@ def test_simhash_pairs_join_is_equi_on_bands(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_degree_folds_pairs_with_partial_agg(spark, sf_dir):
+    """The bounded degree twin must keep the pair miner's equi-band
+    join (no cartesian) AND fold the symmetrized pair stream through a
+    hash aggregate with a map-side partial (two HashAggregate levels
+    on the degree key), so nothing quadratic reaches the sink."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_degree")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial_min" in plan
+
+
 def test_correlated_subquery_decorrelates(spark, sf_dir):
     """The Q2-shaped correlated MIN must plan as aggregate + rejoin
     (decorrelation), never nested-loop re-execution per outer row."""

@@ -1,0 +1,194 @@
+"""Unit invariants for the r9 growth wave (queries/q13_r9_growth.py).
+
+The DuckDB oracle pins cross-engine equality; these tests pin the
+SEMANTIC invariants the oracle alone can't express (degree/pair
+identities, sketch exactness regimes, state-vs-batch equality, the
+arrow kernel's tie stability).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wistia_etl_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF):
+    return registry._QUERIES[name](spark, sf)
+
+
+def test_simhash_degree_is_the_folded_pair_set(spark):
+    """Handshake identity: Σ dup_degree == 2 · |pairs|, min_hamming is
+    bounded by the verify threshold, and every doc with a pair appears
+    exactly once."""
+    deg = _q(spark, "dedup_simhash_degree").toPandas()
+    pairs = _q(spark, "dedup_simhash_pairs").toPandas()
+    assert int(deg["dup_degree"].sum()) == 2 * len(pairs)
+    assert deg["min_hamming"].max() <= 3
+    assert deg["doc"].is_unique
+    import pandas as pd
+
+    participants = set(pd.concat([pairs["a_id"], pairs["b_id"]]))
+    assert set(deg["doc"]) == participants
+
+
+def test_simhash_degree_finds_injected_duplicates(spark):
+    """Every injected exact duplicate (id-shifted copy) is hamming-0
+    from its source, so both ends must report min_hamming == 0."""
+    deg = _q(spark, "dedup_simhash_degree").toPandas()
+    zero = deg[deg["min_hamming"] == 0]
+    # the corpus doubles every doc, so at minimum all docs participate
+    # in one hamming-0 pair
+    assert len(zero) >= 2  # sf0.001: tiny corpus, but copies exist
+    assert (zero["dup_degree"] >= 1).all()
+
+
+def test_theta_setops_exact_counts_partition(spark):
+    """|A∪B| = |A∩B| + |A\\B| + |B\\A| — the engine's exact columns
+    must satisfy set algebra, and every contract flag must be earned
+    (exact mode at this cardinality: estimates are spot-on)."""
+    df = _q(spark, "theta_sketch_setops").toPandas()
+    assert (df["union_ok"] == 1).all()
+    assert (df["intersect_ok"] == 1).all()
+    assert (df["diff_ok"] == 1).all()
+    # exact_diff is |A\B|; the partition identity needs |B\A| too:
+    # |B\A| = union - intersect - diff
+    b_not_a = df["exact_union"] - df["exact_intersect"] - df["exact_diff"]
+    assert (b_not_a >= 0).all()
+
+
+def test_kll_anchor_flags_hold_across_reruns(spark):
+    """KLL is randomized — the rank-error CONTRACT must hold on every
+    run even though the quantile values differ run to run."""
+    for _ in range(3):
+        df = _q(spark, "kll_quantile_anchor").toPandas()
+        for c in ("p25_ok", "p50_ok", "p75_ok", "merged_p50_ok"):
+            assert (df[c] == 1).all(), f"rank-error bound violated: {c}"
+
+
+def test_approx_top_k_counts_are_exact(spark):
+    """In the exact regime (97 items << maxItemsTracked) the sketch's
+    counts must equal a plain groupBy — item for item."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    got = (
+        _q(spark, "approx_top_k_surface")
+        .toPandas()
+        .set_index(["event_type", "item"])["cnt"]
+        .sort_index()
+    )
+    exact = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("event_type", (F.col("user_id") % 97).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+        .set_index(["event_type", "item"])["cnt"]
+        .sort_index()
+    )
+    assert got.equals(exact)
+
+
+def test_statestore_rows_equal_batch_recompute(spark):
+    """The streaming state read back through the state source must be
+    byte-equal to the batch aggregate — and the metadata flags must
+    prove it crossed a real batch boundary."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    got = _q(spark, "statestore_reader_audit").toPandas()
+    assert (got["operator_name"] == "stateStoreSave").all()
+    assert (got["multi_batch"] == 1).all()
+    batch = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value*1000000) AS BIGINT)")).alias("s"),
+        )
+        .toPandas()
+    )
+    merged = got.merge(batch, on="event_type", suffixes=("_st", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["n_st"] == merged["n_b"]).all()
+    assert (merged["s_st"] == merged["s_b"]).all()
+
+
+def test_arrow_cogroup_rank_delta_is_tie_stable(spark):
+    """The kernel's rank_delta must equal the relational recompute and
+    be invariant to input row order (sorted multisets are well-defined
+    under ties)."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.operators.grouped import (
+        cogrouped_rank_delta_arrow,
+    )
+    from wistia_etl_pipeline_spark.session import load_table
+
+    micro = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(floor(value*1000000) AS BIGINT)").alias("v"),
+        )
+    )
+    left = micro.where(F.col("event_id") % 2 == 0).select("event_type", "v")
+    right = micro.where(F.col("event_id") % 2 == 1).select("event_type", "v")
+    base = (
+        cogrouped_rank_delta_arrow(left, right, key="event_type", value="v")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    # shuffled input order must not change the answer
+    shuffled = (
+        cogrouped_rank_delta_arrow(
+            left.orderBy(F.rand(seed=7)),
+            right.orderBy(F.rand(seed=11)),
+            key="event_type",
+            value="v",
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert base.equals(shuffled)
+    assert (base["n_a"] + base["n_b"] > 0).all()
+
+
+def test_arrow_cogroup_handles_one_sided_key(spark):
+    """A key present on only one side must still emit a row (the other
+    side contributes zero rows; rank_delta over min(n)=0 positions is
+    0)."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.operators.grouped import (
+        cogrouped_rank_delta_arrow,
+    )
+
+    left = spark.createDataFrame(
+        [("only_left", 10), ("both", 1), ("both", 5)], "event_type string, v long"
+    )
+    right = spark.createDataFrame(
+        [("both", 2), ("only_right", 7)], "event_type string, v long"
+    )
+    got = (
+        cogrouped_rank_delta_arrow(left, right, key="event_type", value="v")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert list(got.index) == ["both", "only_left", "only_right"]
+    assert got.loc["only_left", "n_b"] == 0
+    assert got.loc["only_left", "rank_delta"] == 0
+    assert got.loc["only_right", "n_a"] == 0
+    # both: sorted a = [1,5], sorted b = [2]; delta = 1-2 = -1
+    assert got.loc["both", "rank_delta"] == -1

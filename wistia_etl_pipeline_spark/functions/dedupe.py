@@ -537,6 +537,97 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_dup_degree(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sig_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Per-document near-duplicate DEGREE — the bounded twin of
+    :func:`simhash_near_dup_pairs` (VERDICT r8 #4): instead of
+    materializing every (a, b) pair to the sink, fold the verified
+    candidate stream to one row per document holding ``dup_degree``
+    (distinct near-dup neighbors) and ``min_hamming`` (its closest
+    neighbor's distance).
+
+    This is the shape a 100-TB run actually ships: a near-dup PAIR
+    DUMP is output-bound quadratic by definition (a 1M-copy cluster is
+    ~5·10^11 pairs — no plan fixes that; PLANS.md crossover table),
+    while the degree answer is at most one row per document.
+
+    The stage ORDER differs from the pair miner deliberately, and it
+    is the scale story: the pair form dedups band collisions FIRST
+    (``dropDuplicates`` on the full candidate stream — a shuffle
+    carrying every collision, verified or not), which is fine when the
+    pair set is the answer but is exactly the stage that ran a 32-task
+    local JVM out of heap at sf2's ~10^8 collisions. Here the hamming
+    verify runs BEFORE any shuffle — xor+bit_count inside the join's
+    own codegen stage, discarding non-duplicates while they are still
+    a stream — and per-pair distinctness folds into the degree
+    aggregate itself (``count_distinct(neighbor)``: band-duplicate
+    copies of one pair carry the identical hamming, so the only
+    shuffle in the whole plan moves verified near-dup edges, at most
+    ``n_bands`` copies each, into a two-level hash aggregate."""
+    band_bits = sig_bits // n_bands
+    mask = (1 << band_bits) - 1
+    from .text import normalize_text
+
+    sigs = with_simhash_pandas(
+        fan_out(df, id_col).select(
+            F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("__nt")
+        ),
+        "__nt",
+    )
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    verified = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .withColumn(
+            "hamming",
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("l.doc").alias("a_id"),
+            F.col("r.doc").alias("b_id"),
+            "hamming",
+        )
+    )
+    sym = verified.select(
+        F.col("a_id").alias("doc"), F.col("b_id").alias("nbr"), "hamming"
+    ).unionByName(
+        verified.select(
+            F.col("b_id").alias("doc"), F.col("a_id").alias("nbr"), "hamming"
+        )
+    )
+    return sym.groupBy("doc").agg(
+        F.count_distinct(F.col("nbr")).alias("dup_degree"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: (fingerprint, ids, dup_count) for every
     normalized text occurring more than once."""

@@ -129,3 +129,75 @@ def cogrouped_asof_merge(
     else:
         lg, rg = left.groupBy(key), right.groupBy("__rk")
     return lg.cogroup(rg).applyInPandas(merge, out_schema)
+
+
+def cogrouped_rank_delta_arrow(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Per-key SORTED-MERGE comparison via ``cogroup().applyInArrow`` —
+    the Arrow-native twin of :func:`cogrouped_asof_merge`'s pandas
+    cogroup (Spark 4 surface; VERDICT r8 #6). The kernel receives both
+    sides of one key as ``pyarrow.Table``s — no pandas conversion, no
+    index machinery, just columnar buffers — and emits one row per key:
+
+    - ``n_a`` / ``n_b``: side row counts,
+    - ``s_a`` / ``s_b``: side sums (int64),
+    - ``rank_delta``: Σ_i (sorted_a[i] − sorted_b[i]) over the first
+      ``min(n_a, n_b)`` rank-paired positions.
+
+    ``rank_delta`` is the point of the kernel: rank-paired differences
+    of two sorted multisets need BOTH whole sides materialized per key
+    (no algebraic decomposition — the same reason merge_asof needs
+    cogroup), yet are tie-stable and therefore cross-engine
+    deterministic: the sorted multiset is well-defined no matter how
+    equal values are ordered. Inside the kernel it's two
+    ``numpy.sort`` calls on Arrow's zero-copy buffers.
+
+    Cost model at 100 TB: one co-shuffle of both sides on the key —
+    identical exchange bill to the pandas form; Arrow skips the
+    pandas Block consolidation on both the way in and the way out.
+    Groups must fit one executor (grouped-map contract above)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = (
+        f"{key} string, n_a long, n_b long, s_a long, s_b long, rank_delta long"
+    )
+
+    # Same self-cogroup attribute-collision guard as the pandas twin.
+    right = right.withColumnRenamed(key, "__rk").withColumnRenamed(
+        value, "__rv"
+    )
+
+    def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        a = np.sort(lt.column(value).to_numpy(zero_copy_only=False))
+        b = np.sort(rt.column("__rv").to_numpy(zero_copy_only=False))
+        k = (
+            lt.column(key)[0].as_py()
+            if lt.num_rows
+            else rt.column("__rk")[0].as_py()
+        )
+        m = min(len(a), len(b))
+        return pa.table(
+            {
+                key: pa.array([k], pa.string()),
+                "n_a": pa.array([len(a)], pa.int64()),
+                "n_b": pa.array([len(b)], pa.int64()),
+                "s_a": pa.array([int(a.sum())], pa.int64()),
+                "s_b": pa.array([int(b.sum())], pa.int64()),
+                "rank_delta": pa.array(
+                    [int(a[:m].sum() - b[:m].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        left.select(key, value)
+        .groupBy(key)
+        .cogroup(right.select("__rk", "__rv").groupBy("__rk"))
+        .applyInArrow(kernel, out_schema)
+    )

@@ -18,6 +18,7 @@ from . import q09_stats_structures  # noqa: F401
 from . import q10_evals_governance  # noqa: F401
 from . import q11_plans_calibration  # noqa: F401
 from . import q12_r8_growth  # noqa: F401
+from . import q13_r9_growth  # noqa: F401
 
 CHUNKS = (
     q01_core_gold_silver,
@@ -32,4 +33,5 @@ CHUNKS = (
     q10_evals_governance,
     q11_plans_calibration,
     q12_r8_growth,
+    q13_r9_growth,
 )

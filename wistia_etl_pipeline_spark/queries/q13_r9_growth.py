@@ -1,0 +1,478 @@
+"""r9 growth wave: six new engine surfaces, each with a DuckDB oracle
+(VERDICT r8 #4/#6).
+
+1. ``dedup_simhash_degree`` — the BOUNDED twin of the simhash pair
+   dump: per-doc dup-degree instead of the output-bound-quadratic pair
+   set (the shape a 100-TB run actually ships).
+2. ``theta_sketch_setops`` — DataSketches theta union / intersection /
+   a-not-b, completing the ``native_datasketches_anchor`` family (HLL
+   can only union; theta is the sketch that can subtract).
+3. ``kll_quantile_anchor`` — DataSketches KLL mergeable quantile
+   sketch under the anchor pattern (the sketch is randomized, so the
+   contract is the rank-error bound, not the value).
+4. ``approx_top_k_surface`` — Spark 4's approx_top_k_accumulate /
+   combine / estimate two-phase frequent-items pipeline.
+5. ``statestore_reader_audit`` — the State Data Source: a streaming
+   aggregation's checkpoint opened as a batch DataFrame and
+   differentially verified against the batch recompute.
+6. ``cogroup_apply_in_arrow`` — ``cogroup().applyInArrow``, the
+   Arrow-native twin of the pandas cogroup (sixth Python-worker
+   surface).
+
+Mechanically follows the chunk contract in ``queries/_base.py``;
+semantic invariants pinned in ``tests/test_r9_growth.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import load_table
+from ._base import query
+from .q01_core_gold_silver import _dup_corpus
+from .q02_sessions_events_e2e import _simhash_pairs_oracle
+
+# ---------------------------------------------------------------------------
+# 1. simhash dup-degree — the bounded twin of dedup_simhash_pairs
+
+_SIMHASH_DEGREE_ORACLE = f"""
+    WITH pairs AS (SELECT * FROM ({_simhash_pairs_oracle()}) t),
+    sym AS (
+        SELECT a_id AS doc, hamming FROM pairs
+        UNION ALL
+        SELECT b_id AS doc, hamming FROM pairs
+    )
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS dup_degree,
+           CAST(MIN(hamming) AS BIGINT) AS min_hamming
+    FROM sym GROUP BY doc
+"""
+
+
+@query("dedup_simhash_degree", oracle=_SIMHASH_DEGREE_ORACLE)
+def dedup_simhash_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-duplicate DEGREE — the bounded twin of
+    ``dedup_simhash_pairs`` (VERDICT r8 #4). The pair dump is
+    output-bound quadratic BY DEFINITION (its BENCH_SCALE exponent
+    2.29 is the answer growing, not the plan failing — PLANS.md
+    crossover table); this twin runs the identical lossless
+    band-join + hamming-verify stages but folds the pair stream
+    straight into a per-doc hash aggregate: ``dup_degree`` (distinct
+    near-dup neighbors) and ``min_hamming`` (closest neighbor). Output
+    is at most one row per document — the tail exponent must sit near
+    1 because the quadratic set now exists only as a shuffle stream
+    with map-side partial counts, never as materialized output.
+
+    At corpus scale this is what ships: per-doc dup-degree feeds the
+    keep/drop policy directly (degree 0 = unique, high degree = boiler
+    plate), and no sink ever stores O(pairs) rows."""
+    from ..functions.dedupe import simhash_dup_degree
+
+    corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    return simhash_dup_degree(
+        corpus, "doc_id", "text", sig_bits=60, n_bands=4, max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. theta sketch set operations (union / intersection / a-not-b)
+
+_THETA_SETOPS_ORACLE = """
+    WITH base AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_diff,
+           CAST(1 AS BIGINT) AS union_ok,
+           CAST(1 AS BIGINT) AS intersect_ok,
+           CAST(1 AS BIGINT) AS diff_ok
+    FROM base GROUP BY event_type
+"""
+
+
+@query("theta_sketch_setops", oracle=_THETA_SETOPS_ORACLE)
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA SKETCH SET OPERATIONS — Spark 4's DataSketches theta
+    family (``theta_sketch_agg`` + ``theta_union`` /
+    ``theta_intersection`` / ``theta_difference``), completing the
+    ``native_datasketches_anchor`` story: HLL state can only UNION;
+    theta is the sketch a deployment reaches for when audiences must
+    also intersect and subtract (campaign overlap, churn = yesterday
+    MINUS today) without re-reading raw history.
+
+    A = a group's users on even event_ids, B = odd — genuinely
+    overlapping sets. The anchor pattern applies (the estimates ride
+    library hashing no SQL can replay): the oracle pins the EXACT
+    union / intersection / difference cardinalities plus three
+    contract flags the engine must earn — each theta estimate within
+    3 % of exact for the union and 6 % for intersection/difference
+    (set-op error compounds: the official bound widens with the
+    Jaccard geometry), both with an absolute slack of 3 for
+    near-empty results where relative error is meaningless. lgK=14
+    keeps the sketches in EXACT mode (theta=1) through every test SF
+    — the flags still hold in estimation mode by the library's
+    bounds, so the contract survives a 100-TB cardinality.
+
+    Shape at 100 TB: per-group sketch state is KB-sized and
+    map-combinable; set algebra over persisted sketch columns replaces
+    re-scans of raw events."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    lg_k = F.lit(14)
+    a = ev.where(F.col("event_id") % 2 == 0).groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", lg_k).alias("ska")
+    )
+    b = ev.where(F.col("event_id") % 2 == 1).groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", lg_k).alias("skb")
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.max((F.col("event_id") % 2 == 0).cast("int")).alias("in_a"),
+            F.max((F.col("event_id") % 2 == 1).cast("int")).alias("in_b"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "exact_intersect"
+            ),
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("int")
+            ).cast("long").alias("exact_diff"),
+        )
+    )
+    est = a.join(b, "event_type").select(
+        "event_type",
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("u_est"),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "i_est"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "d_est"
+        ),
+    )
+
+    def ok(est_c: str, exact_c: str, rel: float):
+        tol = F.greatest(F.lit(3.0), F.lit(rel) * F.col(exact_c))
+        return (
+            (F.abs(F.col(est_c) - F.col(exact_c)) <= tol).cast("long")
+        )
+
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        ok("u_est", "exact_union", 0.03).alias("union_ok"),
+        ok("i_est", "exact_intersect", 0.06).alias("intersect_ok"),
+        ok("d_est", "exact_diff", 0.06).alias("diff_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. KLL quantile sketch under the anchor pattern
+
+_KLL_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS p25_ok,
+           CAST(1 AS BIGINT) AS p50_ok,
+           CAST(1 AS BIGINT) AS p75_ok,
+           CAST(1 AS BIGINT) AS merged_p50_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("kll_quantile_anchor", oracle=_KLL_ORACLE)
+def kll_quantile_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL QUANTILE SKETCH — Spark 4's DataSketches
+    ``kll_sketch_agg_bigint`` / ``kll_sketch_get_quantile_bigint`` /
+    ``kll_merge_agg_bigint``, the mergeable-quantile counterpart of
+    the HLL/theta cardinality anchors. Unlike those, KLL is
+    RANDOMIZED: compaction tosses coins, so the returned quantile
+    differs run to run (measured live: two back-to-back p50s at
+    sf0.01 differ by ~0.3 % rank) and can never be hash-pinned. The
+    anchor contract is the sketch's actual guarantee — RANK error:
+    for each estimated quantile q_p the engine recomputes the TRUE
+    normalized rank of q_p over the raw data (one broadcast join +
+    conditional count) and must land within ±2.5 % of p (k=400 gives
+    ε ≈ 0.9 % at 99 % confidence; 2.5 % is ~3 ε). The mergeability
+    flag does the same for a p50 read from the UNION of per-half
+    sketches (``kll_merge_agg_bigint``) — merged state must keep the
+    bound, the property sketch state exists for.
+
+    Shape at 100 TB: per-group sketch state is ~KB and map-side
+    combinable — percentile dashboards over arbitrary slices come
+    from merging persisted sketch columns, never from re-sorting
+    history (contrast ``percentile_engagement``, which pays the exact
+    sort)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    micro = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+    )
+    k = F.lit(400)
+    direct = micro.groupBy("event_type").agg(
+        F.kll_sketch_agg_bigint("v", k).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    halves = micro.groupBy(
+        "event_type", (F.col("event_id") % 2).alias("h")
+    ).agg(F.kll_sketch_agg_bigint("v", k).alias("hsk"))
+    merged = halves.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint("hsk", k), F.lit(0.5)
+        ).alias("m50")
+    )
+    est = direct.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.25)).alias("q25"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.75)).alias("q75"),
+    ).join(merged, "event_type")
+
+    ranked = micro.join(F.broadcast(est), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        *[
+            (
+                F.sum((F.col("v") <= F.col(c)).cast("long"))
+                / F.count(F.lit(1))
+            ).alias(f"r_{c}")
+            for c in ("q25", "q50", "q75", "m50")
+        ]
+    )
+
+    def ok(rank_c: str, p: float):
+        return (F.abs(F.col(rank_c) - F.lit(p)) <= 0.025).cast("long")
+
+    return est.join(ranked, "event_type").select(
+        "event_type",
+        "n",
+        ok("r_q25", 0.25).alias("p25_ok"),
+        ok("r_q50", 0.50).alias("p50_ok"),
+        ok("r_q75", 0.75).alias("p75_ok"),
+        ok("r_m50", 0.50).alias("merged_p50_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. approx_top_k two-phase pipeline (exact regime — hash-pinnable)
+
+_TOPK_ORACLE = """
+    SELECT event_type, CAST(user_id % 97 AS BIGINT) AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type, user_id % 97
+"""
+
+
+@query("approx_top_k_surface", oracle=_TOPK_ORACLE)
+def approx_top_k_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_TOP_K two-phase pipeline — Spark 4's
+    ``approx_top_k_accumulate`` (partial sketches) →
+    ``approx_top_k_combine`` (merge) → ``approx_top_k_estimate``
+    (extract), the frequent-items sketch a 100-TB run uses for
+    heavy-hitter reports (top URLs, top tokens) without a full
+    GROUP BY materialization.
+
+    Hash-pinnable, unlike HLL/KLL: the underlying frequent-items
+    sketch maintains EXACT counts while tracked distinct items stay
+    under ``maxItemsTracked`` — here 97 buckets vs 10,000 tracked, so
+    every (item, count) is exact and deterministic at every SF, and
+    the DuckDB oracle is a plain GROUP BY. The two-phase split is
+    deliberately exercised across an extra shard key (4 partial
+    sketches per group combined into one), pinning the merge path,
+    and the estimate is EXPLODED and re-emitted as rows: the sketch's
+    own top-k ordering breaks count ties arbitrarily, so a pipeline
+    that needs deterministic output must sort on (count, item)
+    itself — this query encodes that rule by returning the full
+    item set and letting the differential hash do the order-free
+    compare.
+
+    Shape at 100 TB: partial sketches are KB-sized and combine
+    associatively — the same daily-state rollup algebra as the HLL /
+    theta / KLL anchors, here for frequencies."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    b = ev.select("event_type", (F.col("user_id") % 97).alias("bucket"))
+    acc = b.groupBy(
+        "event_type", (F.col("bucket") % 4).alias("shard")
+    ).agg(F.expr("approx_top_k_accumulate(bucket, 10000)").alias("st"))
+    comb = acc.groupBy("event_type").agg(
+        F.expr("approx_top_k_combine(st)").alias("st")
+    )
+    est = comb.select(
+        "event_type", F.expr("approx_top_k_estimate(st, 97)").alias("tk")
+    )
+    return est.select("event_type", F.explode("tk").alias("e")).select(
+        "event_type",
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. state data source — a streaming checkpoint audited as a DataFrame
+
+_STATESTORE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+           'stateStoreSave' AS operator_name,
+           CAST(1 AS BIGINT) AS multi_batch
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("statestore_reader_audit", oracle=_STATESTORE_ORACLE)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE DATA SOURCE — Spark 4's ``statestore`` / ``state-metadata``
+    batch readers opened on a live streaming checkpoint: the state a
+    streaming aggregation carries between micro-batches is itself a
+    queryable table, which is how a production deployment AUDITS
+    streaming state (skew across keys, stale entries, silent
+    corruption) without stopping the stream or trusting the sink.
+
+    The query runs a real multi-micro-batch aggregation
+    (``maxFilesPerTrigger=2`` over 4 staged files → ≥ 2 batches) to a
+    checkpoint, then reads it back COLD through the state source: the
+    (count, sum) aggregation buffers per key must equal the batch
+    recompute over the same input exactly — streaming state diverging
+    from its batch twin is precisely the corruption this audit
+    exists to catch. ``state-metadata`` contributes the contract
+    columns: the operator must be ``stateStoreSave`` (a streaming agg,
+    not some other stateful op) and ``maxBatchId >= 1`` proves the
+    state survived at least one real inter-batch handoff — reading
+    back a single batch's write would prove nothing about state
+    persistence.
+
+    Shape at 100 TB: the state source reads only the checkpoint's
+    keyed state (KB per key), partition-parallel — auditing a
+    million-key stream costs the state's size, never the stream's
+    history."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_statestore_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev.select("event_type", "value").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias("s"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            (F.col("maxBatchId") >= 1).cast("long").alias("multi_batch"),
+        )
+    )
+    state = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+            F.col("value.sum").alias("s"),
+        )
+    )
+    return state.join(F.broadcast(meta))
+
+
+# ---------------------------------------------------------------------------
+# 6. cogroup().applyInArrow — the Arrow-native cogroup twin
+
+_ARROW_COGROUP_ORACLE = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        FROM v WHERE event_id % 2 = 0
+    ),
+    b AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+        FROM v WHERE event_id % 2 = 1
+    )
+    SELECT a_agg.event_type, n_a, n_b, s_a, s_b,
+           COALESCE(d.rank_delta, 0) AS rank_delta
+    FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a,
+                 CAST(SUM(v) AS BIGINT) AS s_a FROM a GROUP BY 1) a_agg
+    JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(v) AS BIGINT) AS s_b FROM b GROUP BY 1) b_agg
+      USING (event_type)
+    LEFT JOIN (
+        SELECT a.event_type, CAST(SUM(a.v - b.v) AS BIGINT) AS rank_delta
+        FROM a JOIN b USING (event_type, rn) GROUP BY 1
+    ) d USING (event_type)
+"""
+
+
+@query("cogroup_apply_in_arrow", oracle=_ARROW_COGROUP_ORACLE)
+def cogroup_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUP ARROW surface — ``cogroup().applyInArrow`` (Spark 4),
+    the SIXTH Python-worker shape and the Arrow-native twin of
+    ``cogroup_asof_checkpoint``'s pandas kernel: both sides of one key
+    co-shuffled into a single kernel that sees raw ``pyarrow.Table``s
+    (no pandas Block consolidation in either direction).
+
+    The kernel computes a rank-paired delta between the two sides'
+    SORTED value multisets (operators/grouped.cogrouped_rank_delta_arrow)
+    — a statistic that genuinely needs both whole sides per key (no
+    algebraic decomposition) yet is tie-stable, hence cross-engine
+    deterministic; the oracle replays it relationally as a
+    row_number-paired self-join. Sides are the per-event_type even /
+    odd event_id halves, so every key exercises a real two-sided
+    merge.
+
+    Shape at 100 TB: one co-shuffle on the key — the same exchange
+    bill as a join; groups must fit one executor (grouped-map
+    contract). Prefer built-in aggregates when the statistic
+    decomposes; this surface is for when it doesn't."""
+    from ..operators.grouped import cogrouped_rank_delta_arrow
+
+    micro = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+        )
+    )
+    left = micro.where(F.col("event_id") % 2 == 0).select("event_type", "v")
+    right = micro.where(F.col("event_id") % 2 == 1).select("event_type", "v")
+    return cogrouped_rank_delta_arrow(left, right, key="event_type", value="v")
