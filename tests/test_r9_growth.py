@@ -164,6 +164,124 @@ def test_arrow_cogroup_rank_delta_is_tie_stable(spark):
     assert (base["n_a"] + base["n_b"] > 0).all()
 
 
+def test_pipe_prefix_stage_is_itself_a_query(spark):
+    """Pipe syntax's operational property: any PREFIX of the pipeline
+    is a valid query. The WHERE|EXTEND prefix must return exactly the
+    filtered row count with the extended column present."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    ev = load_table(spark, SF, "events")
+    view = f"ev_pipe_t_{uuid.uuid4().hex[:8]}"
+    ev.createOrReplaceTempView(view)
+    prefix = spark.sql(f"""
+        FROM {view}
+        |> WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |> EXTEND CAST(floor(value * 1000000) AS BIGINT) AS micro
+    """)
+    expected = ev.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).count()
+    assert prefix.count() == expected
+    assert "micro" in prefix.columns
+
+
+def test_pipe_aggregate_equals_dataframe_twin(spark):
+    """The pipe AGGREGATE stage and the DataFrame groupBy must resolve
+    to the same answer (same logical plan family)."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    got = (
+        _q(spark, "sql_pipe_syntax_surface")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    tw = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value*1000000) AS BIGINT)")).alias(
+                "s_micro"
+            ),
+            F.count_distinct("user_id").alias("visitors"),
+        )
+        .withColumn("mean_micro", F.expr("s_micro div n"))
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got[["n", "s_micro", "visitors", "mean_micro"]].equals(
+        tw[["n", "s_micro", "visitors", "mean_micro"]]
+    )
+
+
+def test_listagg_skips_nulls_and_orders(spark):
+    """listagg must SKIP null inputs (not emit empty slots) and the
+    WITHIN GROUP order must be the value order, not arrival order."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", None), ("a", 1), ("a", 2)], "k string, v int"
+    )
+    row = (
+        df.groupBy("k")
+        .agg(
+            # deliberately unsorted input; WITHIN GROUP must sort
+            F.expr(
+                "listagg(CAST(v AS STRING), ',') WITHIN GROUP (ORDER BY v)"
+            ).alias("l")
+        )
+        .collect()[0]
+    )
+    assert row["l"] == "1,2,3"
+
+
+def test_session_variable_binding_matches_single_statement(spark):
+    """The two-statement SET VAR flow must equal the single-statement
+    scalar-subquery form, and the cutoff column must be the integer
+    mean the variable carried."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    got = (
+        _q(spark, "session_variable_binding")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    micro = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value*1000000) AS BIGINT)").alias("m"),
+        )
+    )
+    cut = micro.agg(F.expr("sum(m) div count(*)")).collect()[0][0]
+    assert (got["cutoff"] == cut).all()
+    tw = (
+        micro.groupBy("event_type")
+        .agg(
+            F.sum((F.col("m") >= cut).cast("long")).alias("n_hi"),
+            F.sum((F.col("m") < cut).cast("long")).alias("n_lo"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (got["n_hi"] == tw["n_hi"]).all()
+    assert (got["n_lo"] == tw["n_lo"]).all()
+
+
 def test_arrow_cogroup_handles_one_sided_key(spark):
     """A key present on only one side must still emit a row (the other
     side contributes zero rows; rank_delta over min(n)=0 positions is

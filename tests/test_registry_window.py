@@ -110,16 +110,19 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     use r9's 38 spare slots — the r8 waves added 19 (r9 debt = 24 <=
     43). r9: 288 - 1 retired (canary_sum_hugeint_uncast deregistered
     per VERDICT r8 #2; its designed-red axis moved to
-    tests/test_hugeint_canary.py) + 6 growth (dedup_simhash_degree,
-    theta_sketch_setops, kll_quantile_anchor, approx_top_k_surface,
-    statestore_reader_audit, cogroup_apply_in_arrow — VERDICT r8
-    #4/#6) = 293; the r9 window re-rotated to carry all 31 debt names
-    (25 carryover + 6 growth, still under the 43-slot budget), so
-    debt after the r9 driver run = 0. Bumping the literal BELOW
-    requires the same arithmetic in this docstring, and every new
-    name must be in the COVERAGE.md schedule (machine-readable row)
-    BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 293, (
+    tests/test_hugeint_canary.py) + 6 growth wave 1
+    (dedup_simhash_degree, theta_sketch_setops, kll_quantile_anchor,
+    approx_top_k_surface, statestore_reader_audit,
+    cogroup_apply_in_arrow — VERDICT r8 #4/#6) + 3 growth wave 2
+    (sql_pipe_syntax_surface, listagg_surface,
+    session_variable_binding — Spark 4 SQL front-end breadth) = 296;
+    the r9 window re-rotated to carry all 34 debt names (25 carryover
+    + 9 growth, still under the 43-slot budget), so debt after the r9
+    driver run = 0. Bumping the literal BELOW requires the same
+    arithmetic in this docstring, and every new name must be in the
+    COVERAGE.md schedule (machine-readable row) BEFORE the next
+    rotation."""
+    assert len(registry._REG_ORDER) == 296, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

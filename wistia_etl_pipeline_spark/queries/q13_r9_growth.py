@@ -476,3 +476,179 @@ def cogroup_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = micro.where(F.col("event_id") % 2 == 0).select("event_type", "v")
     right = micro.where(F.col("event_id") % 2 == 1).select("event_type", "v")
     return cogrouped_rank_delta_arrow(left, right, key="event_type", value="v")
+
+
+# ---------------------------------------------------------------------------
+# wave 2: SQL front-end surfaces (pipe syntax, listagg, session variables)
+
+_PIPE_ORACLE = """
+    WITH micro AS (
+        SELECT event_type, user_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS m
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s_micro,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS visitors
+        FROM micro GROUP BY event_type
+    )
+    SELECT event_type, n, s_micro, visitors,
+           CAST(s_micro // n AS BIGINT) AS mean_micro
+    FROM agg WHERE n > 0
+"""
+
+
+@query("sql_pipe_syntax_surface", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX — Spark 4's ``|>`` operator chain (SIGMOD '24
+    "SQL Has Problems..." / GoogleSQL pipe syntax): the same logical
+    plan the DataFrame API declares, but written as a linear SQL
+    pipeline — FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |>
+    EXTEND |> WHERE. Each stage consumes the previous stage's output
+    top-to-bottom, so computed columns (micro) and aggregate aliases
+    (s_micro, n) are referenced naturally downstream instead of
+    through nested subqueries — and Catalyst sees the identical
+    resolved plan either way: one scan, one partial/final aggregate
+    pair, no extra shuffle for the post-aggregate EXTEND/WHERE. The
+    oracle is the classic nested-CTE spelling; the hash proves pipe
+    and nested forms are the same query.
+
+    The front-end matters operationally: a 100-TB shop's analysts
+    write staged transformations; pipe syntax keeps each stage
+    individually runnable (prefix of the pipeline = valid query),
+    which is how long ETL SQL gets debugged."""
+    import uuid
+
+    view = f"ev_pipe_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        FROM {view}
+        |> WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |> EXTEND CAST(floor(value * 1000000) AS BIGINT) AS micro
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(micro) AS BIGINT) AS s_micro,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS visitors
+           GROUP BY event_type
+        |> EXTEND s_micro div n AS mean_micro
+        |> WHERE n > 0
+    """)
+
+
+_LISTAGG_ORACLE = """
+    SELECT event_type,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS ids_fp,
+           string_agg(DISTINCT CAST(user_id % 7 AS VARCHAR), '|'
+                      ORDER BY CAST(user_id % 7 AS VARCHAR)) AS res_list,
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null_skipped
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("listagg_surface", oracle=_LISTAGG_ORACLE)
+def listagg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG — Spark 4's ordered string aggregation (ANSI
+    ``WITHIN GROUP (ORDER BY ...)``), vs DuckDB's ``string_agg`` with
+    an aggregate ORDER BY. Three rules pinned in one pass:
+
+    - the ORDERED form is only deterministic WITH the WITHIN GROUP
+      clause (an unordered listagg concatenates in partition arrival
+      order — never put one in a differential pipeline); the ordered
+      concat of ~2k event ids per group is fingerprinted through md5
+      so the hash stays row-sized,
+    - the DISTINCT form (Spark requires the order key to BE the
+      distinct expression; both engines sort the deduplicated residue
+      strings), emitted raw — a bounded 7-value list,
+    - NULL inputs are SKIPPED, not emitted (n_null_skipped counts
+      what both engines dropped).
+
+    Shape at 100 TB: listagg is a full per-group materialization —
+    string state grows with group size, unlike every sketch in this
+    file. The md5-fingerprint idiom is the honest use (order-sensitive
+    group checksums); shipping raw mega-strings to a sink is the
+    anti-pattern, and the 7-value DISTINCT list shows the bounded
+    alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.md5(
+            F.expr(
+                "listagg(CAST(event_id AS STRING), ',') "
+                "WITHIN GROUP (ORDER BY event_id)"
+            ).cast("binary")
+        ).alias("ids_fp"),
+        F.expr(
+            "listagg(DISTINCT CAST(user_id % 7 AS STRING), '|') "
+            "WITHIN GROUP (ORDER BY CAST(user_id % 7 AS STRING))"
+        ).alias("res_list"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("long").alias(
+            "n_null_skipped"
+        ),
+    )
+
+
+_SESSION_VAR_ORACLE = """
+    WITH micro AS (
+        SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT CAST(SUM(m) AS BIGINT) // COUNT(*) AS cut FROM micro)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN m >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(SUM(CASE WHEN m < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(cut AS BIGINT) AS cutoff
+    FROM micro, c
+    GROUP BY event_type, cut
+"""
+
+
+@query("session_variable_binding", oracle=_SESSION_VAR_ORACLE)
+def session_variable_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION VARIABLES + PARAMETERIZED SQL — the two Spark 4 binding
+    front-ends a production job uses instead of f-string SQL
+    injection: ``DECLARE VARIABLE`` / ``SET VAR`` carries a COMPUTED
+    scalar (here the integer-mean micro cutoff, itself a query result)
+    across statements server-side, and ``spark.sql(..., args=...)``
+    binds literals (the micro scale) as named parameters the parser
+    treats as constants (so constant folding still applies — no plan
+    cache pollution, no quoting bugs).
+
+    The two-statement flow — SET VAR from one aggregate, then a second
+    aggregate referencing the variable — is the warehouse "compute
+    threshold, then classify" idiom; the oracle collapses it into a
+    CROSS JOIN with a one-row CTE, so the hash proves the staged
+    binding equals the single-statement form. Variable names are
+    uuid-suffixed: session variables are SESSION-scoped shared state,
+    exactly like temp views (the bucketed-join naming rule applies).
+
+    Scale note: the variable holds one scalar on the driver — this is
+    control-plane state, not data motion; the cutoff broadcast rides
+    the literal into every task's codegen."""
+    import uuid
+
+    u = uuid.uuid4().hex[:8]
+    view = f"ev_var_{u}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE cut_{u} BIGINT")
+    spark.sql(
+        f"""SET VAR cut_{u} = (
+            SELECT SUM(CAST(floor(value * :scale) AS BIGINT))
+                   div COUNT(*)
+            FROM {view} WHERE value IS NOT NULL)""",
+        args={"scale": 1000000},
+    )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN CAST(floor(value * :scale) AS BIGINT)
+                             >= cut_{u} THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+               CAST(SUM(CASE WHEN CAST(floor(value * :scale) AS BIGINT)
+                             < cut_{u} THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               cut_{u} AS cutoff
+        FROM {view} WHERE value IS NOT NULL
+        GROUP BY event_type
+        """,
+        args={"scale": 1000000},
+    )
