@@ -1,6 +1,7 @@
-"""Grouped-map Pandas operators — the ``groupBy().applyInPandas``
-surface (the third Python-worker shape next to ``mapInPandas`` and
-``applyInPandasWithState``).
+"""Grouped-map Python-worker operators — ``groupBy().applyInPandas``,
+``cogroup().applyInPandas``, and ``cogroup().applyInArrow`` (the
+third, fourth, and sixth Python-worker shapes next to ``mapInPandas``,
+``applyInPandasWithState``, and ``mapInArrow``).
 
 Use when per-group logic genuinely needs the WHOLE group in one pandas
 frame (order statistics, model fits, per-entity signal processing) and
