@@ -1,5 +1,10 @@
-"""r9 growth wave: six new engine surfaces, each with a DuckDB oracle
-(VERDICT r8 #4/#6).
+"""r9 growth waves: nine new engine surfaces, each with a DuckDB
+oracle (VERDICT r8 #4/#6 + Spark 4 SQL front-end breadth).
+
+Wave 1 (1-6 below); wave 2 (7-9): ``sql_pipe_syntax_surface`` (the
+``|>`` operator chain), ``listagg_surface`` (ordered/DISTINCT string
+aggregation), ``session_variable_binding`` (DECLARE/SET VAR + named
+parameter ``args``).
 
 1. ``dedup_simhash_degree`` — the BOUNDED twin of the simhash pair
    dump: per-doc dup-degree instead of the output-bound-quadratic pair
