@@ -282,6 +282,38 @@ def test_session_variable_binding_matches_single_statement(spark):
     assert (got["n_lo"] == tw["n_lo"]).all()
 
 
+def test_join_state_retains_both_inputs_in_full(spark):
+    """With the watermark delay beyond the data horizon, the
+    symmetric hash join's state must hold EVERY input row of both
+    sides — the audit's per-user counts must sum to the raw view /
+    purchase row counts, and the shuffle-partition override must have
+    been restored after the stream."""
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    got = _q(spark, "statestore_join_state_audit").toPandas()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    n_views = ev.where(F.col("event_type") == "view").count()
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert int(got["n_view_state"].sum()) == n_views
+    assert int(got["n_purch_state"].sum()) == n_purch
+    assert (got["operator_name"] == "symmetricHashJoin").all()
+    assert (got["multi_batch"] == 1).all()
+
+
+def test_variant_explode_fan_out_is_exactly_three(spark):
+    """Every qualifying event fans out to positions {0,1,2} with equal
+    per-position counts — the TVF must neither drop nor duplicate
+    elements."""
+    got = _q(spark, "variant_explode_lateral").toPandas()
+    per_pos = got.groupby("pos")["n"].sum()
+    assert list(per_pos.index) == [0, 1, 2]
+    assert per_pos.nunique() == 1  # same total at every position
+
+
 def test_arrow_cogroup_handles_one_sided_key(spark):
     """A key present on only one side must still emit a row (the other
     side contributes zero rows; rank_delta over min(n)=0 positions is

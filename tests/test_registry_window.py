@@ -115,14 +115,16 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     approx_top_k_surface, statestore_reader_audit,
     cogroup_apply_in_arrow — VERDICT r8 #4/#6) + 3 growth wave 2
     (sql_pipe_syntax_surface, listagg_surface,
-    session_variable_binding — Spark 4 SQL front-end breadth) = 296;
-    the r9 window re-rotated to carry all 34 debt names (25 carryover
-    + 9 growth, still under the 43-slot budget), so debt after the r9
-    driver run = 0. Bumping the literal BELOW requires the same
-    arithmetic in this docstring, and every new name must be in the
-    COVERAGE.md schedule (machine-readable row) BEFORE the next
-    rotation."""
-    assert len(registry._REG_ORDER) == 296, (
+    session_variable_binding — Spark 4 SQL front-end breadth) + 2
+    growth wave 3 (statestore_join_state_audit — both joinSides of a
+    stream-stream join's state; variant_explode_lateral — the VARIANT
+    TVF) = 298; the r9 window re-rotated to carry all 36 debt names
+    (25 carryover + 11 growth, still under the 43-slot budget), so
+    debt after the r9 driver run = 0. Bumping the literal BELOW
+    requires the same arithmetic in this docstring, and every new
+    name must be in the COVERAGE.md schedule (machine-readable row)
+    BEFORE the next rotation."""
+    assert len(registry._REG_ORDER) == 298, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

@@ -4,7 +4,10 @@ oracle (VERDICT r8 #4/#6 + Spark 4 SQL front-end breadth).
 Wave 1 (1-6 below); wave 2 (7-9): ``sql_pipe_syntax_surface`` (the
 ``|>`` operator chain), ``listagg_surface`` (ordered/DISTINCT string
 aggregation), ``session_variable_binding`` (DECLARE/SET VAR + named
-parameter ``args``).
+parameter ``args``); wave 3 (10-11): ``statestore_join_state_audit``
+(both joinSides of a stream-stream join's buffered state read back
+through the state source), ``variant_explode_lateral`` (the VARIANT
+table-valued function under LATERAL).
 
 1. ``dedup_simhash_degree`` — the BOUNDED twin of the simhash pair
    dump: per-doc dup-degree instead of the output-bound-quadratic pair
@@ -657,3 +660,223 @@ def session_variable_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"scale": 1000000},
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 3: stream-stream join state + VARIANT table-valued function
+
+_JOIN_STATE_ORACLE = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(n_view_state, 0) AS BIGINT) AS n_view_state,
+           CAST(COALESCE(view_us_sum, 0) AS BIGINT) AS view_us_sum,
+           CAST(COALESCE(n_purch_state, 0) AS BIGINT) AS n_purch_state,
+           CAST(COALESCE(purch_us_sum, 0) AS BIGINT) AS purch_us_sum,
+           'symmetricHashJoin' AS operator_name,
+           CAST(1 AS BIGINT) AS multi_batch
+    FROM (SELECT user_id, COUNT(*) AS n_view_state,
+                 CAST(SUM(us) AS BIGINT) AS view_us_sum
+          FROM v GROUP BY 1) v
+    FULL JOIN (SELECT user_id, COUNT(*) AS n_purch_state,
+                      CAST(SUM(us) AS BIGINT) AS purch_us_sum
+               FROM p GROUP BY 1) p USING (user_id)
+"""
+
+
+@query("statestore_join_state_audit", oracle=_JOIN_STATE_ORACLE)
+def statestore_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN STATE through the state source — the
+    two-sided completion of ``statestore_reader_audit`` (which reads
+    an AGGREGATION's buffers): a views⋈purchases interval join runs
+    with a watermark DELAY BEYOND THE DATA HORIZON (3650 days), so the
+    eviction clock never fires and the symmetric hash join must retain
+    BOTH inputs in full. ``joinSide=left`` / ``joinSide=right`` then
+    read the buffered rows back, and per user the retained (count,
+    timestamp-micros sum) must equal the batch scan of the same
+    inputs exactly — the state IS the data, row for row.
+
+    Why the horizon trick: with a live watermark the retained set
+    depends on per-batch watermark advancement (a trigger-boundary
+    artifact), which no SQL oracle can replay; with the clock pinned
+    past the horizon, retention semantics become exact set equality —
+    the sharpest contract the join-state source can be held to. The
+    output-side equivalence (streamed join == batch join) is the
+    separate ``streaming_stream_join`` query's hash; together the two
+    pin input state and output of the marquee two-sided operator.
+    ``state-metadata`` contributes the operator identity
+    (``symmetricHashJoin``) and a real inter-batch handoff
+    (``maxBatchId >= 1`` via ``maxFilesPerTrigger=1`` over 2-file
+    sides).
+
+    Shape at 100 TB: state audits read only the checkpoint's buffered
+    rows, partition-parallel; in production the same read with a LIVE
+    watermark is how you inspect what the eviction clock is actually
+    holding (state-skew per key, stuck watermarks) without stopping
+    the stream.
+
+    State-partition sizing: a stream-stream join keeps FOUR state
+    stores per shuffle partition per side (keyToNumValues +
+    keyWithIndex × 2 sides), and every micro-batch pays maintenance on
+    all of them whether or not they hold data — at the session's 32
+    shuffle partitions that is 256 store snapshots per batch for
+    kilobytes of state (measured: ~4× the whole query's runtime). The
+    stream therefore starts at 8 partitions (restored after), the
+    knob a real deployment sizes to its state volume, not its compute
+    parallelism; the state source reads numPartitions from checkpoint
+    metadata, so the audit is unaffected."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_join_state_")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    vp, pp = os.path.join(root, "v"), os.path.join(root, "p")
+    views.repartition(2).write.parquet(vp)
+    purch.repartition(2).write.parquet(pp)
+    v_stream = (
+        spark.readStream.schema(spark.read.parquet(vp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vp)
+        .withWatermark("vts", "3650 days")
+    )
+    p_stream = (
+        spark.readStream.schema(spark.read.parquet(pp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pp)
+        .withWatermark("pts", "3650 days")
+    )
+    joined = v_stream.join(
+        p_stream,
+        F.expr(
+            "v_user = p_user AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    ck = os.path.join(root, "ck")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ck)
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            (F.col("maxBatchId") >= 1).cast("long").alias("multi_batch"),
+        )
+        .limit(1)
+    )
+    left = (
+        spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ck)
+        .groupBy(F.col("value.v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_view_state"),
+            F.sum(F.unix_micros("value.vts")).alias("view_us_sum"),
+        )
+    )
+    right = (
+        spark.read.format("statestore")
+        .option("joinSide", "right")
+        .load(ck)
+        .groupBy(F.col("value.p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purch_state"),
+            F.sum(F.unix_micros("value.pts")).alias("purch_us_sum"),
+        )
+    )
+    both = (
+        left.join(right, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_view_state", F.lit(0)).alias("n_view_state"),
+            F.coalesce("view_us_sum", F.lit(0)).alias("view_us_sum"),
+            F.coalesce("n_purch_state", F.lit(0)).alias("n_purch_state"),
+            F.coalesce("purch_us_sum", F.lit(0)).alias("purch_us_sum"),
+        )
+    )
+    return both.join(F.broadcast(meta))
+
+
+_VARIANT_EXPLODE_ORACLE = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS v0,
+               CAST(event_id % 7 AS BIGINT) AS v1,
+               CAST(user_id % 13 AS BIGINT) AS v2
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    long_form AS (
+        SELECT event_type, 0 AS pos, v0 AS elem FROM base
+        UNION ALL SELECT event_type, 1, v1 FROM base
+        UNION ALL SELECT event_type, 2, v2 FROM base
+    )
+    SELECT event_type, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(elem) AS BIGINT) AS s
+    FROM long_form GROUP BY event_type, pos
+"""
+
+
+@query("variant_explode_lateral", oracle=_VARIANT_EXPLODE_ORACLE)
+def variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT TABLE-VALUED FUNCTION — ``variant_explode`` under a
+    LATERAL correlate: each event's semi-structured JSON array (built
+    deterministically from its own columns, the
+    ``variant_array_paths`` construction) is shredded one-row-per-
+    element with its position, then re-aggregated per (event_type,
+    pos). Complements ``variant_array_paths`` (path EXTRACTION from
+    variant) with the TVF side: full enumeration when the consumer
+    doesn't know the paths — the schema-on-read shape a landing zone
+    of heterogeneous vendor JSON actually needs.
+
+    The oracle replays the construction relationally (UNION ALL long
+    form), so the hash pins both the TVF's row fan-out (pos values,
+    element order) and the VARIANT→BIGINT cast semantics.
+
+    Shape at 100 TB: variant_explode is a generator — zero shuffle at
+    the explode itself, WholeStageCodegen around it; the only exchange
+    is the final group-by. Arrays here are fixed-width 3; real vendor
+    payloads fan out variably and the plan is unchanged."""
+    import uuid
+
+    view = f"ev_vexp_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH docs AS (
+            SELECT event_type,
+                   parse_json(concat(
+                       '[', CAST(floor(value * 1000000) AS BIGINT),
+                       ',', CAST(event_id % 7 AS BIGINT),
+                       ',', CAST(user_id % 13 AS BIGINT), ']')) AS doc
+            FROM {view}
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT event_type, CAST(e.pos AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(e.value AS BIGINT)) AS BIGINT) AS s
+        FROM docs, LATERAL variant_explode(doc) AS e
+        GROUP BY event_type, e.pos
+    """)
