@@ -342,3 +342,24 @@ def test_arrow_cogroup_handles_one_sided_key(spark):
     assert got.loc["only_right", "n_a"] == 0
     # both: sorted a = [1,5], sorted b = [2]; delta = 1-2 = -1
     assert got.loc["both", "rank_delta"] == -1
+
+
+def test_arrow_cogroup_key_keeps_its_own_type(spark):
+    """The generic (key, value) API must work for NON-string keys: the
+    output schema and the kernel's re-emitted key column both derive
+    from the input key's type (r9 advice — the earlier hardcoded
+    ``string`` key died with an Arrow schema mismatch on a long key)."""
+    from wistia_etl_pipeline_spark.operators.grouped import (
+        cogrouped_rank_delta_arrow,
+    )
+
+    left = spark.createDataFrame(
+        [(7, 10), (7, 2), (9, 4)], "k long, v long"
+    )
+    right = spark.createDataFrame([(7, 3)], "k long, v long")
+    got = cogrouped_rank_delta_arrow(left, right, key="k", value="v")
+    assert dict(got.dtypes)["k"] == "bigint"
+    rows = {r["k"]: r for r in got.collect()}
+    # k=7: sorted a = [2,10], sorted b = [3]; delta = 2-3 = -1
+    assert rows[7]["rank_delta"] == -1 and rows[7]["n_a"] == 2
+    assert rows[9]["n_b"] == 0 and rows[9]["rank_delta"] == 0

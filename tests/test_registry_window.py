@@ -77,28 +77,42 @@ def test_window_state_matches_registry():
     assert not missing, f"pinned artifacts missing from repo: {missing}"
 
 
-def test_promotions_are_all_debt_or_last_fail():
-    """Positions 8-50 must burn debt — re-promoting an already-GREEN name
-    wastes a slot the closure schedule has budgeted (VERDICT r5 #1).
-    Debt = never-checked ∪ latest-row-is-FAIL (VERDICT r7 #2: an
-    ever-failed name whose fix never re-entered a window is the worse
-    debt and jumps the queue). Computed as-of the rotation's pinned
-    artifact set. Fill positions past the scheduled window (debt <
-    43 slots from r9 on) are exempt — they re-check greens by
-    design. The complement must also hold: no debt name may be left
-    OUT of the scheduled window while fill slots exist."""
-    from check_correctness import last_failed_names
+def test_promotions_burn_debt_then_refresh_oldest():
+    """Positions 8-50 burn debt FIRST (never-checked ∪ latest-row-is-FAIL,
+    VERDICT r5 #1 / r7 #2), then — the r10+ regime, debt having reached
+    zero after r9 (VERDICT r9 #4) — spend the remaining slots on a
+    freshness fill: the least-recently-driver-checked green names,
+    oldest CORRECTNESS round first. Invariants pinned here: (a) every
+    debt name precedes every fill name; (b) no debt name is left out
+    while fill slots exist; (c) the fill is monotone oldest-first; and
+    (d) no name OUTSIDE the window is staler than any fill name — the
+    fill really is the oldest tail, not an arbitrary green subset."""
+    from check_correctness import last_checked_round, last_failed_names
 
     st = _state()
     debt = set(never_checked_names(st["artifacts"]))
     debt |= set(last_failed_names(st["artifacts"]))
-    sched = st["window"]
-    wasted = [n for n in sched[7:] if n not in debt]
-    assert not wasted, f"window slots wasted on already-green names: {wasted}"
-    if len(sched) < 50:
-        left_out = sorted(debt - set(sched))
-        assert not left_out, (
-            f"debt names excluded from an under-full window: {left_out}"
+    debt -= set(ANCHORS)
+    promoted = st["window"][7:]
+    flags = [n in debt for n in promoted]
+    assert flags == sorted(flags, reverse=True), "debt must precede fill"
+    missed = sorted(debt - set(promoted))
+    assert not missed or all(flags), (
+        f"debt names excluded while fill slots were spent: {missed}"
+    )
+    seen = last_checked_round(st["artifacts"])
+    fill = [n for n in promoted if n not in debt]
+    rounds = [seen[n] for n in fill]
+    assert rounds == sorted(rounds), "freshness fill must be oldest-first"
+    if fill:
+        outside = [
+            r for n, r in seen.items()
+            if n not in st["window"] and n not in ANCHORS
+            and n in registry._REG_ORDER
+        ]
+        assert not outside or max(rounds) <= min(outside), (
+            "a staler name was left outside the window than the "
+            "freshest fill slot"
         )
 
 
@@ -147,7 +161,8 @@ def test_coverage_md_schedule_matches_window_and_debt():
     st = _state()
     text = (REPO / "COVERAGE.md").read_text()
     rows = re.findall(r"^\| `([a-z0-9_]+)` \| (r\d+) \|$", text, re.M)
-    assert rows, "closure schedule table missing from COVERAGE.md"
+    # An empty table is the debt-zero steady state (r10+): the rotation
+    # prunes every checked row, leaving only the header.
     sched = {name: rnd for name, rnd in rows}
     debt = never_checked_names(st["artifacts"])
     assert sorted(sched) == sorted(debt), (
@@ -164,9 +179,9 @@ def test_coverage_md_schedule_matches_window_and_debt():
         if int(rnd[1:]) <= target and n not in failed
     ]
     due = (failed + due_sched)[:43]
-    assert due == st["window"][7:], (
+    assert due == st["window"][7:7 + len(due)], (
         "COVERAGE.md rows due this round (after last-fail promotion) "
-        "!= window promotions"
+        "!= the window's debt promotions"
     )
 
 

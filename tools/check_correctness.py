@@ -94,6 +94,30 @@ def last_failed_names(artifacts: list[str] | None = None) -> list[str]:
         if n in latest_ok and not latest_ok[n]
     ]
 
+def last_checked_round(artifacts: list[str] | None = None) -> dict[str, int]:
+    """name -> numeric round of the LATEST artifact holding a row for it.
+
+    Feeds the r10+ freshness fill (VERDICT r9 #4): once never-checked
+    debt is zero, window slots go to the least-recently-driver-checked
+    names, oldest round first. Same ``artifacts`` pinning semantics as
+    ``never_checked_names``.
+    """
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    if artifacts is None:
+        paths = glob.glob(str(root / "CORRECTNESS_r*.json"))
+    else:
+        paths = [str(root / a) for a in artifacts]
+    seen: dict[str, int] = {}
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", pathlib.Path(path).name).group(1))
+        for name in json.load(open(path)):
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -165,8 +165,15 @@ def cogrouped_rank_delta_arrow(
     import numpy as np
     import pyarrow as pa
 
+    # The key column keeps ITS OWN type end-to-end: the output schema is
+    # derived from the input schema, and the kernel re-emits the key in
+    # the incoming Arrow column's type — a long/date/decimal key works
+    # the same as a string one (r9 advice: the earlier hardcoded
+    # ``string`` failed non-string keys with an Arrow schema mismatch).
+    key_ddl = left.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} string, n_a long, n_b long, s_a long, s_b long, rank_delta long"
+        f"{key} {key_ddl}, n_a long, n_b long, s_a long, s_b long,"
+        " rank_delta long"
     )
 
     # Same self-cogroup attribute-collision guard as the pandas twin.
@@ -177,15 +184,12 @@ def cogrouped_rank_delta_arrow(
     def kernel(lt: pa.Table, rt: pa.Table) -> pa.Table:
         a = np.sort(lt.column(value).to_numpy(zero_copy_only=False))
         b = np.sort(rt.column("__rv").to_numpy(zero_copy_only=False))
-        k = (
-            lt.column(key)[0].as_py()
-            if lt.num_rows
-            else rt.column("__rk")[0].as_py()
-        )
+        kcol = lt.column(key) if lt.num_rows else rt.column("__rk")
+        k = kcol[0].as_py()
         m = min(len(a), len(b))
         return pa.table(
             {
-                key: pa.array([k], pa.string()),
+                key: pa.array([k], kcol.type),
                 "n_a": pa.array([len(a)], pa.int64()),
                 "n_b": pa.array([len(b)], pa.int64()),
                 "s_a": pa.array([int(a.sum())], pa.int64()),

@@ -115,7 +115,10 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINUS today) without re-reading raw history.
 
     A = a group's users on even event_ids, B = odd — genuinely
-    overlapping sets. The anchor pattern applies (the estimates ride
+    overlapping sets, built as CONDITIONAL sketch inputs inside one
+    groupBy so a parity-one-sided group yields an empty sketch rather
+    than a dropped row (set algebra over a missing audience is still
+    set algebra). The anchor pattern applies (the estimates ride
     library hashing no SQL can replay): the oracle pins the EXACT
     union / intersection / difference cardinalities plus three
     contract flags the engine must earn — each theta estimate within
@@ -132,11 +135,19 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scans of raw events."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     lg_k = F.lit(14)
-    a = ev.where(F.col("event_id") % 2 == 0).groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id", lg_k).alias("ska")
-    )
-    b = ev.where(F.col("event_id") % 2 == 1).groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id", lg_k).alias("skb")
+    # Both sketches come out of ONE groupBy via conditional inputs
+    # (aggregates skip NULLs, so the non-matching parity contributes an
+    # EMPTY sketch, never a missing row): an event_type whose events all
+    # share one parity still gets a row, matching the oracle's base —
+    # the r9 advisor's inner-join parity hole — and the single-pass form
+    # also drops one shuffle vs the two-groupBy + join spelling.
+    sketches = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_id") % 2 == 0, F.col("user_id")), lg_k
+        ).alias("ska"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_id") % 2 == 1, F.col("user_id")), lg_k
+        ).alias("skb"),
     )
     exact = (
         ev.groupBy("event_type", "user_id")
@@ -155,7 +166,7 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("exact_diff"),
         )
     )
-    est = a.join(b, "event_type").select(
+    est = sketches.select(
         "event_type",
         F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("u_est"),
         F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
@@ -210,8 +221,13 @@ def kll_quantile_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor contract is the sketch's actual guarantee — RANK error:
     for each estimated quantile q_p the engine recomputes the TRUE
     normalized rank of q_p over the raw data (one broadcast join +
-    conditional count) and must land within ±2.5 % of p (k=400 gives
-    ε ≈ 0.9 % at 99 % confidence; 2.5 % is ~3 ε). The mergeability
+    conditional count) and must land within ±4 % of p. k=400 gives
+    ε ≈ 0.9 % at 99 % confidence; 4 % is ~4.5 ε, wide enough that a
+    legitimate coin-flip breach across 5 groups × 4 quantiles ×
+    repeated sweeps is probabilistically negligible — a driver red on
+    this query means a real regression, never a re-run-first flake
+    (the earlier ±2.5 % ≈ 3 ε left that ambiguity; r9 advice). The
+    measured live rank error is ~0.3 %, 13× inside. The mergeability
     flag does the same for a p50 read from the UNION of per-half
     sketches (``kll_merge_agg_bigint``) — merged state must keep the
     bound, the property sketch state exists for.
@@ -261,7 +277,7 @@ def kll_quantile_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ok(rank_c: str, p: float):
-        return (F.abs(F.col(rank_c) - F.lit(p)) <= 0.025).cast("long")
+        return (F.abs(F.col(rank_c) - F.lit(p)) <= 0.04).cast("long")
 
     return est.join(ranked, "event_type").select(
         "event_type",
@@ -394,7 +410,16 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Timing out and reading anyway would audit a PARTIAL checkpoint
+        # and surface as a baffling hash mismatch (r9 advice) — fail
+        # loudly with the actual cause instead.
+        q.stop()
+        raise RuntimeError(
+            "statestore_reader_audit: streaming aggregation did not "
+            "finish within 300 s; refusing to read a partially-written "
+            "checkpoint"
+        )
 
     meta = (
         spark.read.format("state-metadata")
@@ -435,11 +460,21 @@ _ARROW_COGROUP_ORACLE = """
                row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
         FROM v WHERE event_id % 2 = 1
     )
-    SELECT a_agg.event_type, n_a, n_b, s_a, s_b,
+    -- FULL JOIN + zero-COALESCE: the Arrow kernel deliberately emits a
+    -- row for a key present on only ONE side (n/s = 0 for the empty
+    -- side, rank_delta = 0 — pinned by
+    -- test_arrow_cogroup_handles_one_sided_key); the oracle must share
+    -- that convention or the two row sets diverge on exactly the edge
+    -- case the kernel handles (r9 advice).
+    SELECT event_type,
+           CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+           CAST(COALESCE(s_a, 0) AS BIGINT) AS s_a,
+           CAST(COALESCE(s_b, 0) AS BIGINT) AS s_b,
            COALESCE(d.rank_delta, 0) AS rank_delta
     FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a,
                  CAST(SUM(v) AS BIGINT) AS s_a FROM a GROUP BY 1) a_agg
-    JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b,
+    FULL JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b,
                  CAST(SUM(v) AS BIGINT) AS s_b FROM b GROUP BY 1) b_agg
       USING (event_type)
     LEFT JOIN (
@@ -774,7 +809,15 @@ def statestore_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # Same rule as statestore_reader_audit: never open the state
+            # source on a checkpoint the stream hasn't finished writing.
+            q.stop()
+            raise RuntimeError(
+                "statestore_join_state_audit: stream-stream join did "
+                "not finish within 300 s; refusing to read a "
+                "partially-written checkpoint"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
