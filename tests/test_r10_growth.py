@@ -1,0 +1,189 @@
+"""Semantic invariants for the r10 growth wave (VERDICT r9 #6):
+analyze-time UDTF polymorphism, the native bitmap family, and the
+foreachBatch forced-replay exactly-once audit."""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from wistia_etl_pipeline_spark import registry  # noqa: E402
+from wistia_etl_pipeline_spark.session import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF):
+    return registry._QUERIES[name](spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# udtf_polymorphic_tokens
+
+
+def test_udtf_schema_is_computed_from_constant_k(spark):
+    """The whole point of analyze-time polymorphism: k decides the
+    COLUMN SET. k=3 (the registry query) must yield tok0..tok2."""
+    df = _q(spark, "udtf_polymorphic_tokens")
+    assert df.columns == ["doc_id", "tok0", "tok1", "tok2", "n_tokens"]
+
+
+def test_udtf_rejects_non_constant_k(spark):
+    """analyze() enforces constancy at PLAN time — a column-valued k
+    must fail before any execution, not as a runtime shape error."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class SplitHead:
+        @staticmethod
+        def analyze(text, k):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            if not k.isConstantExpression or k.value is None:
+                raise ValueError("k must be a non-null constant")
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_tokens", LongType()))
+
+        def eval(self, text, k):
+            toks = text.split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(k)
+            ) + (len(toks),)
+
+    u = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"sh_{u}", udtf(SplitHead, useArrow=True))
+    spark.createDataFrame(
+        [("a b c", 2)], "text string, k long"
+    ).createOrReplaceTempView(f"t_{u}")
+    with pytest.raises(Exception, match="constant"):
+        spark.sql(
+            f"SELECT s.* FROM t_{u}, LATERAL sh_{u}(text, k) s"
+        ).collect()
+
+
+def test_udtf_token_columns_match_split(spark):
+    """tok columns are the first 3 single-space tokens, NULL-padded —
+    the exact string_split contract the oracle replays."""
+    rows = {
+        r["doc_id"]: r
+        for r in _q(spark, "udtf_polymorphic_tokens").collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert rows.keys() == docs.keys()
+    for did, text in docs.items():
+        toks = text.split(" ")
+        r = rows[did]
+        assert r["n_tokens"] == len(toks)
+        for i in range(3):
+            assert r[f"tok{i}"] == (toks[i] if i < len(toks) else None)
+
+
+# ---------------------------------------------------------------------------
+# bitmap_index_surface
+
+
+def test_bitmap_counts_are_exact(spark):
+    """bitmap distinct counting is EXACT (the contrast with HLL/theta):
+    both output columns must equal the direct recompute, value for
+    value."""
+    got = {
+        r["event_type"]: r for r in _q(spark, "bitmap_index_surface").collect()
+    }
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(
+            F.max((F.col("event_id") % 2 == 0).cast("int")).alias("e"),
+            F.max((F.col("event_id") % 2 == 1).cast("int")).alias("o"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("du"),
+            F.sum(F.col("e") * F.col("o")).alias("both"),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for et, r in got.items():
+        assert r["distinct_users"] == exact[et]["du"]
+        assert r["both_parity_users"] == exact[et]["both"]
+
+
+def test_bitmap_and_guard_zeroes_one_sided_bucket(spark):
+    """A bucket holding only ONE parity's bitmap must contribute 0 to
+    the intersection, never a copy of the lone side (bitmap_and_agg
+    over a single element is the identity — the theta parity lesson at
+    the bucket grain)."""
+    df = spark.createDataFrame(
+        [("x", 2, 0), ("x", 2, 1), ("x", 70000, 0)],
+        "event_type string, user_id long, event_id long",
+    )
+    per_parity = (
+        df.select(
+            "event_type",
+            (F.col("event_id") % 2).alias("par"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "par", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_bucket = per_parity.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("u"),
+        F.when(
+            F.count(F.lit(1)) == 2, F.expr("bitmap_count(bitmap_and_agg(bm))")
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    rows = {r["bkt"]: r for r in per_bucket.collect()}
+    assert len(rows) == 2  # user 2 and user 70000 land in different buckets
+    # the bucket with both parities (user 2 seen on even+odd events)
+    both_bkt = [r for r in rows.values() if r["b"] == 1]
+    one_sided = [r for r in rows.values() if r["b"] == 0]
+    assert len(both_bkt) == 1 and both_bkt[0]["u"] == 1
+    assert len(one_sided) == 1 and one_sided[0]["u"] == 1
+
+
+# ---------------------------------------------------------------------------
+# foreachbatch_replay_exactly_once
+
+
+def test_foreachbatch_replay_absorbed(spark):
+    """After the forced replay the totals must equal the one-shot batch
+    recompute (the idempotent partition-overwrite absorbed the re-run),
+    the stream must have split into 3 batches, and the replay must
+    have REALLY happened."""
+    got = _q(spark, "foreachbatch_replay_exactly_once").toPandas()
+    assert (got["n_batches"] == 3).all()
+    assert (got["last_batch_ran_twice"] == 1).all()
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    }
+    assert set(got["event_type"]) == set(exact)
+    for _, r in got.iterrows():
+        assert r["n"] == exact[r["event_type"]]["n"]
+        assert r["s_micro"] == exact[r["event_type"]]["s"]

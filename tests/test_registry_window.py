@@ -132,13 +132,19 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     session_variable_binding — Spark 4 SQL front-end breadth) + 2
     growth wave 3 (statestore_join_state_audit — both joinSides of a
     stream-stream join's state; variant_explode_lateral — the VARIANT
-    TVF) = 298; the r9 window re-rotated to carry all 36 debt names
+    TVF) = 298; r10: +3 growth (udtf_polymorphic_tokens — analyze-time
+    polymorphic Python UDTF; bitmap_index_surface — the native
+    bitmap_construct/or/and/count family;
+    foreachbatch_replay_exactly_once — forced replay of the crash
+    window absorbed by an idempotent per-batchId sink) = 301, debt 3 ≪
+    43 carried by the r10 window's debt-first slots ahead of the
+    freshness fill; the r9 window re-rotated to carry all 36 debt names
     (25 carryover + 11 growth, still under the 43-slot budget), so
     debt after the r9 driver run = 0. Bumping the literal BELOW
     requires the same arithmetic in this docstring, and every new
     name must be in the COVERAGE.md schedule (machine-readable row)
     BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 298, (
+    assert len(registry._REG_ORDER) == 301, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

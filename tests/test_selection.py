@@ -39,6 +39,43 @@ def test_all_one_band_concentration(spark):
     assert got == {1: 100, 20: 119, 40: 139}
 
 
+def test_wide_id_like_domain_recurses_bounded(spark):
+    """An id-like domain (values spread over ~10^12) must stay exact AND
+    driver-safe (VERDICT r9 #5): the adaptive band width forces the
+    two-level recursion (span/max_bands > bucket), and every collect is
+    capped at max_bands band rows — the old single-level form would
+    have collected ~10^8 rows here."""
+    vals = [(i * 2654435761) % (10**12) for i in range(3000)] + [
+        0,
+        10**12 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ranks = [1, 2, 1500, 3001, 3002]
+    # tiny max_bands to force TWO recursion levels at test scale
+    got = value_at_ranks(df, "v", ranks, bucket=4096, max_bands=64)
+    assert got == _truth(vals, ranks)
+
+
+def test_negative_lo_domain_exact(spark):
+    """Band arithmetic is anchored at the column MIN, so negative
+    domains band exactly (the (col - lo) div width mapping must stay
+    floor division, never truncation toward zero)."""
+    vals = [v * 7 - 50_000 for v in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ranks = [1, 1000, 2000]
+    got = value_at_ranks(df, "v", ranks, bucket=16, max_bands=8)
+    assert got == _truth(vals, ranks)
+
+
+def test_span_overflow_guard():
+    import pytest as _pytest
+
+    from wistia_etl_pipeline_spark.functions.selection import _select
+
+    with _pytest.raises(ValueError, match="2\\^62"):
+        _select(None, "v", [1], -(2**62), 2**62, 4096, 65536)
+
+
 def test_out_of_range_ranks_absent(spark):
     df = spark.createDataFrame([(v,) for v in [3, 1, 2]], "v long")
     got = value_at_ranks(df, "v", [2, 7], bucket=2)

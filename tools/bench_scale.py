@@ -12,6 +12,13 @@ slopes are also reported with the smallest SF excluded).
 
 Usage: python tools/bench_scale.py  (serial — do not run concurrently
 with other Spark sessions; NOTES r3: contention skews medians 2×+).
+
+``--dir=zipf`` (VERDICT r9 #1) sweeps ``.scaledata/zipf/sf*`` instead —
+the growing-vocabulary documents family from
+``gen_scaledata.py --vocab-grow`` — and writes BENCH_SCALE_ZIPF.json,
+leaving the fixed-vocab curves in BENCH_SCALE.json untouched as the
+documented densification case. Only documents-family queries can run
+there (the zipf dirs hold documents.parquet alone).
 """
 
 from __future__ import annotations
@@ -176,6 +183,17 @@ def main() -> None:
     from wistia_etl_pipeline_spark.registry import queries
     from wistia_etl_pipeline_spark.session import get_spark
 
+    sub = next(
+        (f.split("=", 1)[1] for f in flags if f.startswith("--dir=")), None
+    )
+    scale_dir = os.path.join(SCALE_DIR, sub) if sub else SCALE_DIR
+    out_name = f"BENCH_SCALE_{sub.upper()}.json" if sub else "BENCH_SCALE.json"
+    if sub and not selected:
+        raise SystemExit(
+            "--dir sweeps need an explicit query list (only the "
+            "documents family exists there)"
+        )
+
     if "--uncurved" in flags:
         # Sweep every registry query with no BENCH_SCALE row yet,
         # heaviest first (BENCH_LOCAL cold column) so an interrupted
@@ -201,8 +219,8 @@ def main() -> None:
     run_queries = selected or QUERIES
 
     sfs = sorted(
-        (float(d[2:]), os.path.join(SCALE_DIR, d))
-        for d in os.listdir(SCALE_DIR)
+        (float(d[2:]), os.path.join(scale_dir, d))
+        for d in os.listdir(scale_dir)
         if d.startswith("sf")
     )
     # --add-sf=X: measure ONLY that SF for the selected queries and
@@ -292,7 +310,7 @@ def main() -> None:
             medians[name][f"{sf:g}"] = round(statistics.median(ts), 3)
             print(f"sf{sf:g} {name}: {medians[name][f'{sf:g}']:.3f}s", flush=True)
 
-    path = os.path.join(ROOT, "BENCH_SCALE.json")
+    path = os.path.join(ROOT, out_name)
     prev: dict = {}
     if os.path.exists(path):
         with open(path) as f:

@@ -17,6 +17,21 @@ Output lives under .scaledata/ (gitignored): synthetic derived data,
 never committed, never written outside the repo.
 
 Usage: python tools/gen_scaledata.py 0.1 0.5 1.0
+       python tools/gen_scaledata.py --vocab-grow 0.1 0.5 1.0 2
+
+``--vocab-grow`` (VERDICT r9 #1) writes a SECOND documents family under
+``.scaledata/zipf/sf{X}/`` whose vocabulary GROWS with SF — word types
+drawn Zipf(s=1.07) from a universe scaled by Heaps' law (V ∝ √tokens) —
+because the default fixed-vocabulary corpus densifies quadratically:
+with the same 919 bigrams at every SF, every doc's TRUE near-duplicate
+count grows linearly in SF and the dedup-family scale curves end up
+measuring corpus physics, not the plan. On a growing vocabulary the
+random cross-doc collision rate FALLS with SF, the planted exact-dup
+signal (``_dup_corpus``'s id-shifted copy) stays linear, and a
+shuffle-bounded miner should curve near exponent 1. The fixed-vocab
+curves stay in BENCH_SCALE.json as the documented densification case;
+the zipf curves land in BENCH_SCALE_ZIPF.json
+(``tools/bench_scale.py --dir=zipf``).
 """
 
 from __future__ import annotations
@@ -59,6 +74,43 @@ def gen_documents(sf: float, vocab: list[str]) -> pa.Table:
     v = np.asarray(vocab, dtype=object)
     for ln in lens:
         texts.append(" ".join(v[rng.integers(0, len(v), size=ln)]))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[i] for i in lang], pa.string()),
+            "source": pa.array([f"src{i}" for i in source], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_documents_zipf(sf: float) -> pa.Table:
+    """Documents with an SF-GROWING vocabulary (VERDICT r9 #1).
+
+    Universe size follows Heaps' law with β = 0.5 against the corpus
+    token count (V₀ = 20,000 types at sf0.1's ~275k tokens → ~89k types
+    at sf2's ~5.5M), word draws follow Zipf s = 1.07 over that
+    universe. Everything else matches ``gen_documents`` (50k docs/sf,
+    10–100 words/doc, lang/source mix, same schema) so the two corpora
+    differ ONLY in vocabulary growth — the variable under test."""
+    import math
+
+    n = int(round(50_000 * sf))
+    rng = np.random.Generator(np.random.PCG64(777))
+    v_types = int(round(20_000 * math.sqrt(n / 5_000)))
+    ranks = np.arange(1, v_types + 1, dtype=np.float64)
+    p = ranks ** -1.07
+    p /= p.sum()
+    words = np.array([f"w{i:06d}" for i in range(v_types)], dtype=object)
+    lens = rng.integers(10, 101, size=n)
+    flat = rng.choice(v_types, size=int(lens.sum()), p=p)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    texts = [
+        " ".join(words[flat[offs[i]:offs[i + 1]]]) for i in range(n)
+    ]
+    lang = rng.choice(len(LANGS), size=n, p=LANG_P)
+    source = rng.integers(0, 20, size=n)
     return pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
@@ -218,7 +270,18 @@ def gen_relational(sf: float, d: str) -> None:
                     os.path.join(d, f"{t}.parquet"))
 
 
-def main(sfs: list[float]) -> None:
+def main(sfs: list[float], vocab_grow: bool = False) -> None:
+    if vocab_grow:
+        for sf in sfs:
+            d = os.path.join(OUT, "zipf", f"sf{sf:g}")
+            os.makedirs(d, exist_ok=True)
+            t = gen_documents_zipf(sf)
+            pq.write_table(t, os.path.join(d, "documents.parquet"))
+            import math
+
+            v = int(round(20_000 * math.sqrt(round(50_000 * sf) / 5_000)))
+            print(f"wrote {d}: {t.num_rows} docs, zipf universe {v} types")
+        return
     vocab = driver_vocab()
     for sf in sfs:
         d = os.path.join(OUT, f"sf{sf:g}")
@@ -231,4 +294,7 @@ def main(sfs: list[float]) -> None:
 
 
 if __name__ == "__main__":
-    main([float(a) for a in sys.argv[1:]] or [0.1, 0.5, 1.0])
+    _args = sys.argv[1:]
+    _grow = "--vocab-grow" in _args
+    _sfs = [float(a) for a in _args if not a.startswith("-")]
+    main(_sfs or [0.1, 0.5, 1.0], vocab_grow=_grow)

