@@ -187,3 +187,106 @@ def test_foreachbatch_replay_absorbed(spark):
     for _, r in got.iterrows():
         assert r["n"] == exact[r["event_type"]]["n"]
         assert r["s_micro"] == exact[r["event_type"]]["s"]
+
+
+# ---------------------------------------------------------------------------
+# wave 2
+
+
+def test_exec_immediate_matches_static_dataframe(spark):
+    """The dynamic (variable + IDENTIFIER + USING + GROUP BY ALL) flow
+    must equal the static DataFrame spelling value-for-value."""
+    got = {
+        r["event_type"]: r
+        for r in _q(spark, "sql_exec_immediate_identifier").collect()
+    }
+    ev = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for et, r in got.items():
+        assert (r["n"], r["s_micro"]) == (exact[et]["n"], exact[et]["s"])
+
+
+def test_udtf_table_arg_order_is_enforced_by_spark(spark):
+    """The ORDER BY inside TABLE(...) must deliver rows sorted to the
+    kernel NO MATTER the input layout: a deliberately reverse-sorted,
+    re-partitioned source yields the identical total variation."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    class TV:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.tv = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.key = row["k"]
+            self.n += 1
+            if self.prev is not None:
+                self.tv += abs(row["m"] - self.prev)
+            self.prev = row["m"]
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.tv
+
+    u = uuid.uuid4().hex[:8]
+    spark.udtf.register(
+        f"tvt_{u}", udtf(TV, returnType="k string, n bigint, tv bigint")
+    )
+    rows = [("a", i, m) for i, m in enumerate([5, 1, 9, 4, 4, 7])] + [
+        ("b", i, m) for i, m in enumerate([10, 0])
+    ]
+    base = spark.createDataFrame(rows, "k string, o long, m long")
+    shuffled = base.orderBy(F.desc("o")).repartition(7)
+    for src in (base, shuffled):
+        src.createOrReplaceTempView(f"tv_src_{u}")
+        got = {
+            r["k"]: (r["n"], r["tv"])
+            for r in spark.sql(
+                f"SELECT * FROM tvt_{u}(TABLE(tv_src_{u}) "
+                "PARTITION BY k ORDER BY o)"
+            ).collect()
+        }
+        # a: |1-5|+|9-1|+|4-9|+|4-4|+|7-4| = 4+8+5+0+3 = 20; b: |0-10|=10
+        assert got == {"a": (6, 20), "b": (2, 10)}
+
+
+def test_change_feed_last_update_equals_recompute(spark):
+    """Per key the max-batch_id change row must carry the full
+    recompute; every key must be touched by exactly the %4 classes it
+    appears in; a compaction-free agg emits only 'update' changes."""
+    got = _q(spark, "statestore_change_feed_audit").toPandas()
+    assert (got["updates_only"] == 1).all()
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "s"
+            ),
+            F.countDistinct(F.col("event_id") % 4).alias("nb"),
+        )
+        .collect()
+    }
+    assert set(got["event_type"]) == set(exact)
+    for _, r in got.iterrows():
+        e = exact[r["event_type"]]
+        assert r["n_final"] == e["n"]
+        assert r["s_final"] == e["s"]
+        assert r["n_update_batches"] == e["nb"]

@@ -136,15 +136,19 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     polymorphic Python UDTF; bitmap_index_surface — the native
     bitmap_construct/or/and/count family;
     foreachbatch_replay_exactly_once — forced replay of the crash
-    window absorbed by an idempotent per-batchId sink) = 301, debt 3 ≪
-    43 carried by the r10 window's debt-first slots ahead of the
-    freshness fill; the r9 window re-rotated to carry all 36 debt names
+    window absorbed by an idempotent per-batchId sink) + 3 growth
+    wave 2 (sql_exec_immediate_identifier — EXECUTE IMMEDIATE /
+    IDENTIFIER / USING params / GROUP BY ALL;
+    udtf_table_argument_rollup — UDTF TABLE argument with PARTITION
+    BY/ORDER BY; statestore_change_feed_audit — the state source's
+    readChangeFeed mode) = 304, debt 6 ≪ 43 carried by the r10
+    window's debt-first slots ahead of the freshness fill; the r9 window re-rotated to carry all 36 debt names
     (25 carryover + 11 growth, still under the 43-slot budget), so
     debt after the r9 driver run = 0. Bumping the literal BELOW
     requires the same arithmetic in this docstring, and every new
     name must be in the COVERAGE.md schedule (machine-readable row)
     BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 301, (
+    assert len(registry._REG_ORDER) == 304, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

@@ -1,5 +1,7 @@
-"""r10 growth wave: three unprobed Spark 4 surfaces, each with a DuckDB
+"""r10 growth waves: six unprobed Spark 4 surfaces, each with a DuckDB
 oracle (VERDICT r9 #6).
+
+Wave 1:
 
 1. ``udtf_polymorphic_tokens`` — a Python UDTF whose OUTPUT SCHEMA is
    computed at analyze time from a constant argument (analyze-time
@@ -15,6 +17,18 @@ oracle (VERDICT r9 #6).
    (batch ran, commit never written) by deleting the checkpoint's last
    commit marker, restart, and prove the idempotent sink absorbed the
    replay.
+
+Wave 2:
+
+4. ``sql_exec_immediate_identifier`` — EXECUTE IMMEDIATE over a
+   statement carried in a session variable, IDENTIFIER()-bound table
+   name, named USING parameter, GROUP BY ALL.
+5. ``udtf_table_argument_rollup`` — UDTF TABLE(...) argument with
+   PARTITION BY / ORDER BY: the custom per-key batch stateful
+   operator, proven order-sensitive (total variation).
+6. ``statestore_change_feed_audit`` — the state source's
+   ``readChangeFeed`` mode: the per-batch changelog of an
+   aggregation's state, with order-independent contracts.
 
 Mechanically follows the chunk contract in ``queries/_base.py``;
 semantic invariants pinned in ``tests/test_r10_growth.py``.
@@ -294,4 +308,250 @@ def foreachbatch_replay_exactly_once(
         .withColumn(
             "last_batch_ran_twice", F.lit(int(ran_twice)).cast("long")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 2: dynamic SQL, UDTF table arguments, state change feed
+
+_EXEC_IMM_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS s_micro
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("sql_exec_immediate_identifier", oracle=_EXEC_IMM_ORACLE)
+def sql_exec_immediate_identifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC SQL DONE SAFELY — ``EXECUTE IMMEDIATE`` running a
+    statement CARRIED IN A SESSION VARIABLE, with the table name bound
+    through the ``IDENTIFIER()`` clause and the scale bound as a named
+    ``USING`` parameter: the three Spark 4 front-ends that together
+    replace f-string SQL assembly (the injection-prone warehouse
+    idiom) — identifiers go through IDENTIFIER (parsed as a NAME,
+    never spliceable text), scalars go through parameter markers
+    (parsed as constants, so folding still applies), and the statement
+    itself is versioned server-side in a variable. The dynamic
+    statement also uses ``GROUP BY ALL`` (grouping keys inferred from
+    the non-aggregate select list — the refactor-safe spelling); the
+    oracle is the fully static classic form, so the hash proves
+    dynamic == static.
+
+    Scale note: all of this is control-plane — the resolved plan is
+    byte-identical to the static query's; nothing moves on the
+    cluster differently."""
+    import uuid
+
+    u = uuid.uuid4().hex[:8]
+    view = f"ev_exec_{u}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    spark.sql(f"DECLARE OR REPLACE VARIABLE stmt_{u} STRING")
+    spark.sql(f"""SET VAR stmt_{u} = '
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * :scale) AS BIGINT)) AS BIGINT)
+                   AS s_micro
+        FROM IDENTIFIER(:t) WHERE value IS NOT NULL
+        GROUP BY ALL'""")
+    return spark.sql(
+        f"EXECUTE IMMEDIATE stmt_{u} USING '{view}' AS t, 1000000 AS scale"
+    )
+
+
+_UDTF_TABLE_ARG_ORACLE = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+        SELECT event_type, m,
+               lag(m) OVER (PARTITION BY event_type ORDER BY event_id)
+                   AS prev
+        FROM v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         ELSE abs(m - prev) END) AS BIGINT)
+               AS total_variation
+    FROM d GROUP BY event_type
+"""
+
+
+@query("udtf_table_argument_rollup", oracle=_UDTF_TABLE_ARG_ORACLE)
+def udtf_table_argument_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF TABLE ARGUMENT with PARTITION BY / ORDER BY — the second
+    half of the UDTF surface (``udtf_polymorphic_tokens`` covers
+    scalar args): ``f(TABLE(t) PARTITION BY k ORDER BY o)`` hands the
+    UDTF one PARTITION of rows per instance, ORDERED, with per-group
+    state accumulated across ``eval`` calls and emitted from
+    ``terminate`` — Spark's custom per-key BATCH stateful operator,
+    the batch twin of applyInPandasWithState. The kernel computes the
+    per-event_type TOTAL VARIATION (Σ|mᵢ − mᵢ₋₁| over the event_id
+    order): genuinely order-sensitive — any wrong or unstable ORDER BY
+    delivery flips the hash — and event_id is unique, so the order is
+    tie-free (the max_by determinism rule). The oracle replays it with
+    a window lag.
+
+    Shape at 100 TB: one shuffle on the partition key + an in-partition
+    sort — the same exchange bill as the window-function plan the
+    oracle uses; groups must fit one Python worker's stream (rows are
+    iterated, not materialized). Prefer window functions when the
+    statistic is expressible (this one is — the query exists to pin
+    the surface); the table-arg UDTF is for folds SQL can't write."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    class TotalVariation:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.tv = 0
+            self.prev = None
+
+        def eval(self, row):
+            self.key = row["event_type"]
+            self.n += 1
+            if self.prev is not None:
+                self.tv += abs(row["m"] - self.prev)
+            self.prev = row["m"]
+
+        def terminate(self):
+            if self.n:
+                yield self.key, self.n, self.tv
+
+    u = uuid.uuid4().hex[:8]
+    spark.udtf.register(
+        f"tv_{u}",
+        udtf(
+            TotalVariation,
+            returnType=(
+                "event_type string, n bigint, total_variation bigint"
+            ),
+        ),
+    )
+    view = f"ev_tv_{u}"
+    load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("m"),
+    ).createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT * FROM tv_{u}(
+            TABLE({view}) PARTITION BY event_type ORDER BY event_id
+        )
+    """)
+
+
+_CHANGE_FEED_ORACLE = """
+    WITH agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_final,
+               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS s_final,
+               CAST(COUNT(DISTINCT event_id % 4) AS BIGINT)
+                   AS n_update_batches
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_final, s_final, n_update_batches,
+           CAST(1 AS BIGINT) AS updates_only
+    FROM agg
+"""
+
+
+@query("statestore_change_feed_audit", oracle=_CHANGE_FEED_ORACLE)
+def statestore_change_feed_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATE CHANGE FEED — the third read mode of the State Data Source
+    (``statestore_reader_audit`` reads the LATEST snapshot;
+    ``statestore_join_state_audit`` reads join sides; THIS reads the
+    PER-BATCH CHANGELOG via ``readChangeFeed=true, changeStartBatchId=0``):
+    every (batch_id, change_type, key, value) the aggregation state
+    went through — how a deployment debugs WHEN a key's state went
+    wrong, not just what it ends at.
+
+    The stream is 4 deterministic micro-batches (the source files are
+    written one per event_id%4 class, maxFilesPerTrigger=1). Contract,
+    all ORDER-independent so no batch-sequencing assumption leaks in:
+    per key, the change row with MAX batch_id must carry the FULL
+    recompute (a key's last update includes every earlier batch's rows
+    by definition of running aggregation state); the number of update
+    rows per key == the number of %4 classes the key appears in
+    (a batch touches a key iff it holds the key's rows); and a
+    compaction-free streaming agg emits ONLY 'update' changes
+    (updates_only flag — evictions would appear as deletes).
+
+    Shape at 100 TB: the changelog read is partition-parallel over the
+    checkpoint's delta files — auditing N batches of a million-key
+    stream costs the changed keys, never the stream history; it is the
+    state-store analogue of a CDC table scan."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_change_feed_")
+    src = os.path.join(root, "src")
+    ck = os.path.join(root, "ck")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    micro = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("m"),
+    )
+    for i in range(4):
+        micro.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").alias("s"),
+        )
+        .writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "statestore_change_feed_audit: stream did not finish within "
+            "300 s; refusing to read a partially-written checkpoint"
+        )
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ck)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            "batch_id",
+            "change_type",
+            F.col("value.count").alias("n"),
+            F.col("value.sum").alias("s"),
+        )
+    )
+    return feed.groupBy("event_type").agg(
+        F.max_by("n", "batch_id").cast("long").alias("n_final"),
+        F.max_by("s", "batch_id").cast("long").alias("s_final"),
+        F.count(F.lit(1)).cast("long").alias("n_update_batches"),
+        F.min((F.col("change_type") == "update").cast("long")).alias(
+            "updates_only"
+        ),
     )
