@@ -290,3 +290,95 @@ def test_change_feed_last_update_equals_recompute(spark):
         assert r["n_final"] == e["n"]
         assert r["s_final"] == e["s"]
         assert r["n_update_batches"] == e["nb"]
+
+
+# ---------------------------------------------------------------------------
+# wave 3
+
+
+def test_rocksdb_state_matches_batch_and_backend_pinned(spark):
+    """Backend parity: RocksDB-held aggregation buffers must equal the
+    batch recompute value-for-value, and the checkpoint must contain
+    RocksDB changelog artifacts (the honest backend pin). The provider
+    confs must be restored afterwards."""
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(prov_key, None)
+    got = _q(spark, "rocksdb_statestore_audit").toPandas()
+    assert spark.conf.get(prov_key, None) == before, "conf not restored"
+    assert (got["rocksdb_changelog_present"] == 1).all()
+    assert (got["operator_name"] == "stateStoreSave").all()
+    assert (got["multi_batch"] == 1).all()
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    }
+    assert set(got["event_type"]) == set(exact)
+    for _, r in got.iterrows():
+        assert r["n"] == exact[r["event_type"]]["n"]
+        assert r["s"] == exact[r["event_type"]]["s"]
+
+
+def test_transpose_columns_are_index_values(spark):
+    """The output column set IS the event-type value set, plus the key
+    column; both metric rows survive the flip exactly."""
+    df = _q(spark, "dataframe_transpose_surface")
+    assert df.columns == [
+        "key", "click", "error", "purchase", "signup", "view",
+    ]
+    rows = {r["key"]: r for r in df.collect()}
+    assert set(rows) == {"n", "s_micro"}
+    ev = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        assert rows["n"][et] == e["n"]
+        assert rows["s_micro"][et] == e["s"]
+
+
+def test_grouped_arrow_medians_match_sorted_truth(spark):
+    """Exact lower/upper medians per group vs a driver-side sorted
+    recompute (tiny SF) — and the odd-count case where both medians
+    coincide."""
+    got = {
+        r["event_type"]: r
+        for r in _q(spark, "grouped_apply_in_arrow_median").collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("m"),
+        )
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["m"])
+    assert got.keys() == groups.keys()
+    for et, vals in groups.items():
+        v = sorted(vals)
+        n = len(v)
+        assert got[et]["n"] == n
+        assert got[et]["lo_median"] == v[(n - 1) // 2]
+        assert got[et]["hi_median"] == v[n // 2]
+        assert got[et]["s"] == sum(v)
+        if n % 2 == 1:
+            assert got[et]["lo_median"] == got[et]["hi_median"]

@@ -1,4 +1,4 @@
-"""r10 growth waves: six unprobed Spark 4 surfaces, each with a DuckDB
+"""r10 growth waves: nine unprobed Spark 4 surfaces, each with a DuckDB
 oracle (VERDICT r9 #6).
 
 Wave 1:
@@ -29,6 +29,17 @@ Wave 2:
 6. ``statestore_change_feed_audit`` — the state source's
    ``readChangeFeed`` mode: the per-batch changelog of an
    aggregation's state, with order-independent contracts.
+
+Wave 3:
+
+7. ``rocksdb_statestore_audit`` — the aggregation-state audit on the
+   PRODUCTION state backend (RocksDBStateStoreProvider + changelog
+   checkpointing), backend pinned by its on-disk artifacts.
+8. ``dataframe_transpose_surface`` — DataFrame.transpose: index values
+   become columns; aggregate-first-then-transpose as the rule.
+9. ``grouped_apply_in_arrow_median`` — grouped ``applyInArrow`` (the
+   eighth Python-worker surface): exact lower/upper medians per group
+   on raw Arrow buffers.
 
 Mechanically follows the chunk contract in ``queries/_base.py``;
 semantic invariants pinned in ``tests/test_r10_growth.py``.
@@ -554,4 +565,277 @@ def statestore_change_feed_audit(
         F.min((F.col("change_type") == "update").cast("long")).alias(
             "updates_only"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave 3: RocksDB state backend, DataFrame.transpose, grouped applyInArrow
+
+_ROCKSDB_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s,
+           'stateStoreSave' AS operator_name,
+           CAST(1 AS BIGINT) AS multi_batch,
+           CAST(1 AS BIGINT) AS rocksdb_changelog_present
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@query("rocksdb_statestore_audit", oracle=_ROCKSDB_ORACLE)
+def rocksdb_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCKSDB STATE STORE BACKEND — the same aggregation-state audit as
+    ``statestore_reader_audit``, run on the PRODUCTION state backend:
+    ``RocksDBStateStoreProvider`` with CHANGELOG CHECKPOINTING. The
+    default HDFS-backed provider keeps every key in executor JVM heap —
+    fine for KB of state, fatal for the 100-TB deployments where
+    streaming state reaches tens of GB per executor; RocksDB holds
+    state off-heap/on-disk and changelog checkpointing uploads per-batch
+    DELTAS instead of full snapshots (the r9 join-state lesson — state
+    store maintenance cost — attacked at the backend layer instead of
+    the partition-count layer).
+
+    The contract is engine parity ACROSS BACKENDS: the (count, sum)
+    buffers read back through the state source must equal the batch
+    recompute exactly — switching the provider must never change a
+    value. The backend is pinned honestly, not self-asserted: the
+    checkpoint's state directory must contain RocksDB ``.changelog``
+    files (the HDFS provider writes ``.delta``/``.snapshot``; only
+    RocksDB-with-changelog writes these). Provider confs are restored
+    in a ``finally``; the state rows (key-count-sized — 5 here) are
+    materialized BEFORE the restore so the returned DataFrame does not
+    depend on session state at a later materialization time.
+
+    Shape at 100 TB: RocksDB + changelog checkpointing is the knob
+    that makes million-key streaming state practical — snapshot upload
+    drops from O(state) to O(changed keys) per batch, and the state
+    source audit path is identical, so operational tooling carries
+    over unchanged."""
+    import glob
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_rocksdb_")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ck")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev.select("event_type", "value").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    log_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev_prov = spark.conf.get(prov_key, None)
+    prev_log = spark.conf.get(log_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(log_key, "true")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                ).alias("s"),
+            )
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "rocksdb_statestore_audit: stream did not finish within "
+                "300 s; refusing to read a partially-written checkpoint"
+            )
+        meta = (
+            spark.read.format("state-metadata")
+            .load(ckpt)
+            .select("operatorName", (F.col("maxBatchId") >= 1).alias("mb"))
+            .collect()[0]
+        )
+        state_rows = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("s"),
+            )
+            .collect()
+        )
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
+        if prev_log is None:
+            spark.conf.unset(log_key)
+        else:
+            spark.conf.set(log_key, prev_log)
+
+    changelogs = glob.glob(
+        os.path.join(ckpt, "state", "0", "*", "*.changelog")
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                r["n"],
+                r["s"],
+                meta["operatorName"],
+                int(meta["mb"]),
+                int(bool(changelogs)),
+            )
+            for r in state_rows
+        ],
+        "event_type string, n long, s long, operator_name string, "
+        "multi_batch long, rocksdb_changelog_present long",
+    )
+
+
+_TRANSPOSE_ORACLE = """
+    WITH a AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT 'n' AS key,
+           (SELECT n FROM a WHERE event_type = 'click') AS "click",
+           (SELECT n FROM a WHERE event_type = 'error') AS "error",
+           (SELECT n FROM a WHERE event_type = 'purchase') AS "purchase",
+           (SELECT n FROM a WHERE event_type = 'signup') AS "signup",
+           (SELECT n FROM a WHERE event_type = 'view') AS "view"
+    UNION ALL
+    SELECT 's_micro',
+           (SELECT s FROM a WHERE event_type = 'click'),
+           (SELECT s FROM a WHERE event_type = 'error'),
+           (SELECT s FROM a WHERE event_type = 'purchase'),
+           (SELECT s FROM a WHERE event_type = 'signup'),
+           (SELECT s FROM a WHERE event_type = 'view')
+"""
+
+
+@query("dataframe_transpose_surface", oracle=_TRANSPOSE_ORACLE)
+def dataframe_transpose_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DATAFRAME.TRANSPOSE (Spark 4) — rows↔columns flip with the index
+    column's VALUES becoming the output column names (here the five
+    event types) and each remaining metric column becoming a row keyed
+    by its name in the ``key`` column. The metrics report / wide-to-tall
+    dashboard shape, done by the engine instead of a driver-side pandas
+    pivot. Two contracts ride the hash: the emitted column set IS the
+    index value set (a missing/extra event type changes the schema, not
+    just values — DuckDB's scalar-subquery long form replays it), and
+    both metric rows keep exact integer values through the flip
+    (transpose requires a common value type — two BIGINTs here; mixing
+    types would silently widen).
+
+    Shape at 100 TB: transpose materializes one column per index VALUE
+    — it is a small-result operator by contract (the input here is the
+    5-row aggregate, never the raw table); transposing a high-cardinality
+    index is the same anti-pattern as an unbounded pivot, and the
+    aggregate-first-then-transpose order in this query is the rule."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)"))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return agg.transpose()
+
+
+_GROUPED_ARROW_ORACLE = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000) AS BIGINT) AS m
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(cnt) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN m END) AS BIGINT)
+               AS lo_median,
+           CAST(MAX(CASE WHEN rn = cnt // 2 + 1 THEN m END) AS BIGINT)
+               AS hi_median,
+           CAST(SUM(m) AS BIGINT) AS s
+    FROM r GROUP BY event_type
+"""
+
+
+@query("grouped_apply_in_arrow_median", oracle=_GROUPED_ARROW_ORACLE)
+def grouped_apply_in_arrow_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED ``applyInArrow`` — the eighth Python-worker surface,
+    completing the Arrow grouped-map matrix (pandas grouped / pandas
+    cogrouped / Arrow cogrouped were covered; this is the single-sided
+    Arrow grouped-map): one key's rows arrive as a raw ``pyarrow.Table``
+    (no pandas Block consolidation) and the kernel computes the exact
+    LOWER and UPPER medians — sorted-array order statistics, the
+    canonical "needs the whole group materialized" statistic — plus
+    count and sum as self-checks. Tie-stable (a sorted multiset's
+    rank values are unique no matter how equal values order), hence
+    cross-engine deterministic; the oracle replays with a row_number
+    window.
+
+    Shape at 100 TB: one shuffle on the group key, groups must fit one
+    Python worker (grouped-map contract); when the statistic
+    decomposes (count/sum/median-via-sketch) built-ins win — this
+    surface is for holistic per-group computations, and the exact
+    median here is the honest example (contrast
+    ``percentile_engagement``'s sort-based exact and
+    ``kll_quantile_anchor``'s mergeable sketch: three cost tiers of
+    the same question)."""
+    import pyarrow as pa
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.sort(tbl.column("m").to_numpy(zero_copy_only=False))
+        k = tbl.column("event_type")[0].as_py()
+        n = len(v)
+        return pa.table(
+            {
+                "event_type": pa.array([k], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "lo_median": pa.array([int(v[(n - 1) // 2])], pa.int64()),
+                "hi_median": pa.array([int(v[n // 2])], pa.int64()),
+                "s": pa.array([int(v.sum())], pa.int64()),
+            }
+        )
+
+    micro = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("m"),
+        )
+    )
+    return micro.groupBy("event_type").applyInArrow(
+        kernel,
+        "event_type string, n long, lo_median long, hi_median long, s long",
     )
