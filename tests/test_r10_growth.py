@@ -382,3 +382,96 @@ def test_grouped_arrow_medians_match_sorted_truth(spark):
         assert got[et]["s"] == sum(v)
         if n % 2 == 1:
             assert got[et]["lo_median"] == got[et]["hi_median"]
+
+
+# ---------------------------------------------------------------------------
+# wave 4
+
+
+def test_dynamic_gap_running_max_end_semantics(spark):
+    """The session end is the running MAX of ts+gap (a small-gap event
+    can end before an earlier large-gap one), and an event starting
+    EXACTLY at the running end MERGES (boundary-inclusive) — measured
+    live; the oracle's strict > new-session rule encodes it. Both are
+    rules a naive last-event+gap replay gets wrong."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00", "view"),   # 30m -> end 00:30
+            ("u", "2024-01-01 00:10:00", "error"),  # 5m  -> 00:15 < 00:30
+            ("u", "2024-01-01 00:30:00", "view"),   # AT end -> MERGES
+        ],
+        "user_id string, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("sw.start").alias("s"),
+            F.unix_micros("sw.end").alias("e"),
+            "n",
+        )
+        .orderBy("s")
+        .collect()
+    )
+    us = lambda m: 1704067200000000 + m * 60_000_000  # noqa: E731
+    # one session: the 00:30 event sits exactly on the running end
+    # (max(00:30, 00:15)) and merges, extending the end to 01:00
+    assert [(r["s"], r["e"], r["n"]) for r in out] == [(us(0), us(60), 3)]
+
+
+def test_chained_windows_flush_and_match_batch(spark):
+    """Both window layers finalize (the sentinel advanced the watermark
+    past every real window) and the streamed two-level rollup equals
+    the batch recompute."""
+    got = _q(spark, "chained_windowed_aggregation").toPandas()
+    assert (got["event_type"] != "zz_flush").all()
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "ts")
+    )
+    daily = ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weekly = {
+        (r["event_type"], r["ws"]): r
+        for r in daily.groupBy(
+            F.window(F.window_time("w"), "7 days").alias("w7"), "event_type"
+        )
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .select(
+            "event_type",
+            F.unix_micros("w7.start").alias("ws"),
+            "mx",
+            "tot",
+        )
+        .collect()
+    }
+    assert len(got) == len(weekly)
+    for _, r in got.iterrows():
+        e = weekly[(r["event_type"], r["week_start_us"])]
+        assert r["max_daily"] == e["mx"] and r["total_events"] == e["tot"]
+
+
+def test_pivot_unpivot_round_trip_keeps_zero_rows(spark):
+    """INCLUDE NULLS + COALESCE must keep missing (bucket, type) combos
+    as 0 rows — the dense grid has exactly buckets x 5 rows."""
+    got = _q(spark, "sql_pivot_unpivot_syntax").toPandas()
+    n_buckets = got["bucket"].nunique()
+    assert len(got) == n_buckets * 5
+    ev = load_table(spark, SF, "events").where(F.col("user_id").isNotNull())
+    exact = {
+        (r["b"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            (F.col("user_id") % 10).alias("b"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for _, r in got.iterrows():
+        assert r["n"] == exact.get((r["bucket"], r["metric"]), 0)

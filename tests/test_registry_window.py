@@ -145,14 +145,18 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     the production state backend with changelog checkpointing;
     dataframe_transpose_surface — DataFrame.transpose;
     grouped_apply_in_arrow_median — grouped applyInArrow, the eighth
-    Python-worker surface) = 307, debt 9 ≪ 43 carried by the r10
+    Python-worker surface) + 3 growth wave 4
+    (session_window_dynamic_gap — per-row gapDuration;
+    chained_windowed_aggregation — two time-window aggs in one
+    streaming query via window_time; sql_pivot_unpivot_syntax — the
+    SQL PIVOT/UNPIVOT clauses) = 310, debt 12 ≪ 43 carried by the r10
     window's debt-first slots ahead of the freshness fill; the r9 window re-rotated to carry all 36 debt names
     (25 carryover + 11 growth, still under the 43-slot budget), so
     debt after the r9 driver run = 0. Bumping the literal BELOW
     requires the same arithmetic in this docstring, and every new
     name must be in the COVERAGE.md schedule (machine-readable row)
     BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 307, (
+    assert len(registry._REG_ORDER) == 310, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )

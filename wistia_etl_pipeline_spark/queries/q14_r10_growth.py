@@ -1,5 +1,5 @@
-"""r10 growth waves: nine unprobed Spark 4 surfaces, each with a DuckDB
-oracle (VERDICT r9 #6).
+"""r10 growth waves: twelve unprobed Spark 3.5/4 surfaces, each with a
+DuckDB oracle (VERDICT r9 #6).
 
 Wave 1:
 
@@ -40,6 +40,16 @@ Wave 3:
 9. ``grouped_apply_in_arrow_median`` — grouped ``applyInArrow`` (the
    eighth Python-worker surface): exact lower/upper medians per group
    on raw Arrow buffers.
+
+Wave 4:
+
+10. ``session_window_dynamic_gap`` — per-row gapDuration expression;
+    the running-max-end merge semantics pinned by replay.
+11. ``chained_windowed_aggregation`` — two time-window aggregations in
+    one streaming query via ``window_time`` (multi-stateful, append
+    mode, sentinel-flushed finality).
+12. ``sql_pivot_unpivot_syntax`` — the SQL PIVOT/UNPIVOT clauses,
+    round-tripped with INCLUDE NULLS.
 
 Mechanically follows the chunk contract in ``queries/_base.py``;
 semantic invariants pinned in ``tests/test_r10_growth.py``.
@@ -839,3 +849,267 @@ def grouped_apply_in_arrow_median(
         kernel,
         "event_type string, n long, lo_median long, hi_median long, s long",
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 4: dynamic-gap sessions, chained windowed aggregation, SQL PIVOT
+
+_DYN_GAP_ORACLE = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'error' THEN 300000000
+                    ELSE 1800000000 END AS gap_us
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    o AS (
+        SELECT user_id, us, gap_us,
+               MAX(us + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM v
+    ),
+    s AS (
+        SELECT user_id, us, gap_us,
+               CASE WHEN prev_end IS NULL OR us > prev_end
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    sid AS (
+        SELECT user_id, us, gap_us,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM s
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us + gap_us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, sess
+"""
+
+
+@query("session_window_dynamic_gap", oracle=_DYN_GAP_ORACLE)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS WITH A PER-ROW GAP — ``session_window``'s
+    gapDuration as an EXPRESSION (Spark 3.2+, unprobed here until now):
+    an error event holds its session open 5 minutes, everything else
+    30 — the adaptive-timeout sessionization real clickstreams use
+    (cheap events shouldn't keep sessions alive as long as meaningful
+    ones). Semantics pinned by the oracle replay AND a boundary unit
+    test (measured, not assumed): a session is the union of
+    overlapping [ts, ts+gap(ts)] intervals where an event starting
+    EXACTLY at the running maximum end still MERGES (boundary-
+    inclusive — only ts strictly beyond the running end opens a new
+    session), and the session end is the running MAX of ts+gap — NOT
+    last-event ts + its gap (a small-gap event can end before an
+    earlier large-gap one; the replay's windowed cumulative max
+    encodes exactly this).
+
+    Contrast ``session_rollup_events`` (fixed gap) and
+    ``sessionize_events`` (hand-built gaps-and-islands): this is the
+    built-in operator's full-strength form.
+
+    Shape at 100 TB: one shuffle on user_id + an in-partition sort —
+    identical exchange bill to the fixed-gap form; the gap expression
+    rides WholeStageCodegen. Session merge state is per-key bounded."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+_CHAINED_WINDOW_ORACLE = """
+    WITH v AS (
+        SELECT event_type, epoch_us(ts) AS us FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    d AS (
+        SELECT event_type, us // 86400000000 AS day_idx,
+               COUNT(*) AS n
+        FROM v GROUP BY event_type, day_idx
+    ),
+    w AS (
+        SELECT event_type,
+               ((day_idx + 1) * 86400000000 - 1) // 604800000000 AS week_idx,
+               n
+        FROM d
+    )
+    SELECT event_type,
+           CAST(week_idx * 604800000000 AS BIGINT) AS week_start_us,
+           CAST(MAX(n) AS BIGINT) AS max_daily,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM w GROUP BY event_type, week_idx
+"""
+
+
+@query("chained_windowed_aggregation", oracle=_CHAINED_WINDOW_ORACLE)
+def chained_windowed_aggregation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS — two time-window aggregations in ONE
+    streaming query (Spark 3.5 multi-stateful support): daily event
+    counts (first stateful agg) re-windowed through ``window_time()``
+    into 7-day windows of MAX-daily / total (second stateful agg),
+    append mode, one watermark driving both state stores. This is the
+    dashboard-rollup chain (minute→hour→day) that previously required
+    two queries with an intermediate sink; ``window_time`` (window end
+    − 1 µs) is the function that makes a window struct re-windowable.
+
+    Finality is handled the honest way: append mode only emits a
+    window once the watermark passes its end, so after the data files
+    are fully processed a SECOND run against the same checkpoint
+    ingests one far-future sentinel row (event_type 'zz_flush',
+    +30 days), advancing the watermark past every real window —
+    deterministic, because run 1's offsets log pins which files it saw.
+    The sentinel's own groups are dropped from the result; the oracle
+    replays both window layers with integer-microsecond arithmetic
+    (epoch-aligned 1-day and 7-day buckets, the −1 µs window_time
+    rule).
+
+    Shape at 100 TB: the first agg's output is day×type grain — the
+    second stateful operator's input is already tiny; one watermark
+    bounds both stores' retention. The file-sink append log keeps the
+    output exactly-once across the two runs."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wistia_chained_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ck = os.path.join(root, "ck")
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    micro = ev.select("event_type", "ts")
+    micro.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    max_ts = micro.agg(F.max("ts")).collect()[0][0]
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        daily = stream.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        weekly = daily.groupBy(
+            F.window(F.window_time("w"), "7 days").alias("w7"), "event_type"
+        ).agg(
+            F.max("n").alias("max_daily"),
+            F.sum("n").alias("total_events"),
+        )
+        q = (
+            weekly.select(
+                "event_type",
+                F.unix_micros("w7.start").alias("week_start_us"),
+                "max_daily",
+                "total_events",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "chained_windowed_aggregation: stream did not finish "
+                "within 300 s"
+            )
+
+    run_once()
+    # The flush sentinel lands in a SECOND file-source discovery, so
+    # run 1's watermark never jumps ahead of real data (a sentinel in
+    # the first run could race the listing order and late-drop rows).
+    spark.createDataFrame(
+        [("zz_flush",)], "event_type string"
+    ).withColumn(
+        "ts", F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("event_type") != "zz_flush")
+        .select(
+            "event_type",
+            "week_start_us",
+            F.col("max_daily").cast("long").alias("max_daily"),
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+    )
+
+
+_PIVOT_SQL_ORACLE = """
+    WITH g AS (
+        SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS n
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY bucket, event_type
+    ),
+    b AS (
+        SELECT DISTINCT user_id % 10 AS bucket FROM events
+        WHERE user_id IS NOT NULL
+    ),
+    t AS (
+        SELECT UNNEST(['click','error','purchase','signup','view'])
+            AS metric
+    )
+    SELECT b.bucket, t.metric,
+           CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+    FROM b CROSS JOIN t
+    LEFT JOIN g ON g.bucket = b.bucket AND g.event_type = t.metric
+"""
+
+
+@query("sql_pivot_unpivot_syntax", oracle=_PIVOT_SQL_ORACLE)
+def sql_pivot_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT / UNPIVOT CLAUSES — the SQL front-end twins of the
+    DataFrame ``pivot`` / ``unpivot`` already covered
+    (``pivot_event_counts``, ``unpivot_daily_metrics``): a PIVOT with
+    an EXPLICIT value list (the only form — SQL needs column names at
+    parse time; the DataFrame API's implicit-values pivot pays a
+    distinct-scan first), immediately UNPIVOTed back to long form with
+    ``INCLUDE NULLS`` + COALESCE so missing (bucket, type) combos
+    round-trip as 0 rather than vanishing (UNPIVOT drops NULL rows by
+    default — the silent-row-loss footgun this query pins). Hash ==
+    the plain GROUP BY over the dense bucket×type grid.
+
+    Shape at 100 TB: PIVOT with an explicit IN list is ONE hash
+    aggregate with conditional partials (no distinct pre-scan, no
+    extra shuffle); UNPIVOT is a generator (expand), shuffle-free."""
+    import uuid
+
+    view = f"ev_pivot_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT bucket, metric, CAST(COALESCE(val, 0) AS BIGINT) AS n
+        FROM (
+            SELECT * FROM (
+                SELECT user_id % 10 AS bucket, event_type
+                FROM {view} WHERE user_id IS NOT NULL
+            )
+            PIVOT (COUNT(*) FOR event_type IN
+                   ('click' AS click, 'error' AS error,
+                    'purchase' AS purchase, 'signup' AS signup,
+                    'view' AS view))
+        )
+        UNPIVOT INCLUDE NULLS (
+            val FOR metric IN (click, error, purchase, signup, view)
+        )
+    """)
