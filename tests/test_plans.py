@@ -729,3 +729,27 @@ def test_recursive_cte_plans_as_union_loop(spark, sf_dir):
     assert "UnionLoopRef" in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pivot_sql_two_level_agg_no_distinct_prescan(spark, sf_dir):
+    """SQL PIVOT with an explicit IN list plans as the measured
+    two-level aggregate — count at (group, pivot-key) grain, then
+    pivotfirst at group grain — with NO distinct-values pre-scan job
+    (the implicit-values DataFrame pivot pays one): exactly two
+    exchanges, the second at already-aggregated group grain, one scan.
+    The UNPIVOT side is a shuffle-free Expand."""
+    plan = _plan(spark, sf_dir, "sql_pivot_unpivot_syntax")
+    assert plan.count("Exchange") == 2, plan
+    assert "pivotfirst" in plan
+    assert plan.count("FileScan") == 1  # no distinct pre-scan
+    assert "Expand" in plan  # the UNPIVOT side, generator not shuffle
+
+
+def test_dynamic_gap_session_plan_shuffles_once_on_user(spark, sf_dir):
+    """The per-row gap expression must not change the exchange bill:
+    one shuffle on user_id feeding the session-window aggregate (plus
+    AQE reads), never a cartesian or a second data shuffle."""
+    plan = _plan(spark, sf_dir, "session_window_dynamic_gap")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SessionWindow" in plan or "session_window" in plan

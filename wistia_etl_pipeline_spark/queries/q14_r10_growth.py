@@ -1090,9 +1090,12 @@ def sql_pivot_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     default — the silent-row-loss footgun this query pins). Hash ==
     the plain GROUP BY over the dense bucket×type grid.
 
-    Shape at 100 TB: PIVOT with an explicit IN list is ONE hash
-    aggregate with conditional partials (no distinct pre-scan, no
-    extra shuffle); UNPIVOT is a generator (expand), shuffle-free."""
+    Shape at 100 TB (measured plan, pinned in test_plans): PIVOT with
+    an explicit IN list is a TWO-level aggregate — count at (group,
+    pivot-key) grain, then pivotfirst at group grain, the second
+    exchange carrying already-aggregated rows — and, unlike the
+    implicit-values DataFrame pivot, NO distinct-values pre-scan job;
+    UNPIVOT is a generator (Expand), shuffle-free."""
     import uuid
 
     view = f"ev_pivot_{uuid.uuid4().hex[:8]}"
