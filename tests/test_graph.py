@@ -289,6 +289,47 @@ def test_kcore_random_graph_matches_replica(spark):
     _run_kcore(spark, noisy)
 
 
+def test_kcore_raises_when_bound_too_small(spark):
+    # path 0..7 needs 4 peel rounds for k=2 (endpoints inward); with
+    # max_rounds=2 the survivors {2,3,4,5} still hold a sub-2-degree
+    # node, so the fixpoint invariant (every survivor's core_deg >= k)
+    # must raise — the bound's honesty is the differential oracle's
+    # precondition.
+    import pytest
+
+    from wistia_etl_pipeline_spark.functions.graph import kcore_peel
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint in 2 rounds"):
+        kcore_peel(df, k=2, max_rounds=2, src="a_id", dst="b_id")
+    with pytest.raises(ValueError, match="max_rounds"):
+        kcore_peel(df, k=2, max_rounds=0, src="a_id", dst="b_id")
+
+
+def test_kcore_restores_shuffle_partitions_conf(spark):
+    # the frontier-sized ladder mutates spark.sql.shuffle.partitions
+    # under try/finally — both the success and the raise path must
+    # leave the session conf exactly as found.
+    import pytest
+
+    from wistia_etl_pipeline_spark.functions.graph import kcore_peel
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "a_id long, b_id long"
+    )
+    kcore_peel(tri, k=2, src="a_id", dst="b_id").collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError):
+        kcore_peel(path, k=2, max_rounds=2, src="a_id", dst="b_id")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 # ---------------------------------------------------------------------------
 # deterministic random walks
 # ---------------------------------------------------------------------------
