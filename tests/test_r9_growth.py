@@ -68,6 +68,70 @@ def test_kll_anchor_flags_hold_across_reruns(spark):
             assert (df[c] == 1).all(), f"rank-error bound violated: {c}"
 
 
+def test_kll_anchor_drift_tier(spark):
+    """Two-tier rank-error contract (r10 ADVICE): the oracle-pinned
+    flags hard-fail at ±4 % (~4.5 ε at k=400, flake-proof), but a real
+    sketch-accuracy regression creeping toward that bound would pass
+    silently — so this tier MEASURES the max rank error the anchor
+    abstracts into flags, prints it (visible in -rA / CI logs, and the
+    round close records it in NOTES), soft-flags above the old ±2.5 %
+    line via a warning, and hard-fails only at the 4 % contract. The
+    measured error has run ~0.3 % live; a warning here is the
+    drift signal the flags cannot carry."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").where(F.col("value").isNotNull())
+    micro = ev.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+    )
+    k = F.lit(400)
+    est = micro.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_sketch_agg_bigint("v", k), F.lit(0.25)
+        ).alias("q25"),
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_sketch_agg_bigint("v", k), F.lit(0.5)
+        ).alias("q50"),
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_sketch_agg_bigint("v", k), F.lit(0.75)
+        ).alias("q75"),
+    )
+    ranked = (
+        micro.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.sum((F.col("v") <= F.col(c)).cast("long"))
+                    / F.count(F.lit(1))
+                ).alias(f"r_{c}")
+                for c in ("q25", "q50", "q75")
+            ]
+        )
+        .toPandas()
+    )
+    errs = {
+        "q25": (ranked["r_q25"] - 0.25).abs().max(),
+        "q50": (ranked["r_q50"] - 0.50).abs().max(),
+        "q75": (ranked["r_q75"] - 0.75).abs().max(),
+    }
+    worst = max(errs.values())
+    print(f"kll_quantile_anchor measured max rank error: {worst:.4f} ({errs})")
+    if worst > 0.025:
+        warnings.warn(
+            f"KLL rank error {worst:.4f} exceeds the 2.5% drift line "
+            f"(hard contract is 4%): {errs} — investigate before the "
+            "silent-pass zone narrows",
+            stacklevel=1,
+        )
+    assert worst <= 0.04, f"KLL hard rank-error contract breached: {errs}"
+
+
 def test_approx_top_k_counts_are_exact(spark):
     """In the exact regime (97 items << maxItemsTracked) the sketch's
     counts must equal a plain groupBy — item for item."""

@@ -116,6 +116,12 @@ def udtf_polymorphic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema.add("n_tokens", LongType()))
 
         def eval(self, text: str, k: int):
+            if text is None:
+                # NULL-robust regardless of whether the outer
+                # `WHERE text IS NOT NULL` is pushed below the LATERAL
+                # generate (r10 ADVICE): a NULL row yields nothing
+                # rather than dying in the Python worker.
+                return
             toks = text.split(" ")
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(k)
