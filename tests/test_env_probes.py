@@ -53,3 +53,16 @@ def test_codec_absence_still_justifies_multimodal_stub():
         f"container gained media libraries {present} — implement the real "
         "decode path in functions/multimodal.py"
     )
+
+
+def test_grpc_absence_still_justifies_local_pipelines_executor():
+    # If this fails, grpc (+ protobuf) arrived: Spark Connect sessions
+    # become constructible, so the Declarative Pipelines runner that
+    # ships with Spark (pyspark.pipelines.cli → spark_connect_pipeline)
+    # can replace declarative.materialize's local execution half.
+    # Wire the real runner behind the same queries, then delete this
+    # probe and the NOTES_r11 "Connect-blocked" entry.
+    assert not _importable("grpc"), (
+        "container gained grpc — run Declarative Pipelines through the "
+        "real Spark Connect runner instead of the local executor"
+    )

@@ -753,3 +753,27 @@ def test_dynamic_gap_session_plan_shuffles_once_on_user(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SessionWindow" in plan or "session_window" in plan
+
+
+def test_sql_udf_scalar_inlines_to_scan_filter(spark, sf_dir):
+    """A SQL scalar UDF is macro-expanded by the optimizer — the
+    `WHERE played(value) = 1` predicate must reach the parquet scan
+    as a plain `value > 100.0` data filter (no function boundary, no
+    Python worker, unbroken codegen), the property that makes the
+    surface first-class at 100 TB."""
+    plan = _plan(spark, sf_dir, "sql_udf_scalar_surface")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and any("100.0" in ln for ln in scan), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan  # one agg shuffle
+
+
+def test_sql_udf_table_lateral_is_plain_generate(spark, sf_dir):
+    """The RETURNS TABLE UDF under LATERAL must compile to the same
+    Generate(explode(sequence)) the inline spelling would — no Python
+    stage, no nested-loop join against a materialized function
+    result; the spine explodes the anchors frame only."""
+    plan = _plan(spark, sf_dir, "sql_udf_table_surface")
+    assert "Generate explode" in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDTF" not in plan
+    assert "CartesianProduct" not in plan

@@ -20,6 +20,7 @@ from . import q11_plans_calibration  # noqa: F401
 from . import q12_r8_growth  # noqa: F401
 from . import q13_r9_growth  # noqa: F401
 from . import q14_r10_growth  # noqa: F401
+from . import q15_r11_growth  # noqa: F401
 
 CHUNKS = (
     q01_core_gold_silver,
@@ -36,4 +37,5 @@ CHUNKS = (
     q12_r8_growth,
     q13_r9_growth,
     q14_r10_growth,
+    q15_r11_growth,
 )
