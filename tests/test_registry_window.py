@@ -152,11 +152,17 @@ def test_registry_growth_frozen_while_debt_exceeds_one_window():
     SQL PIVOT/UNPIVOT clauses) = 310, debt 12 ≪ 43 carried by the r10
     window's debt-first slots ahead of the freshness fill; the r9 window re-rotated to carry all 36 debt names
     (25 carryover + 11 growth, still under the 43-slot budget), so
-    debt after the r9 driver run = 0. Bumping the literal BELOW
+    debt after the r9 driver run = 0. r11: +4 growth
+    (sql_udf_scalar_surface / sql_udf_table_surface — CREATE FUNCTION
+    … RETURN, scalar and RETURNS TABLE forms, optimizer-inlined;
+    declarative_pipeline_gold / declarative_append_flows — the
+    pyspark.pipelines definition surface on the local executor) = 314,
+    debt 4 ≪ 43 carried by the r11 window's debt-first slots ahead of
+    the freshness fill. Bumping the literal BELOW
     requires the same arithmetic in this docstring, and every new
     name must be in the COVERAGE.md schedule (machine-readable row)
     BEFORE the next rotation."""
-    assert len(registry._REG_ORDER) == 310, (
+    assert len(registry._REG_ORDER) == 314, (
         "registry size drifted from the documented growth budget — "
         "see COVERAGE.md closure schedule before adding queries"
     )
