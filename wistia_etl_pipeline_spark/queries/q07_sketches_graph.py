@@ -589,7 +589,15 @@ def _kcore_round_sql(r: int, k: int) -> str:
     )"""
 
 
-_KCORE_ROUNDS = 6
+# 4 = 4x the measured peel depth: max peel_round is 1 on EVERY corpus
+# (driver sf0.001/0.01/0.1 and .scaledata sf1/sf2 and zipf sf2, probed
+# r11) and the docstring's degeneracy argument bounds dedup graphs at
+# ~2. Both engines unroll the SAME ladder, and the Spark side RAISES
+# if a 5th round would peel, so a corpus that ever needs more rounds
+# fails loudly instead of silently truncating. Was 6 through r10; each
+# spare round costs a fixed ladder segment (~0.15-0.2 s at sf0.1) that
+# became the query's dominant cost after the r11 peel rewrite.
+_KCORE_ROUNDS = 4
 
 _KCORE_ORACLE = f"""
     WITH {_minhash_pairs_ctes(_DUP_CORPUS_SQL)},
