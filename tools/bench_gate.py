@@ -37,6 +37,15 @@ R8_ADJUSTED_WARM = {
     "link_prediction_ra": 6.08,
     "pagerank_dup_graph": 6.01,
     "dedup_eval_metrics": 2.77,
+    # r11 addendum (BASELINE.md): three more miner consumers whose
+    # "first recordings" are pre-r6 cache-reuse era (kcore at ffbd577,
+    # incremental at 7d72771, triangle at ffbd577 — all before the
+    # d82aef4 methodology change); adjusted to their honest d82aef4
+    # recordings. Non-consumers with pre-r6 rows were checked and left
+    # strict (their two eras agree within noise — see BASELINE.md).
+    "kcore_decomposition": 5.887,
+    "dedup_incremental_minhash": 2.273,
+    "triangle_count_dup_graph": 3.763,
 }
 
 
