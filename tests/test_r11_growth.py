@@ -197,3 +197,53 @@ def test_declarative_gold_table_is_partitioned_by_media_id(spark, tmp_path):
         assert spark.table(name).count() == 2
     finally:
         drop(spark, reg)
+
+
+def test_declarative_adds_nothing_to_the_gold_plan(spark):
+    """The 100-TB claim behind the declarative surface: declaring the
+    medallion adds ORCHESTRATION, never plan shape. The gold flow's
+    DataFrame (pre-materialization) must carry the same aggregate
+    structure as the imperative daily_rollup — same grouping keys,
+    same single hash-aggregate pair, no extra exchanges from the
+    declaration machinery."""
+    import pyspark.pipelines as dp
+
+    from pyspark.sql import functions as F
+
+    from wistia_etl_pipeline_spark.declarative import (
+        LocalGraphElementRegistry,
+        definitions,
+    )
+    from wistia_etl_pipeline_spark.operators.rollup import daily_rollup
+
+    events = load_table(spark, SF, "events")
+
+    def rollup(src):
+        return daily_rollup(
+            src,
+            key="event_type",
+            event_time="ts",
+            engagement_value="value",
+            visitor="user_id",
+            played=F.col("value") > F.lit(100.0),
+            ndigits=6,
+            exact=True,
+        )
+
+    reg = LocalGraphElementRegistry()
+    with definitions(reg):
+        @dp.materialized_view(name="r11_plan_probe")
+        def gold():
+            return rollup(events)
+
+    decl_plan = reg.flows[0].func()._jdf.queryExecution().executedPlan().toString()
+    imp_plan = rollup(events)._jdf.queryExecution().executedPlan().toString()
+
+    def shape(plan: str) -> tuple:
+        return (
+            plan.count("Exchange hashpartitioning"),
+            plan.count("HashAggregate"),
+            plan.count("FileScan"),
+        )
+
+    assert shape(decl_plan) == shape(imp_plan), (decl_plan, imp_plan)
