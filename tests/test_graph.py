@@ -379,3 +379,32 @@ def test_random_walks_cover_all_neighbors_eventually(spark):
     for r in random_walks(df, src="a_id", dst="b_id").collect():
         seq = [int(x) for x in r["path"].split("-")]
         assert all((a, b) in allowed for a, b in zip(seq, seq[1:])), r
+
+
+def test_kcore_hypothesis_random_graphs_match_replica(spark):
+    """Property check of the r11 keep-set rewrite: on arbitrary small
+    edge lists (self-loops, duplicates, both orientations, any k) the
+    unrolled ladder must agree with the straightforward Python peel
+    replica — the algebraic claim (peel_round = #keeps + 1 under
+    keep-set monotonicity) holds for every graph, not just the
+    handcrafted shapes above. Spark jobs are slow, so examples are few
+    but adversarially shaped by hypothesis shrinking."""
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        edges=st.lists(edge, min_size=1, max_size=25),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    def check(edges, k):
+        # drop pure-self-loop graphs: no edge survives, nothing to peel
+        if all(a == b for a, b in edges):
+            return
+        _run_kcore(spark, [(int(a), int(b)) for a, b in edges], k=k)
+
+    check()
