@@ -192,16 +192,21 @@ def _staged_bands(
         .select("doc", F.array_distinct(shingles(F.col("__norm"), k=shingle_k)).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Hierarchical regime decision, cheapest evidence first — the full
-    # occurrence probe itself costs ~1 s at small grain (it forces an
-    # extra materialize-then-reread round trip over the shingle cache),
-    # which is exactly the overhead class the floor exists to avoid:
-    # 1. row count (column-pruned scan, no shingling) — if even a
-    #    generous shingles-per-doc bound cannot reach the floor, go
-    #    inline with zero shingle-level jobs;
-    # 2. otherwise one pass over the (now warranted) shingle cache for
+    # Hierarchical regime decision, cheapest evidence first:
+    # 1. row count — counted over the SHINGLE CACHE, not the raw
+    #    corpus: the count is the action that materializes staged_sh,
+    #    work every consumer needs anyway, so the probe costs zero
+    #    extra passes. (r12: counting ``df`` instead re-evaluated the
+    #    corpus plan uncached — for derived corpora whose union
+    #    branches each filter on a shingle-count expression (the
+    #    wedge-injected link-prediction graph) that was 4 redundant
+    #    tokenize passes before any useful work. Row counts are
+    #    identical: staged_sh is a row-preserving projection of df.)
+    #    If even a generous shingles-per-doc bound cannot reach the
+    #    floor, go inline with zero further shingle-level jobs;
+    # 2. otherwise one more pass over the now-cached shingle frame for
     #    the exact occurrence count + distinct estimate.
-    n_rows = df.count()
+    n_rows = staged_sh.count()
     use_dictionary = False
     if n_rows * _MINHASH_MAX_SH_PER_DOC >= _MINHASH_DICT_MIN_OCC:
         occurrences = staged_sh.select(F.explode("sh").alias("__s"))

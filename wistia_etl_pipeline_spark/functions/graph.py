@@ -125,19 +125,38 @@ def connected_components(
     cur = _symmetric(raw).distinct().localCheckpoint(eager=False)
     cur_sig = _materialize(cur)
 
-    for _ in range(max_iter):
-        nxt = _small_star(_symmetric(_large_star(_symmetric(cur)))).localCheckpoint(
-            eager=False
-        )
-        nxt_sig = _materialize(nxt)
-        changed = nxt_sig != cur_sig or not nxt.exceptAll(cur).isEmpty()
-        prev, cur, cur_sig = cur, nxt, nxt_sig
-        if not changed:
+    # Every round's star shuffles (and its convergence aggregate) run
+    # INSIDE this loop, so the kcore_peel small-frontier rule applies
+    # verbatim (r12): below _SMALL_FRONTIER edges the per-round
+    # exchanges are coordination-bound at the session's partitioning —
+    # run them at 8 partitions; larger graphs keep the session value +
+    # AQE coalescing. Scoped with try/finally under the documented
+    # sequential-per-session invariant (same discipline as kcore_peel).
+    spark = raw.sparkSession
+    conf = spark.conf
+    small_frontier = cur_sig[0] <= _SMALL_FRONTIER
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    if small_frontier:
+        conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(max_iter):
+            nxt = _small_star(
+                _symmetric(_large_star(_symmetric(cur)))
+            ).localCheckpoint(eager=False)
+            nxt_sig = _materialize(nxt)
+            changed = nxt_sig != cur_sig or not nxt.exceptAll(cur).isEmpty()
+            prev, cur, cur_sig = cur, nxt, nxt_sig
+            if not changed:
+                prev.unpersist()
+                break
             prev.unpersist()
-            break
-        prev.unpersist()
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
+    finally:
+        if small_frontier:
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # Fixpoint is a union of stars: every edge points node -> component
     # min. Centers (and isolated nodes) label themselves.
@@ -693,6 +712,17 @@ def label_propagation(
     hash-partitioned on the node key), one (node, label) count
     aggregate, and one per-node top-1 window — frontier-free but
     bounded state; labels checkpoint per round (iterative-join rule).
+
+    All ``rounds`` rounds are unrolled LAZILY and materialized by ONE
+    eager checkpoint at the end — the kcore_peel ladder shape (r12;
+    was one eager checkpoint PER round = rounds+2 driver actions whose
+    fixed cost dominated at any frontier the data couldn't). Each lazy
+    checkpoint still truncates lineage at plan-build time and pins each
+    round's labels to one computation (both uses per round — the vote
+    join and the self-vote union — read the same persisted RDD). The
+    final materialization runs inside the kcore small-frontier scope,
+    so sub-_SMALL_FRONTIER graphs run their per-round shuffles at 8
+    partitions instead of paying session-width coordination per round.
     """
     from pyspark.sql import Window
 
@@ -702,26 +732,40 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label"))
-    for _ in range(rounds):
-        votes = (
-            sym.join(labels, sym.dst == labels.node)
-            .select("src", "label")
-            .unionByName(labels.select(F.col("node").alias("src"), "label"))
-        )
-        counts = votes.groupBy("src", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+    spark = sym.sparkSession
+    conf = spark.conf
+    small_frontier = sym.count() <= _SMALL_FRONTIER
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    if small_frontier:
+        conf.set("spark.sql.shuffle.partitions", "8")
+    try:
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=False)
         )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cnt").desc(), F.col("label")
+        )
+        for r in range(rounds):
+            votes = (
+                sym.join(labels, sym.dst == labels.node)
+                .select("src", "label")
+                .unionByName(labels.select(F.col("node").alias("src"), "label"))
+            )
+            counts = votes.groupBy("src", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("src").alias("node"), "label")
+                # last round eager: the ONE action that materializes
+                # the whole ladder, inside the partition scope
+                .localCheckpoint(eager=(r == rounds - 1))
+            )
+    finally:
+        if small_frontier:
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("node", F.col("label").alias("community"))

@@ -1602,6 +1602,8 @@ def _lp_graph_frames(spark: SparkSession, sf_dir: str):
     from ..functions.dedupe import minhash_near_dup_pairs, shingles
     from ..functions.text import normalize_text
 
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.where(
@@ -1618,6 +1620,12 @@ def _lp_graph_frames(spark: SparkSession, sf_dir: str):
             ).alias("nb"),
         )
         .where(F.col("nb") >= _LP_MIN_BIGRAMS)
+        # All four corpus branches below derive from base, and each
+        # re-evaluates its filter column nb — a full tokenize+shingle
+        # pass per branch (4x) on every materialization of the corpus
+        # without this cache (r12; same MEMORY_AND_DISK discipline as
+        # the miner's staged frames).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def branch(df: DataFrame, shift: int, prefix: str, j: int) -> DataFrame:
