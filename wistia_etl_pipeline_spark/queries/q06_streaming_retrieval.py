@@ -11,7 +11,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import dedup_exact, dedup_latest_wins
 from ..operators.rollup import daily_rollup
-from ..session import apply_runtime_confs, arrow_local_df, load_table
+from ..session import (
+    apply_runtime_confs,
+    arrow_local_df,
+    load_table,
+    scoped_shuffle_partitions,
+)
 from ._base import query
 from .q01_core_gold_silver import _DUP_SHIFT, _NORM, _TOKS, _dup_corpus
 
@@ -269,14 +274,20 @@ def streaming_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with cumulative values — upsert-by-day is the idempotent sink.
         table.merge(batch_df.sparkSession, batch_df, ["dt"])
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(_merge_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Day-grain state at the session's compute-width partitioning pays
+    # per-partition store maintenance every trigger for ~30 keys — size
+    # state partitions to state volume (session.scoped_shuffle_partitions;
+    # the r9 statestore_join_state_audit lesson). Values are partition-
+    # count independent; only the store/commit bill changes.
+    with scoped_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(_merge_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = table.read(spark)
     return out.select("dt", "load_count", "play_count", "engagement_sum")
 
@@ -935,15 +946,19 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Session-merge state is per-user and watermark-bounded — state
+    # partitions sized to state volume, not compute width (the shared
+    # streaming-family rule; see session.scoped_shuffle_partitions).
+    with scoped_shuffle_partitions(spark):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
@@ -1617,15 +1632,18 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Dedup state holds only in-window keys — state partitions sized to
+    # state volume (session.scoped_shuffle_partitions, shared rule).
+    with scoped_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out)
 
 

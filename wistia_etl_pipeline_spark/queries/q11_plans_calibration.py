@@ -11,7 +11,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import dedup_exact, dedup_latest_wins
 from ..operators.rollup import daily_rollup
-from ..session import apply_runtime_confs, arrow_local_df, load_table
+from ..session import (
+    apply_runtime_confs,
+    arrow_local_df,
+    load_table,
+    scoped_shuffle_partitions,
+)
 from ._base import query
 from .q01_core_gold_silver import _DUP_CORPUS_SQL, _DUP_SHIFT, _NORM, _dup_corpus
 from .q07_sketches_graph import _minhash_pairs_ctes
@@ -2813,15 +2818,19 @@ def streaming_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         )
     )
-    q = (
-        stream.writeStream.format("staged_json")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateless epochs through a Python sink — per-trigger task count
+    # scoped to the micro-batch's size, not compute width
+    # (session.scoped_shuffle_partitions, shared streaming-family rule).
+    with scoped_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("staged_json")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     committed = []
     for mf in sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json"))):
         with open(mf, encoding="utf-8") as f:

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..session import apply_runtime_confs, arrow_local_df, load_table
+from ..session import (
+    apply_runtime_confs,
+    arrow_local_df,
+    load_table,
+    scoped_shuffle_partitions,
+)
 from ._base import query
 
 # ---------------------------------------------------------------------------
@@ -1174,17 +1179,21 @@ def streaming_hll_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         table.merge(sess, new, ["bucket"])
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-        .writeStream.outputMode("append")
-        .foreachBatch(_fold_batch)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateless stream; each foreachBatch fold shuffles to <= 64
+    # register rows — scoped to state volume, not compute width
+    # (session.scoped_shuffle_partitions, shared streaming-family rule).
+    with scoped_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(_fold_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     state = table.read(spark)
     batch_regs = regs_of(events)

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..session import load_table
+from ..session import load_table, scoped_shuffle_partitions
 from ._base import query
 from .q01_core_gold_silver import _dup_corpus
 from .q02_sessions_events_e2e import _simhash_pairs_oracle
@@ -415,14 +415,20 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).alias("s"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    # State partitions sized to the ~5-key aggregation state, not
+    # compute width (session.scoped_shuffle_partitions — the same rule
+    # statestore_join_state_audit below measured and documented); the
+    # state source reads numPartitions from checkpoint metadata.
+    with scoped_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(300)
+    if not done:
         # Timing out and reading anyway would audit a PARTIAL checkpoint
         # and surface as a baffling hash mismatch (r9 advice) — fail
         # loudly with the actual cause instead.

@@ -59,7 +59,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..session import load_table
+from ..session import load_table, scoped_shuffle_partitions
 from ._base import query
 
 # ---------------------------------------------------------------------------
@@ -286,21 +286,25 @@ def foreachbatch_replay_exactly_once(
         )
 
     def run() -> None:
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .writeStream.foreachBatch(sink_batch)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "foreachbatch_replay_exactly_once: stream did not finish "
-                "within 300 s"
+        # Stateless stream, but each foreachBatch aggregate still
+        # shuffles at the session width for ~5 groups — scoped down
+        # (session.scoped_shuffle_partitions, shared rule).
+        with scoped_shuffle_partitions(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.foreachBatch(sink_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "foreachbatch_replay_exactly_once: stream did not finish "
+                    "within 300 s"
+                )
 
     run()
     commits = sorted(
@@ -540,27 +544,32 @@ def statestore_change_feed_audit(
             "append"
         ).parquet(src)
     schema = spark.read.parquet(src).schema
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("m").alias("s"),
+    # State partitions sized to the ~5-key state, not compute width
+    # (session.scoped_shuffle_partitions, shared streaming-family
+    # rule); the statestore/changelog readers take numPartitions from
+    # checkpoint metadata, so the audit itself is unaffected.
+    with scoped_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("m").alias("s"),
+            )
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("complete")
-        .format("noop")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            "statestore_change_feed_audit: stream did not finish within "
-            "300 s; refusing to read a partially-written checkpoint"
-        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "statestore_change_feed_audit: stream did not finish within "
+                "300 s; refusing to read a partially-written checkpoint"
+            )
     feed = (
         spark.read.format("statestore")
         .option("readChangeFeed", "true")
@@ -653,29 +662,34 @@ def rocksdb_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set(log_key, "true")
     try:
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "2")
-            .parquet(src)
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.expr("CAST(floor(value * 1000000) AS BIGINT)")
-                ).alias("s"),
+        # One RocksDB instance spins up per shuffle partition per
+        # trigger — state partitions sized to the 5-key state, not
+        # compute width (session.scoped_shuffle_partitions, shared
+        # streaming-family rule).
+        with scoped_shuffle_partitions(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                    ).alias("s"),
+                )
+                .writeStream.outputMode("complete")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("complete")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "rocksdb_statestore_audit: stream did not finish within "
-                "300 s; refusing to read a partially-written checkpoint"
-            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "rocksdb_statestore_audit: stream did not finish within "
+                    "300 s; refusing to read a partially-written checkpoint"
+                )
         meta = (
             spark.read.format("state-metadata")
             .load(ckpt)
@@ -1018,26 +1032,32 @@ def chained_windowed_aggregation(
             F.max("n").alias("max_daily"),
             F.sum("n").alias("total_events"),
         )
-        q = (
-            weekly.select(
-                "event_type",
-                F.unix_micros("w7.start").alias("week_start_us"),
-                "max_daily",
-                "total_events",
+        # TWO stateful operators pay per-partition store maintenance
+        # each trigger for calendar-grain state — state partitions
+        # sized to state volume (session.scoped_shuffle_partitions,
+        # shared streaming-family rule). Both runs resume the same
+        # checkpoint; the scope pins an identical width for both.
+        with scoped_shuffle_partitions(spark):
+            q = (
+                weekly.select(
+                    "event_type",
+                    F.unix_micros("w7.start").alias("week_start_us"),
+                    "max_daily",
+                    "total_events",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "chained_windowed_aggregation: stream did not finish "
-                "within 300 s"
-            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "chained_windowed_aggregation: stream did not finish "
+                    "within 300 s"
+                )
 
     run_once()
     # The flush sentinel lands in a SECOND file-source discovery, so

@@ -80,6 +80,47 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: State-partition count for the engine's bounded-state streaming
+#: demonstrations (env-overridable for cluster sizing). The r9
+#: ``statestore_join_state_audit`` lesson, generalized in r12: every
+#: micro-batch pays state-store maintenance on EVERY shuffle partition
+#: of every stateful operator whether or not it holds data (a
+#: stream-stream join keeps 4 stores per partition per side — at 32
+#: session partitions that was measured at ~4x the whole query's
+#: runtime for kilobytes of state). All of this engine's streaming
+#: state is BOUNDED by construction (calendar-grain aggregates,
+#: watermark-horizon join buffers, 64-register sketches), so a small
+#: state-partition count is the honest production sizing too — the
+#: knob scales with state volume, not compute parallelism.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
+class scoped_shuffle_partitions:
+    """Context manager: set ``spark.sql.shuffle.partitions`` for the
+    duration of a block and restore it on exit (both paths). Safe under
+    the engine's documented sequential-per-session invariant — the same
+    try/finally discipline as ``kcore_peel`` and the state-store
+    audits. Every action that should run at the scoped width must
+    execute INSIDE the block (lazy frames materialized later see the
+    restored session value)."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None):
+        self._spark = spark
+        self._n = STREAM_SHUFFLE_PARTITIONS if n is None else n
+        self._prev: str | None = None
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 _SHIPPED: set[int] = set()
 
 
