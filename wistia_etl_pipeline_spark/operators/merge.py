@@ -68,6 +68,14 @@ def merge_into_path(
     true ACID; this is the vanilla-Parquet fallback, SURVEY.md §7.4).
     """
     if _exists(spark, path):
+        # The stage subtree feeds TWO consumers in the merged plan —
+        # the broadcast anti-join probe and the insert union leg — and
+        # Spark does not reuse a broadcast exchange as a union input,
+        # so an expensive stage (a JSON-parse+dedup delta, an exact
+        # rollup) would execute twice per merge (r12; NOTES rule #7).
+        # One lazy cut point = one computation, and the checkpoint is
+        # delta-sized by the incremental contract.
+        stage = stage.localCheckpoint(eager=False)
         target = spark.read.parquet(path)
         merged = upsert(target, stage, keys, broadcast_stage=True)
     else:
