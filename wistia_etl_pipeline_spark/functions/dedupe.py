@@ -47,17 +47,9 @@ _MINHASH_DICT_MIN_OCC = int(
     os.environ.get("SPARK_GRAFT_MINHASH_DICT_MIN_OCC", "2000000")
 )
 
-#: Generous per-document distinct-shingle bound used ONLY to decide
-#: whether counting occurrences is worth a job at all: corpora with
-#: fewer than MIN_OCC / MAX_SH_PER_DOC rows cannot reach the floor
-#: under any realistic document length, so they skip straight to the
-#: inline path with zero shingle-level probe jobs. Overestimating this
-#: is safe (one wasted probe); underestimating it could deny the
-#: dictionary to a corpus of pathologically long documents — hence
-#: generous.
-_MINHASH_MAX_SH_PER_DOC = int(
-    os.environ.get("SPARK_GRAFT_MINHASH_MAX_SH_PER_DOC", "4096")
-)
+#: (r12) The former SPARK_GRAFT_MINHASH_MAX_SH_PER_DOC pre-gate is
+#: gone: the exact occurrence count now rides the cache-materializing
+#: aggregate for free, so the probe decision needs no generous bound.
 
 
 def fan_out(df: DataFrame, key: str) -> DataFrame:
@@ -193,31 +185,31 @@ def _staged_bands(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Hierarchical regime decision, cheapest evidence first:
-    # 1. row count — counted over the SHINGLE CACHE, not the raw
-    #    corpus: the count is the action that materializes staged_sh,
-    #    work every consumer needs anyway, so the probe costs zero
-    #    extra passes. (r12: counting ``df`` instead re-evaluated the
-    #    corpus plan uncached — for derived corpora whose union
-    #    branches each filter on a shingle-count expression (the
-    #    wedge-injected link-prediction graph) that was 4 redundant
-    #    tokenize passes before any useful work. Row counts are
-    #    identical: staged_sh is a row-preserving projection of df.)
-    #    If even a generous shingles-per-doc bound cannot reach the
-    #    floor, go inline with zero further shingle-level jobs;
-    # 2. otherwise one more pass over the now-cached shingle frame for
-    #    the exact occurrence count + distinct estimate.
-    n_rows = staged_sh.count()
+    # 1. the EXACT occurrence count, folded into the action that
+    #    materializes staged_sh (sum(size(sh)) rides the same
+    #    aggregate; work every consumer needs anyway, so the probe
+    #    costs zero extra passes). r12, twice over: counting ``df``
+    #    instead re-evaluated the corpus plan uncached — for derived
+    #    corpora whose union branches each filter on a shingle-count
+    #    expression (the wedge-injected link-prediction graph) that was
+    #    4 redundant tokenize passes before any useful work — and the
+    #    old generous n_rows × MAX_SH_PER_DOC bound sent every
+    #    bench-grain corpus through an explode+agg distinct probe that
+    #    always concluded "inline" (occurrences were known exact one
+    #    job later anyway).
+    # 2. only corpora whose exact occurrence volume clears the floor
+    #    pay the one extra pass over the cached shingle frame for the
+    #    distinct-universe estimate.
+    stats0 = staged_sh.agg(
+        F.coalesce(F.sum(F.size("sh")), F.lit(0)).alias("occ")
+    ).first()
     use_dictionary = False
-    if n_rows * _MINHASH_MAX_SH_PER_DOC >= _MINHASH_DICT_MIN_OCC:
+    if stats0["occ"] >= _MINHASH_DICT_MIN_OCC:
         occurrences = staged_sh.select(F.explode("sh").alias("__s"))
-        stats = occurrences.agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.approx_count_distinct("__s").alias("n"),
-        ).first()
-        use_dictionary = (
-            stats["n"] <= _MINHASH_DICT_CAP
-            and stats["occ"] >= _MINHASH_DICT_MIN_OCC
-        )
+        n_distinct = occurrences.agg(
+            F.approx_count_distinct("__s").alias("n")
+        ).first()["n"]
+        use_dictionary = n_distinct <= _MINHASH_DICT_CAP
     if use_dictionary:
         hash_cols = [
             F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))).alias(f"__h{i}")
