@@ -484,7 +484,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.clustering import semantic_dedup_int_grid
 
     t2n, t2d = _SEMDEDUP_T2
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.dedupe import fan_out
+
+    # fan_out: one-split embeddings scan — see retrieval_ndcg_eval (r12)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     out = semantic_dedup_int_grid(
         emb,
         "embedding",

@@ -1366,7 +1366,11 @@ def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the honest production contract (the benchmark list does not grow
     with the corpus) and restores the linear candidate bound; driver
     SFs sit below the cap, so their hashes are unchanged."""
-    from ..functions.dedupe import prefix_filtered_containment_pairs, shingles
+    from ..functions.dedupe import (
+        fan_out,
+        prefix_filtered_containment_pairs,
+        shingles,
+    )
     from ..functions.text import normalize_text, tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1386,7 +1390,13 @@ def containment_quote_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify sides) — without a cut point the normalize+tokenize+
     # shingle regex scan re-runs per subtree. Lazy localCheckpoint =
     # materialize once, read five times (the triangle-count lesson).
-    both = corpus.unionByName(quotes).select(
+    # fan_out BEFORE the shingle projection: the sf-grain documents
+    # parquet is one scan split, so without it the regex shingling AND
+    # the checkpoint it feeds ran on a single task — and every
+    # downstream pre-shuffle stage then read a 1-partition cache
+    # (measured r12: 5.0 s of this query's 6.8 s was that one task;
+    # the miner path always had this via _staged_bands' fan_out).
+    both = fan_out(corpus.unionByName(quotes), "doc_id").select(
         "doc_id", "is_query", shingles(F.col("text"), k=2).alias("el")
     ).localCheckpoint(eager=False)
     pairs = prefix_filtered_containment_pairs(
@@ -1556,8 +1566,11 @@ def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls all 8 rounds as CTEs and replays the identical argmax /
     tie / assignment rules."""
     from ..functions.clustering import assign, kcenter_select, quantize
+    from ..functions.dedupe import fan_out
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: k greedy selection rounds each scan the quantized frame;
+    # a 1-split parquet scan would run them all single-task (r12).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = quantize(emb.select("vec_id", "embedding"), "embedding").select(
         "vec_id", "qv"
     )

@@ -1300,12 +1300,17 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix array, no global sort, and driver state is zero. The
     cleaned text column makes the differential hash a byte-exact
     proof of the surgery."""
+    from ..functions.dedupe import fan_out
     from ..functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    toks = docs.select(
+    # fan_out before tokenize+checkpoint: the sf-grain parquet is one
+    # scan split, so the regex pass and every pre-shuffle reader of the
+    # cached frame otherwise run on a single task (r12, the
+    # containment_quote_match measurement).
+    toks = fan_out(docs, "doc_id").select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).localCheckpoint(eager=False)
     spans = toks.selectExpr(
@@ -1437,10 +1442,15 @@ def greedy_max_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
+    from ..functions.dedupe import fan_out
     from ..functions.text import tokens
 
+    # fan_out before the bigram projection: k greedy rounds each scan
+    # the cached frame, and a 1-partition cache would run every
+    # round's set arithmetic on one task (r12).
     base = (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
         .select(
             "doc_id",
             F.expr(

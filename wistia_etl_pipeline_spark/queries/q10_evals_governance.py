@@ -757,9 +757,13 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-sized rel join, one query-grain aggregate. The discount
     vector rides as an array literal."""
     from pyspark.sql import Window
+    from ..functions.dedupe import fan_out
     from ..functions.similarity import random_projection_int
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the embeddings parquet is one scan split; without it the
+    # two checkpointed projections and every broadcast-probe distance
+    # scan over them run single-task (r12).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         F.expr(
