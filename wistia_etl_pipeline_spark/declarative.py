@@ -111,6 +111,12 @@ def materialize(
     materialize created (uuid-suffixed names keep repeated runs in a
     shared session independent — the temp-view naming rule).
     """
+    if registry.sqls:
+        # Same honesty rule as the Sink guard below: a SQL-file-defined
+        # dataset would otherwise be silently dropped (ADVICE r11).
+        raise NotImplementedError(
+            "local executor does not materialize SQL-file definitions"
+        )
     by_target: dict[str, list[Flow]] = {}
     for fl in registry.flows:
         by_target.setdefault(fl.target, []).append(fl)

@@ -636,7 +636,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates. Both fates dominate the output at every SF (906
     peeled / 94 core members at sf0.01 — tau-checked before shipping).
 
-    The oracle UNROLLS the peel as 6 fixed rounds of CTEs; the Spark
+    The oracle UNROLLS the peel as _KCORE_ROUNDS fixed rounds of CTEs; the Spark
     side iterates to fixpoint and RAISES if it exceeds the same bound,
     so the differential hash proves round-for-round equality and the
     bound's honesty simultaneously (a graph needing more rounds fails
