@@ -61,18 +61,38 @@ def main() -> int:
 
     out: dict[str, float] = {}
     samples: dict[str, list[float]] = {name: [] for name in args}
-    for _ in range(n_runs):
+    counts: dict[str, dict[str, int]] = {}
+    tracker = spark.sparkContext.statusTracker()
+    for i in range(n_runs):
         for name in args:
-            spark.sparkContext.setJobDescription(f"opt_probe:{name}")
+            group = f"opt_probe:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, f"opt_probe:{name}")
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
-            spark.sparkContext.setJobDescription(None)
+            spark.sparkContext._jsc.clearJobGroup()
+            if i == 0:
+                # Job/stage counts are deterministic per query build; one
+                # sample is evidence for action-count optimizations that a
+                # final-plan dump cannot show (removed probe jobs, batched
+                # driver actions).
+                job_ids = tracker.getJobIdsForGroup(group)
+                n_stages = 0
+                for jid in job_ids:
+                    info = tracker.getJobInfo(jid)
+                    if info is not None:
+                        n_stages += len(info.stageIds)
+                counts[name] = {"jobs": len(job_ids), "stages": n_stages}
             _release_cached(spark)
     for name, ts in samples.items():
         out[name] = round(statistics.median(ts), 3)
-        print(f"{out[name]:8.3f}  {name}  (runs: {ts})", flush=True)
-    print(json.dumps({"sf_dir": sf_dir, "runs": n_runs, "medians": out}))
+        c = counts.get(name, {})
+        print(
+            f"{out[name]:8.3f}  {name}  (runs: {ts}, jobs: {c.get('jobs')}, "
+            f"stages: {c.get('stages')})",
+            flush=True,
+        )
+    print(json.dumps({"sf_dir": sf_dir, "runs": n_runs, "medians": out, "counts": counts}))
     return 0
 
 

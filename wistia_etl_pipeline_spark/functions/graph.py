@@ -99,10 +99,15 @@ def connected_components(
     # output of an expensive pair-mining stage (MinHash LSH etc.), and
     # both derivations below would otherwise recompute it (rule #7 in
     # NOTES — no ReusedExchange across different downstream plans).
+    # LAZY (r13): the first convergence aggregate materializes it — the
+    # DAGScheduler dedups the shared RDD's lineage stages within that
+    # job, so the miner still runs exactly once but the separate eager
+    # materialization job (~0.2-0.3 s fixed, ×3 in the τ-sensitivity
+    # query's three closures) disappears.
     raw = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Node universe up front: nodes whose only edges are self-loops
     # still deserve a (singleton) label.
     nodes = (
@@ -438,16 +443,22 @@ def kcore_peel(
     """
     if max_rounds < 1:
         raise ValueError(f"kcore_peel: max_rounds must be >= 1, got {max_rounds}")
-    sym = (
-        _symmetric(
-            edges.select(
-                F.col(src).cast("long").alias("src"),
-                F.col(dst).cast("long").alias("dst"),
-            ).where(F.col("src") != F.col("dst"))
+    # Lazy cut BEFORE symmetrization (r13): _symmetric's union reads its
+    # input through two different projections, which compile as two
+    # separate copies of the upstream pair-miner subplan (no exchange
+    # reuse across differing projections — NOTES rule #7), so the eager
+    # checkpoint below was executing the whole miner stage DAG twice.
+    # One shared RDD = the DAGScheduler dedups its lineage stages; the
+    # miner runs once inside the same materializing job.
+    base = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
     )
+    sym = _symmetric(base).distinct().localCheckpoint(eager=True)
     spark = sym.sparkSession
     conf = spark.conf
     small_frontier = sym.count() <= _SMALL_FRONTIER
@@ -459,16 +470,27 @@ def kcore_peel(
         keep_parts: list[DataFrame] = []
         cur_edges = sym
         for _ in range(max_rounds):
+            # Lazy checkpoint (r13, ADVICE r11 #3): each round's keep
+            # aggregate is consumed THREE times — both semi-join probes
+            # of the next edge restriction and the final kept_rounds
+            # union — and re-evaluated per consumer without a cut. One
+            # shared RDD = one evaluation. Below the small-frontier
+            # threshold the probes are additionally broadcast-hinted
+            # (an RDD-backed frame has no size statistics, so the
+            # planner would otherwise fall back to a shuffled join for
+            # a probe side we have just proven is node-sized).
             keep = (
                 cur_edges.groupBy("src")
                 .agg(F.count(F.lit(1)).alias("d"))
                 .where(F.col("d") >= k)
                 .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=False)
             )
             keep_parts.append(keep)
+            probe = F.broadcast(keep) if small_frontier else keep
             cur_edges = (
-                cur_edges.join(keep, F.col("src") == F.col("node"), "left_semi")
-                .join(keep, F.col("dst") == F.col("node"), "left_semi")
+                cur_edges.join(probe, F.col("src") == F.col("node"), "left_semi")
+                .join(probe, F.col("dst") == F.col("node"), "left_semi")
                 .localCheckpoint(eager=False)
             )
 
@@ -540,16 +562,17 @@ def random_walks(
     the walk frontier against the ranked adjacency, walk state is one
     row per (node, walk). Python never sees a row.
     """
-    sym = (
-        _symmetric(
-            edges.select(
-                F.col(src).cast("long").alias("src"),
-                F.col(dst).cast("long").alias("dst"),
-            ).where(F.col("src") != F.col("dst"))
+    # Lazy cut before symmetrization — same single-miner-execution
+    # rationale as kcore_peel (r13).
+    base = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
     )
+    sym = _symmetric(base).distinct().localCheckpoint(eager=True)
     # The ranked adjacency and the degree table are joined against the
     # walk frontier at EVERY step — lazy checkpoints pin each to one
     # computation instead of walk_length re-derivations (the triangle
@@ -648,8 +671,11 @@ def bfs_layers(
     every round (the module's iterative-join rule); each round is one
     equi-join + distinct + anti-join, all hash-partitioned on node.
     """
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     sym = (
-        _symmetric(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        _symmetric(base)
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -726,8 +752,11 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     sym = (
-        _symmetric(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+        _symmetric(base)
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)

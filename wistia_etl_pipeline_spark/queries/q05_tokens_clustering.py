@@ -1369,10 +1369,15 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import pagerank
 
     corpus = _dup_corpus(load_table(spark, sf_dir, "documents"))
+    # Lazy cut before the symmetrizing union (r13): pairs feeds FOUR
+    # copies of the miner subplan into the lazy pagerank build (two
+    # union branches, each consumed by both deg and ed — no exchange
+    # reuse across their differing projections). One shared RDD = the
+    # scheduler dedups the lineage; the miner runs once.
     pairs = minhash_near_dup_pairs(
         corpus, "doc_id", "text",
         num_hashes=16, bands=4, shingle_k=2, jaccard_threshold=0.8,
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionByName(
