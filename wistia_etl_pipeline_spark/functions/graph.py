@@ -379,6 +379,13 @@ def triangle_stats(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
 #: frontiers keep the session partitioning (+ AQE coalescing).
 _SMALL_FRONTIER = 5_000_000
 
+#: Edge count below which label_propagation broadcasts the per-round
+#: label frame into the vote join. Nodes ≤ 2×edges, so 500k edges
+#: bounds the broadcast at ~1M (node, label) long pairs ≈ tens of MB
+#: of hash relation — comfortably under broadcast limits, rebuilt once
+#: per round. Above it the shuffled join shape is unchanged.
+_LPA_BROADCAST_EDGES = 500_000
+
 
 def kcore_peel(
     edges: DataFrame,
@@ -745,13 +752,27 @@ def label_propagation(
     fixed cost dominated at any frontier the data couldn't). Each lazy
     checkpoint still truncates lineage at plan-build time and pins each
     round's labels to one computation (both uses per round — the vote
-    join and the self-vote union — read the same persisted RDD). The
-    final materialization runs inside the kcore small-frontier scope,
-    so sub-_SMALL_FRONTIER graphs run their per-round shuffles at 8
-    partitions instead of paying session-width coordination per round.
+    join and the self-vote union — read the same persisted RDD).
+
+    Round width is PER-PLAN (r13, retiring this operator's session-conf
+    mutation): below ``_SMALL_FRONTIER`` edges each round is ONE
+    8-partition exchange — votes are repartitioned by ``src`` once, and
+    both the (node, label) count aggregate and the top-1 window are
+    satisfied by that partitioning (hash(src) clusters (src, label)) —
+    instead of the 4 session-width exchanges of the unhinted shape.
+    Below ``_LPA_BROADCAST_EDGES`` the vote join additionally
+    broadcasts the node-sized label frame (an RDD-backed plan has no
+    size statistics, so the planner would shuffle both sides
+    otherwise); the 100 TB path keeps the shuffled join and aggregate
+    exchanges unchanged.
     """
     from pyspark.sql import Window
 
+    if rounds < 1:
+        # range(0) would skip the eager materialization entirely and
+        # return a lazy frame the CALLER materializes outside this
+        # operator's invariants (ADVICE r12).
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
     base = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
@@ -761,40 +782,38 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    spark = sym.sparkSession
-    conf = spark.conf
-    small_frontier = sym.count() <= _SMALL_FRONTIER
-    prev_parts = conf.get("spark.sql.shuffle.partitions")
-    if small_frontier:
-        conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    n_edges = sym.count()
+    small_frontier = n_edges <= _SMALL_FRONTIER
+    bcast_labels = n_edges <= _LPA_BROADCAST_EDGES
+
+    def _width(df: DataFrame, *cols: str) -> DataFrame:
+        return df.repartition(8, *cols) if small_frontier else df
+
+    labels = (
+        _width(sym.select(F.col("src").alias("node")), "node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for r in range(rounds):
+        lbl = F.broadcast(labels) if bcast_labels else labels
+        votes = (
+            sym.join(lbl, sym.dst == lbl["node"])
+            .select("src", "label")
+            .unionByName(labels.select(F.col("node").alias("src"), "label"))
+        )
+        counts = _width(votes, "src").groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
         labels = (
-            sym.select(F.col("src").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("label"))
-            .localCheckpoint(eager=False)
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+            # last round eager: the ONE action that materializes
+            # the whole ladder
+            .localCheckpoint(eager=(r == rounds - 1))
         )
-        w = Window.partitionBy("src").orderBy(
-            F.col("cnt").desc(), F.col("label")
-        )
-        for r in range(rounds):
-            votes = (
-                sym.join(labels, sym.dst == labels.node)
-                .select("src", "label")
-                .unionByName(labels.select(F.col("node").alias("src"), "label"))
-            )
-            counts = votes.groupBy("src", "label").agg(
-                F.count(F.lit(1)).alias("cnt")
-            )
-            labels = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select(F.col("src").alias("node"), "label")
-                # last round eager: the ONE action that materializes
-                # the whole ladder, inside the partition scope
-                .localCheckpoint(eager=(r == rounds - 1))
-            )
-    finally:
-        if small_frontier:
-            conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select("node", F.col("label").alias("community"))
