@@ -39,7 +39,7 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).where(F.col("src") != F.col("dst"))
 
 
-def _large_star(nbr: DataFrame) -> DataFrame:
+def _large_star(nbr: DataFrame, w: int | None = None) -> DataFrame:
     """(u, v>u) -> (v, m(u)) where m(u) = min(N(u) ∪ {u}).
 
     The per-node minimum rides a window over the SAME src partitioning
@@ -47,7 +47,15 @@ def _large_star(nbr: DataFrame) -> DataFrame:
     skew profile) but in ONE exchange instead of two. The output is NOT
     deduplicated: duplicate edges change no window minimum and collapse
     in small-star's round-final distinct, so per round only ONE dedup
-    exchange remains (r4 round-overhead work, VERDICT r3 #4)."""
+    exchange remains (r4 round-overhead work, VERDICT r3 #4).
+
+    ``w`` is the per-plan width hint (r13): an explicit ``repartition``
+    whose hash(src) partitioning the window reuses, so small frontiers
+    run their one exchange at ``w`` partitions without touching the
+    session conf (thread-safe — the τ-sensitivity query runs three
+    closures concurrently)."""
+    if w:
+        nbr = nbr.repartition(w, F.col("src"))
     m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return (
         nbr.withColumn("m", m)
@@ -57,21 +65,24 @@ def _large_star(nbr: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(nbr: DataFrame) -> DataFrame:
+def _small_star(nbr: DataFrame, w: int | None = None) -> DataFrame:
     """(u, v<=u) -> (v, m(u)) ∪ (u, m(u)), m over the small neighbors.
 
     Same window-for-join trade as large-star; the single ``distinct``
     here is the round's one dedup pass (it bounds edge growth across
-    rounds — Kiveris et al. §3)."""
+    rounds — Kiveris et al. §3). ``w`` as in :func:`_large_star` (the
+    union ahead of the distinct destroys the window's partitioning, so
+    the dedup exchange gets its own width hint)."""
     small = nbr.where(F.col("dst") <= F.col("src"))
+    if w:
+        small = small.repartition(w, F.col("src"))
     with_m = small.withColumn("m", F.min("dst").over(Window.partitionBy("src")))
     moved = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     center = with_m.select("src", F.col("m").alias("dst"))
-    return (
-        moved.unionByName(center)
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    out = moved.unionByName(center).where(F.col("src") != F.col("dst"))
+    if w:
+        out = out.repartition(w, F.col("src"), F.col("dst"))
+    return out.distinct()
 
 
 def connected_components(
@@ -130,38 +141,33 @@ def connected_components(
     cur = _symmetric(raw).distinct().localCheckpoint(eager=False)
     cur_sig = _materialize(cur)
 
-    # Every round's star shuffles (and its convergence aggregate) run
-    # INSIDE this loop, so the kcore_peel small-frontier rule applies
-    # verbatim (r12): below _SMALL_FRONTIER edges the per-round
-    # exchanges are coordination-bound at the session's partitioning —
-    # run them at 8 partitions; larger graphs keep the session value +
-    # AQE coalescing. Scoped with try/finally under the documented
-    # sequential-per-session invariant (same discipline as kcore_peel).
-    spark = raw.sparkSession
-    conf = spark.conf
-    small_frontier = cur_sig[0] <= _SMALL_FRONTIER
-    prev_parts = conf.get("spark.sql.shuffle.partitions")
-    if small_frontier:
-        conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        for _ in range(max_iter):
-            nxt = _small_star(
-                _symmetric(_large_star(_symmetric(cur)))
-            ).localCheckpoint(eager=False)
-            nxt_sig = _materialize(nxt)
-            changed = nxt_sig != cur_sig or not nxt.exceptAll(cur).isEmpty()
-            prev, cur, cur_sig = cur, nxt, nxt_sig
-            if not changed:
-                prev.unpersist()
-                break
+    # Every round's star shuffles run inside this loop, so the
+    # kcore_peel small-frontier rule applies (r12): below
+    # _SMALL_FRONTIER edges the per-round exchanges are
+    # coordination-bound at the session's partitioning — run them at 8
+    # partitions. Width is a PER-PLAN repartition hint (r13), not a
+    # session-conf scope: the star windows and the round-final distinct
+    # reuse the explicit hash partitioning, exchange-for-exchange the
+    # same plan as the old conf scope, but with no session-global
+    # mutation — which is what lets the τ-sensitivity query run its
+    # three closures as concurrent jobs on one session. Larger graphs
+    # pass w=None and keep session width + AQE coalescing.
+    w = 8 if cur_sig[0] <= _SMALL_FRONTIER else None
+    for _ in range(max_iter):
+        nxt = _small_star(
+            _symmetric(_large_star(_symmetric(cur), w)), w
+        ).localCheckpoint(eager=False)
+        nxt_sig = _materialize(nxt)
+        changed = nxt_sig != cur_sig or not nxt.exceptAll(cur).isEmpty()
+        prev, cur, cur_sig = cur, nxt, nxt_sig
+        if not changed:
             prev.unpersist()
-        else:
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_iter} rounds"
-            )
-    finally:
-        if small_frontier:
-            conf.set("spark.sql.shuffle.partitions", prev_parts)
+            break
+        prev.unpersist()
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds"
+        )
 
     # Fixpoint is a union of stars: every edge points node -> component
     # min. Centers (and isolated nodes) label themselves.

@@ -1810,6 +1810,8 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached corpus-wide joins to compute li/lu — 71 s of the 99 s
     # query at sf1, invisible to count() probes because count prunes
     # the array payloads.)
+    # EAGER (r13): three concurrent closures consume this frame — a lazy
+    # checkpoint would let their first jobs race-materialize it.
     cand = (
         minhash_near_dup_pairs(
             corpus, "doc_id", "text",
@@ -1817,10 +1819,10 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             return_counts=True,
         )
         .select("a_id", "b_id", "li", "lu")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    outs = []
-    for num, den in ((1, 2), (4, 5), (19, 20)):
+
+    def _tau_stats(num: int, den: int) -> DataFrame:
         pairs = cand.where(
             F.col("li") * F.lit(den) >= F.lit(num) * F.col("lu")
         ).select("a_id", "b_id")
@@ -1837,10 +1839,28 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_dropped"),
         )
-        outs.append(
-            stats.crossJoin(F.broadcast(n_pairs)).select(
-                "tau_centi", "n_pairs", "n_clusters",
-                "largest_cluster", "n_dropped",
+        return stats.crossJoin(F.broadcast(n_pairs)).select(
+            "tau_centi", "n_pairs", "n_clusters",
+            "largest_cluster", "n_dropped",
+        )
+
+    # The three closures are independent iterative jobs whose per-round
+    # actions are fixed-cost-bound at any SF; run them concurrently so
+    # each one's stragglers back-fill the others' idle slots (guide
+    # §2.6). Safe on one session since r13's connected_components is
+    # per-plan-width hinted (no session-conf mutation anywhere in the
+    # closure path); results are deterministic per τ and reassembled in
+    # the fixed (50, 80, 95) order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    taus = ((1, 2), (4, 5), (19, 20))
+    with ThreadPoolExecutor(max_workers=len(taus)) as pool:
+        outs = list(
+            pool.map(
+                inheritable_thread_target(lambda nd: _tau_stats(*nd)),
+                taus,
             )
         )
     out = outs[0]
