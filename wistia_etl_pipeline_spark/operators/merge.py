@@ -81,6 +81,17 @@ def merge_into_path(
     else:
         merged = stage
     tmp = path.rstrip("/") + "__tmp_merge"
+    # Cluster the rewrite by key before it lands (guide §6 output
+    # sizing, r13): without this the file count is whatever the merged
+    # plan's partitioning happens to be — target-file-count + stage
+    # partitions, growing every merge, and each subsequent merge (and
+    # the gold pass re-reading silver) pays listing + per-file open on
+    # all of them. repartition by COLUMNS (no pinned number) is an
+    # AQE-coalescible exchange: advisory-sized (~128 MB) output files
+    # at any scale, one file for a delta-sized table locally — the same
+    # hash write-distribution a table format (Iceberg
+    # write.distribution-mode=hash) applies to MERGE output.
+    merged = merged.repartition(*[F.col(k) for k in keys])
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
