@@ -390,28 +390,25 @@ def pq_encode(
     slices, assignment ties to the smaller codeword id, truncating
     integer-mean updates — the kmeans_int_grid rules applied m times.
 
-    Shape at 100 TB: one quantize+persist scan; per subspace the
-    slice is scan-local, assignment is the Arrow einsum kernel
-    (k×(dims/m) literal matrix), updates collect k×(dims/m) integers
-    — codebooks are model-sized, never corpus-sized. The m per-id
-    results join back on the id column: m−1 id-grain equi joins of
-    already-narrow frames (at production scale, fuse instead into one
-    mapInPandas pass carrying all m codebooks; the join form is kept
-    here because each stage is then independently plan-auditable)."""
+    Shape at 100 TB: one quantize+persist scan; assignment for all m
+    subspaces is ONE Arrow einsum pass (the whole m×k×(dims/m)
+    codebook tensor is model-sized and rides the closure —
+    :func:`assign_codes`); updates collect m×k×(dims/m) integers in
+    one aggregate. r13: this replaced m separate assign() passes
+    re-assembled through m−1 corpus-grain equi joins — the fused form
+    the old docstring deferred to 'production scale' is simply
+    correct at every scale (same per-subspace argmin, zero joins)."""
     q, codebooks = pq_train(df, id_col, vec_col, m=m, k=k, n_assign=n_assign)
-    d = len(codebooks[0][0])
-    out = None
-    for s in range(m):
-        sub = q.select(id_col, F.slice("qv", s * d + 1, d).alias("qv"))
-        res = assign(sub, "qv", codebooks[s]).select(
-            id_col,
-            F.col("cluster_id").alias(f"code_{s}"),
-            F.col("dist2").alias(f"__d2_{s}"),
-        )
-        out = res if out is None else out.join(res, id_col)
-    err = sum(F.col(f"__d2_{s}") for s in range(m))
-    return out.withColumn("recon_dist2", err.cast("long")).drop(
-        *[f"__d2_{s}" for s in range(m)]
+    enc = assign_codes(q, "qv", codebooks)
+    return enc.select(
+        id_col,
+        *[
+            F.element_at("codes", s + 1).alias(f"code_{s}")
+            for s in range(m)
+        ],
+        F.aggregate(
+            "ds", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("recon_dist2"),
     )
 
 
@@ -436,42 +433,104 @@ def pq_train(
     q = quantize(df.select(id_col, vec_col), vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dims = len(q.select("qv").first()["qv"])
+    # ONE init collect (r13): the per-subspace inits are slices of the
+    # SAME k smallest-id rows — collecting them m times was m driver
+    # jobs for identical data.
+    init = q.orderBy(id_col).limit(k).collect()
+    dims = len(init[0]["qv"])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     d = dims // m
-    codebooks: list[list[list[int]]] = []
-    for s in range(m):
-        sub = q.select(id_col, F.slice("qv", s * d + 1, d).alias("qv"))
-        init = sub.orderBy(id_col).limit(k).collect()
-        centroids = [list(r["qv"]) for r in init]
-        for _ in range(n_assign - 1):
-            assigned = assign(sub, "qv", centroids)
-            sums = (
-                assigned.select(
-                    "cluster_id", F.posexplode("qv").alias("i", "v")
-                )
-                .groupBy("cluster_id", "i")
-                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
-                .collect()  # k×(dims/m) rows — model-sized
+    codebooks: list[list[list[int]]] = [
+        [list(r["qv"][s * d : (s + 1) * d]) for r in init] for s in range(m)
+    ]
+    for _ in range(n_assign - 1):
+        # ONE fused assignment pass + ONE update aggregate for all m
+        # subspaces (r13; was m separate assign() jobs and m collects).
+        # Grouping by (subspace, codeword, within-subspace index) over
+        # the exploded vector yields exactly the per-subspace sums the
+        # sliced path computed — same int64 arithmetic, same rows.
+        assigned = assign_codes(q, "qv", codebooks)
+        sums = (
+            assigned.select(F.posexplode("qv").alias("pos", "v"), "codes")
+            .select(
+                F.expr(f"pos div {d}").alias("s"),
+                F.expr(f"pos % {d}").alias("i"),
+                F.expr(f"element_at(codes, CAST(pos div {d} AS INT) + 1)").alias(
+                    "cid"
+                ),
+                "v",
             )
-            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in sums:
-                by_cid.setdefault(int(r["cluster_id"]), {})[int(r["i"])] = (
-                    int(r["sv"]),
-                    int(r["cnt"]),
-                )
-            centroids = [
+            .groupBy("s", "cid", "i")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt"))
+            .collect()  # m×k×(dims/m) rows — model-sized
+        )
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_key.setdefault((int(r["s"]), int(r["cid"])), {})[int(r["i"])] = (
+                int(r["sv"]),
+                int(r["cnt"]),
+            )
+        codebooks = [
+            [
                 [
-                    _trunc_div(*by_cid[cid][i])
-                    if cid in by_cid
-                    else centroids[cid][i]
+                    _trunc_div(*by_key[(s, cid)][i])
+                    if (s, cid) in by_key
+                    else codebooks[s][cid][i]
                     for i in range(d)
                 ]
                 for cid in range(k)
             ]
-        codebooks.append(centroids)
+            for s in range(m)
+        ]
     return q, codebooks
+
+
+def assign_codes(
+    df: DataFrame, qv_col: str, codebooks: list[list[list[int]]]
+) -> DataFrame:
+    """Per-subspace PQ assignment for ALL ``m`` subspaces in ONE Arrow
+    pass (r13): append ``codes`` (array<long>, the per-subspace argmin
+    codeword ids, ties to the smaller id — identical math to
+    :func:`assign` run per subspace slice) and ``ds`` (array<long>, the
+    corresponding exact int64 distances). Replaces the m separate
+    assign() passes + (m−1) id-grain equi joins the PQ path used to
+    re-assemble per-subspace results: the whole m×k×(dims/m) codebook
+    tensor is model-sized and rides one closure, so fusing is free and
+    the join chain (m−1 shuffles at corpus grain) disappears."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    Cs = [np.asarray(cb, dtype=np.int64) for cb in codebooks]
+    ccs = [np.einsum("kj,kj->k", C, C) for C in Cs]
+
+    @pandas_udf("struct<codes: array<long>, ds: array<long>>")
+    def _multi(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"codes": [], "ds": []})
+        M = np.stack(qv.to_numpy()).astype(np.int64)
+        codes, ds = [], []
+        for s in range(m):
+            Ms = M[:, s * d : (s + 1) * d]
+            qq = np.einsum("ij,ij->i", Ms, Ms)
+            dist = qq[:, None] + ccs[s][None, :] - 2 * (Ms @ Cs[s].T)
+            cid = dist.argmin(axis=1)  # first min ⇒ smaller cid wins ties
+            codes.append(cid.astype(np.int64))
+            ds.append(dist[np.arange(len(cid)), cid])
+        return pd.DataFrame(
+            {
+                "codes": list(np.stack(codes, axis=1)),
+                "ds": list(np.stack(ds, axis=1)),
+            }
+        )
+
+    return (
+        df.withColumn("__multi", _multi(qv_col))
+        .withColumn("codes", F.col("__multi.codes"))
+        .withColumn("ds", F.col("__multi.ds"))
+        .drop("__multi")
+    )
 
 
 def assign_with_runnerup(

@@ -1844,7 +1844,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving rows... computed inline here since the corpus scan is
     already in flight. The oracle replays training, tables, ADC sums
     and the final ordering rule."""
-    from ..functions.clustering import _dist2, assign, pq_train
+    from ..functions.clustering import _dist2, assign_codes, pq_train
 
     m, k = 4, 8
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1861,22 +1861,23 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(m)
     ]
-    enc = None
-    for s in range(m):
-        sub = q.select("vec_id", F.slice("qv", s * d + 1, d).alias("qv"))
-        res = assign(sub, "qv", codebooks[s]).select(
-            "vec_id", F.col("cluster_id").alias(f"code_{s}")
-        )
-        enc = res if enc is None else enc.join(res, "vec_id")
+    # ONE fused assignment pass for all m subspaces (r13,
+    # clustering.assign_codes): the per-subspace assign() + (m−1)
+    # vec_id joins + the final join back onto q are gone — codes and
+    # qv ride the same row, so ADC scoring and the exact distance are
+    # both scan-local.
+    enc = assign_codes(q, "qv", codebooks)
     lut = [
         F.array(*[F.lit(int(v)).cast("long") for v in tables[s]])
         for s in range(m)
     ]
     approx = sum(
-        F.element_at(lut[s], F.col(f"code_{s}").cast("int") + 1)
+        F.element_at(
+            lut[s], F.element_at("codes", s + 1).cast("int") + 1
+        )
         for s in range(m)
     )
-    scored = enc.join(q, "vec_id").select(
+    scored = enc.select(
         "vec_id",
         approx.cast("long").alias("approx_dist2"),
         _dist2("qv", qrow).cast("long").alias("exact_dist2"),
