@@ -876,18 +876,24 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the differential hash proves."""
     from pyspark.sql import Window
 
+    from ..functions.dedupe import fan_out
     from ..functions.text import quality_score, token_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: token_count + quality_score are regex-heavy per-row
+    # work on the one-file documents scan's single split (r12 rule).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select(
         "doc_id",
         token_count("text").alias("n_tok"),
         quality_score("text", lang="en").alias("q"),
     ).filter(F.col("n_tok") > 0)
     r = t.withColumn("ratio", F.col("q") / F.col("n_tok"))
+    # three consumers (bin aggregate, kept_full, kept_boundary) — a
+    # lazy checkpoint scores each document once, not three times; the
+    # pinned frame is the narrow (id, n_tok, q, ratio, bin) projection
     binned = r.withColumn(
         "bin", F.floor(F.col("ratio") * 10_000).cast("long")
-    )
+    ).localCheckpoint(eager=False)
 
     bins = binned.groupBy("bin").agg(F.sum("n_tok").alias("btok"))
     wb = Window.orderBy(F.col("bin").desc()).rowsBetween(

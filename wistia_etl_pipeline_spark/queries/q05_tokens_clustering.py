@@ -973,16 +973,32 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge by adding cells (the groupBy IS the merge). The probe side
     joins 20×4 keys against the 4096-row sketch — broadcast-sized by
     construction."""
+    from ..functions.dedupe import fan_out
     from ..functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: tokenize+explode is the heavy per-row stage and runs on
+    # the one-file documents scan's single split without it (r12 rule).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
     )
     salts = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
-    keyed = tok.crossJoin(F.broadcast(salts)).select(
+    # ONE tokenize pass (r13): the CMS cell counts are linear in the
+    # per-token exact counts (cell = Σ n_tok over tokens hashing to it
+    # — every occurrence of a token lands in the same (j, bucket)), so
+    # building the sketch from the vocab-sized count table is
+    # cell-for-cell identical to counting the exploded stream twice,
+    # and strictly better at scale: the crossJoin×depth now multiplies
+    # |vocab| rows, not the corpus token stream.
+    tok_counts = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=False)  # vocab-sized; feeds cms + top-20
+    )
+    keyed = tok_counts.crossJoin(F.broadcast(salts)).select(
         "tok",
+        "exact_n",
         "j",
         (
             F.conv(
@@ -995,10 +1011,9 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_WIDTH
         ).alias("bucket"),
     )
-    cms = keyed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cms = keyed.groupBy("j", "bucket").agg(F.sum("exact_n").alias("c"))
     exact = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
+        tok_counts
         .orderBy(F.col("exact_n").desc(), F.col("tok"))
         .limit(20)
     )

@@ -2129,9 +2129,12 @@ def ann_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking reads 16-int rows, the point being evaluated. Driver
     SFs sit below the cap; hashes unchanged."""
     from pyspark.sql import Window
+    from ..functions.dedupe import fan_out
     from ..functions.similarity import random_projection_int
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: one-split embeddings scan feeding TWO panel x corpus
+    # interpreted-HOF rankings — single-task without it (r12 rule).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         F.expr(

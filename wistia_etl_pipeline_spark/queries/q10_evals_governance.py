@@ -1028,8 +1028,12 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-bounded vote aggregate, and a 10x10-bounded confusion
     output. Injection is scan-local arithmetic on the panel only."""
     from pyspark.sql import Window
+    from ..functions.dedupe import fan_out
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the embeddings parquet is one scan split, and the panel
+    # x corpus ranking below is interpreted-HOF d2 over every pair —
+    # single-task without it (r12 rule; no-op at real scale).
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
