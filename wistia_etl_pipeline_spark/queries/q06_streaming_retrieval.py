@@ -279,7 +279,7 @@ def streaming_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state partitions to state volume (session.scoped_shuffle_partitions;
     # the r9 statestore_join_state_audit lesson). Values are partition-
     # count independent; only the store/commit bill changes.
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(_merge_batch)
@@ -949,7 +949,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Session-merge state is per-user and watermark-bounded — state
     # partitions sized to state volume, not compute width (the shared
     # streaming-family rule; see session.scoped_shuffle_partitions).
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             sessions.writeStream.format("parquet")
             .option("path", out)
@@ -1647,7 +1647,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Dedup state holds only in-window keys — state partitions sized to
     # state volume (session.scoped_shuffle_partitions, shared rule).
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             deduped.writeStream.format("parquet")
             .option("path", out)

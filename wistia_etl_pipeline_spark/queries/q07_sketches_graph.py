@@ -955,7 +955,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sized to the 90-minute state horizon, not compute width (the r9
     # statestore_join_state_audit measurement, via the shared
     # session.scoped_shuffle_partitions rule).
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=[v_path, p_path]):
         q = (
             joined.writeStream.format("parquet")
             .option("path", out)

@@ -2841,7 +2841,7 @@ def streaming_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateless epochs through a Python sink — per-trigger task count
     # scoped to the micro-batch's size, not compute width
     # (session.scoped_shuffle_partitions, shared streaming-family rule).
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             stream.writeStream.format("staged_json")
             .option("path", out)

@@ -1182,7 +1182,7 @@ def streaming_hll_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stateless stream; each foreachBatch fold shuffles to <= 64
     # register rows — scoped to state volume, not compute width
     # (session.scoped_shuffle_partitions, shared streaming-family rule).
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 2)

@@ -419,7 +419,7 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compute width (session.scoped_shuffle_partitions — the same rule
     # statestore_join_state_audit below measured and documented); the
     # state source reads numPartitions from checkpoint metadata.
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             stream.writeStream.outputMode("complete")
             .format("noop")

@@ -289,7 +289,7 @@ def foreachbatch_replay_exactly_once(
         # Stateless stream, but each foreachBatch aggregate still
         # shuffles at the session width for ~5 groups — scoped down
         # (session.scoped_shuffle_partitions, shared rule).
-        with scoped_shuffle_partitions(spark):
+        with scoped_shuffle_partitions(spark, source=src):
             q = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "1")
@@ -548,7 +548,7 @@ def statestore_change_feed_audit(
     # (session.scoped_shuffle_partitions, shared streaming-family
     # rule); the statestore/changelog readers take numPartitions from
     # checkpoint metadata, so the audit itself is unaffected.
-    with scoped_shuffle_partitions(spark):
+    with scoped_shuffle_partitions(spark, source=src):
         q = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -666,7 +666,7 @@ def rocksdb_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # trigger — state partitions sized to the 5-key state, not
         # compute width (session.scoped_shuffle_partitions, shared
         # streaming-family rule).
-        with scoped_shuffle_partitions(spark):
+        with scoped_shuffle_partitions(spark, source=src):
             q = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "2")
@@ -1037,7 +1037,7 @@ def chained_windowed_aggregation(
         # sized to state volume (session.scoped_shuffle_partitions,
         # shared streaming-family rule). Both runs resume the same
         # checkpoint; the scope pins an identical width for both.
-        with scoped_shuffle_partitions(spark):
+        with scoped_shuffle_partitions(spark, source=src):
             q = (
                 weekly.select(
                     "event_type",

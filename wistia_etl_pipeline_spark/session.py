@@ -96,6 +96,60 @@ STREAM_SHUFFLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
 )
 
+#: Source-bytes-per-state-partition target for the data-adaptive
+#: derivation below (r13, the VERDICT r12 item): 1 GiB of staged stream
+#: input per state partition.
+STREAM_STATE_BYTES_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_BYTES_PER_PARTITION", str(1 << 30))
+)
+
+#: Upper clamp for the derived width — bounds the per-trigger
+#: state-store commit fan-out on a real cluster the same way the floor
+#: bounds maintenance overhead at test SF.
+_STREAM_STATE_MAX_PARTITIONS = 2048
+
+
+def stream_state_partitions(spark: SparkSession, source=None) -> int:
+    """Data-adaptive state-partition count for stateful streaming
+    operators (r13; mirrors ``graph._SMALL_FRONTIER``'s derive-from-data
+    rule instead of the r12 constant).
+
+    Why input bytes: every micro-batch pays state-store maintenance on
+    EVERY shuffle partition of every stateful operator, so the width
+    must track STATE volume, not compute width. The engine's streaming
+    state is grain/watermark-bounded, so distinct state keys grow (at
+    most linearly, usually far slower) with the staged input — whose
+    on-disk size is known from the file listing the stream source has
+    already done, i.e. derivable WITHOUT running a job. One state
+    partition per ``STREAM_STATE_BYTES_PER_PARTITION`` (1 GiB default)
+    of input, clamped to [``STREAM_SHUFFLE_PARTITIONS``, 2048]: at the
+    bench SFs (MB-scale sources) this floors to the r12-measured 8 —
+    bit-identical bench behavior — while a 100 TB backfill derives a
+    cluster-scale width instead of serializing on 8 stores. The env
+    var stays the operator override for deployments that know their
+    key cardinality (it short-circuits the derivation entirely).
+
+    ``source``: a batch DataFrame over the staged input, a parquet
+    path, or a list of paths (stream-stream joins pass both sides).
+    ``None`` keeps the static default.
+    """
+    if os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS"):
+        return STREAM_SHUFFLE_PARTITIONS
+    if source is None:
+        return STREAM_SHUFFLE_PARTITIONS
+    paths = source if isinstance(source, (list, tuple)) else [source]
+    size = 0
+    for p in paths:
+        df = spark.read.parquet(p) if isinstance(p, str) else p
+        # leaf-relation plan statistics = total file bytes (listing
+        # already cached by the schema read every call site does); no
+        # job, no scan
+        size += int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    derived = -(-size // STREAM_STATE_BYTES_PER_PARTITION)  # ceil
+    return max(
+        STREAM_SHUFFLE_PARTITIONS, min(_STREAM_STATE_MAX_PARTITIONS, derived)
+    )
+
 
 class scoped_shuffle_partitions:
     """Context manager: set ``spark.sql.shuffle.partitions`` for the
@@ -104,11 +158,15 @@ class scoped_shuffle_partitions:
     try/finally discipline as ``kcore_peel`` and the state-store
     audits. Every action that should run at the scoped width must
     execute INSIDE the block (lazy frames materialized later see the
-    restored session value)."""
+    restored session value).
 
-    def __init__(self, spark: SparkSession, n: int | None = None):
+    ``source`` (r13): staged stream input (path/DataFrame/list) the
+    width is derived from via :func:`stream_state_partitions`; without
+    it the static ``STREAM_SHUFFLE_PARTITIONS`` default applies."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None, *, source=None):
         self._spark = spark
-        self._n = STREAM_SHUFFLE_PARTITIONS if n is None else n
+        self._n = stream_state_partitions(spark, source) if n is None else n
         self._prev: str | None = None
 
     def __enter__(self):
