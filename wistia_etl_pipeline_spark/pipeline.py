@@ -212,9 +212,17 @@ class BatchPipeline:
         if not rows:
             return
         df = arrow_local_df(self.spark, rows, RAW_EVENT_SCHEMA)
+        # Explicit width (REPARTITION_BY_NUM): a bare repartition(cols)
+        # is AQE-coalescible and this model-sized delta coalesces to ONE
+        # task, serializing the whole run's JSON encode (measured 2.45 s
+        # -> 1.09 s at the flagship's 40k-row grain). Hash partitioning
+        # still sends each (media_id, dt) to exactly one task, so the
+        # at-rest layout is unchanged: one file per partition dir.
         (
             df.withColumn("dt", F.to_date(F.to_timestamp("received_at")))
-            .repartition("media_id", "dt")
+            .repartition(
+                self.spark.sparkContext.defaultParallelism, "media_id", "dt"
+            )
             .write.mode("append")
             .partitionBy("media_id", "dt")
             .json(self.bronze_path)
@@ -251,7 +259,11 @@ class BatchPipeline:
             self.spark, rows, "media_id string, page int, payload string"
         )
         (
-            df.repartition("media_id")
+            # explicit width for the same AQE-coalesce reason as the
+            # bronze write above (one file per media dir either way)
+            df.repartition(
+                self.spark.sparkContext.defaultParallelism, "media_id"
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("media_id")
