@@ -2749,8 +2749,15 @@ def datasource_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.staged_sink import StagedJsonDataSource, read_manifest
 
+    from ..functions.dedupe import fan_out
+
     spark.dataSource.register(StagedJsonDataSource)
-    events = load_table(spark, sf_dir, "events")
+    # fan_out: the Python writer json.dumps's every row inside the
+    # task — over the one-split events scan that is ONE Python worker
+    # encoding the whole table (r12 rule; no-op at real scale). The
+    # sink's two-phase commit is per-task-file, so width only changes
+    # the part-file count, which the manifest and read-back absorb.
+    events = fan_out(load_table(spark, sf_dir, "events"), "event_id")
     out = tempfile.mkdtemp(prefix="wistia_sink_") + "/sink"
     os.makedirs(out, exist_ok=True)
     (
