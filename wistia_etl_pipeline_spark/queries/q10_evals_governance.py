@@ -89,9 +89,13 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanin) and one scalar B; scoring is equi joins on those tables
     (broadcast at real vocabulary sizes) and a doc-grain aggregate.
     One corpus scan builds the model, one scores — no windows."""
+    from ..functions.dedupe import fan_out
     from ..functions.text import normalize_text, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: occ (tokenize + bigram explode over the one-split docs
+    # scan) is computed by BOTH the model aggregate and the scoring
+    # join — single-task twice without it (r12 rule).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
     ).filter(F.size("t") >= 2)
